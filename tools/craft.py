@@ -1,0 +1,121 @@
+"""Minimal MPEG-1 Layer III frame crafter for behavioral spec-table recovery.
+
+Builds syntactically valid single-granule probe streams (mono, 44.1 kHz,
+128 kbps CBR, no CRC) whose granule-0 main data is an arbitrary caller-chosen
+bit string. Used by tools/extract_huffman_behavioral.py to probe libmpg123's
+Huffman decoding one code-tree path at a time.
+
+This is also the embryo of the mp3tpu encoder's bitstream mux (E6): the
+header/side-info field layout here follows ISO 11172-3 §2.4.1.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def put_bits(self, bitstr: str):
+        self.bits.extend(1 if c == "1" else 0 for c in bitstr)
+
+    def to_bytes(self, pad_to: int | None = None) -> bytes:
+        bits = self.bits[:]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        if pad_to is not None:
+            assert len(out) <= pad_to, f"overflow: {len(out)} > {pad_to}"
+            out += b"\x00" * (pad_to - len(out))
+        return bytes(out)
+
+
+@dataclass
+class GranuleSpec:
+    part2_3_length: int = 0
+    big_values: int = 0
+    global_gain: int = 210
+    scalefac_compress: int = 0
+    window_switching: int = 0
+    block_type: int = 0
+    mixed_block_flag: int = 0
+    table_select: tuple = (0, 0, 0)
+    subblock_gain: tuple = (0, 0, 0)
+    region0_count: int = 0
+    region1_count: int = 0
+    preflag: int = 0
+    scalefac_scale: int = 0
+    count1table_select: int = 1  # table B (all 4-bit codes)
+    main_bits: str = ""  # scalefactor+huffman payload bits
+
+
+FRAME_BYTES = 417  # 144*128000/44100, padding=0
+
+
+def craft_frame(gr0: GranuleSpec, gr1: GranuleSpec | None = None) -> bytes:
+    """One MPEG-1 Layer III mono 44.1k/128k frame. main_data_begin=0."""
+    if gr1 is None:
+        gr1 = GranuleSpec()
+    w = BitWriter()
+    # header
+    w.put(0x7FF, 11)  # sync
+    w.put(0b11, 2)    # MPEG-1
+    w.put(0b01, 2)    # Layer III
+    w.put(1, 1)       # protection: none
+    w.put(9, 4)       # 128 kbps
+    w.put(0, 2)       # 44100
+    w.put(0, 1)       # padding
+    w.put(0, 1)       # private
+    w.put(0b11, 2)    # single channel
+    w.put(0, 2)       # mode extension
+    w.put(0, 1)       # copyright
+    w.put(0, 1)       # original
+    w.put(0, 2)       # emphasis
+    # side info (mono: 17 bytes)
+    w.put(0, 9)       # main_data_begin
+    w.put(0, 5)       # private bits
+    w.put(0, 4)       # scfsi
+    for g in (gr0, gr1):
+        w.put(g.part2_3_length, 12)
+        w.put(g.big_values, 9)
+        w.put(g.global_gain, 8)
+        w.put(g.scalefac_compress, 4)
+        w.put(g.window_switching, 1)
+        if g.window_switching:
+            w.put(g.block_type, 2)
+            w.put(g.mixed_block_flag, 1)
+            for t in g.table_select[:2]:
+                w.put(t, 5)
+            for s in g.subblock_gain:
+                w.put(s, 3)
+        else:
+            for t in g.table_select:
+                w.put(t, 5)
+            w.put(g.region0_count, 4)
+            w.put(g.region1_count, 3)
+        w.put(g.preflag, 1)
+        w.put(g.scalefac_scale, 1)
+        w.put(g.count1table_select, 1)
+    # main data (main_data_begin = 0 -> starts right here)
+    w.put_bits(gr0.main_bits)
+    w.put_bits(gr1.main_bits)
+    assert len(gr0.main_bits) == gr0.part2_3_length
+    assert len(gr1.main_bits) == gr1.part2_3_length
+    return w.to_bytes(pad_to=FRAME_BYTES)
+
+
+def craft_stream(probe: GranuleSpec, n_pre: int = 2, n_post: int = 3) -> bytes:
+    """Silent frames around one probe frame (probe in granule 0)."""
+    silent = craft_frame(GranuleSpec(), GranuleSpec())
+    frames = [silent] * n_pre + [craft_frame(probe, GranuleSpec())] + [silent] * n_post
+    return b"".join(frames)
