@@ -1,0 +1,247 @@
+"""Host unpack: bit-reservoir assembly (B2), scalefactor + Huffman decode
+(B3/B4), and dense SymbolTensors packing (B5). This is the single
+host->device boundary of the decode path (SURVEY.md §1).
+
+Per granule-channel the device receives only fixed-shape dense arrays:
+quantized spectrum, per-band quarter-step exponents, block geometry, and
+per-band 2x2 stereo mixing matrices — every branchy, variable-length or
+mode-dependent decision is resolved here on the host.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..container import frames as fr
+from ..tables import maps as tmaps
+from ..tables.sfb import LONG, SHORT, PRETAB
+from .bits import BitReader
+from .huffdec import GranuleBits, decode_spectrum
+from .scalefactors import Scalefactors, read_scalefactors_lsf, read_scalefactors_mpeg1
+from .sideinfo import parse_side_info
+
+# error flag bits (SURVEY.md §5.3 failure taxonomy)
+ERR_RESERVOIR = 1
+ERR_HUFFMAN_OVERRUN = 2
+ERR_CRC = 4
+ERR_BAD_DATA = 8
+
+
+@dataclass
+class SymbolTensors:
+    """Dense device-ready symbol arrays; leading dim G = granule pairs."""
+    is_: np.ndarray        # int16 [G, 2, 576] signed quantized spectrum
+    exp: np.ndarray        # int16 [G, 2, 64] quarter-step band exponents
+    block_type: np.ndarray  # int8 [G, 2]
+    mixed: np.ndarray      # bool [G, 2]
+    mix: np.ndarray        # float32 [G, 64, 2, 2] stereo mixing matrices
+    errors: np.ndarray     # int16 [G]
+    huff_slack: np.ndarray  # int32 [G, 2] leftover part3 bits (diagnostic)
+    lines_used: np.ndarray  # int32 [G, 2] decoded spectrum extent
+    sample_rate: int
+    channels: int
+    version: int
+
+    @property
+    def n_granules(self) -> int:
+        return self.is_.shape[0]
+
+
+def _flavor(block_type: int, mixed: int) -> int:
+    if block_type != 2:
+        return tmaps.FLAVOR_LONG
+    return tmaps.FLAVOR_MIXED if mixed else tmaps.FLAVOR_SHORT
+
+
+def _band_exponents(g, sf: Scalefactors, sr: int, lsf: bool) -> np.ndarray:
+    """Quarter-step exponent per band slot: xr = |is|^(4/3) * 2^(exp/4)
+    [ISO 11172-3 §2.4.3.4.7.1]."""
+    exp = np.zeros(64, np.int32)
+    gg = g.global_gain - 210
+    shift = 2 * (g.scalefac_scale + 1)  # half or full steps, in quarters
+    pre = sf.preflag * PRETAB
+    long_e = gg - shift * (sf.long_sf + pre)
+    exp[:22] = long_e
+    for w in range(3):
+        sub = gg - 8 * g.subblock_gain[w] - shift * sf.short_sf[:, w]
+        exp[22 + w * 13: 22 + w * 13 + 13] = sub
+    return exp
+
+
+_SQRT2_INV = np.float64(1.0) / np.sqrt(np.float64(2.0))
+
+
+def _intensity_kl_kr_mpeg1(is_pos: int) -> tuple[float, float]:
+    if is_pos == 6:
+        return 1.0, 0.0
+    r = np.tan(is_pos * np.pi / 12.0)
+    return float(r / (1.0 + r)), float(1.0 / (1.0 + r))
+
+
+def _intensity_kl_kr_lsf(is_pos: int, intensity_scale: int) -> tuple[float, float]:
+    io = 2.0 ** (-0.25 * (intensity_scale + 1))
+    if is_pos == 0:
+        return 1.0, 1.0
+    p = (is_pos + 1) // 2
+    if is_pos & 1:
+        return float(io ** p), 1.0
+    return 1.0, float(io ** p)
+
+
+def _stereo_matrices(h, g_pair, sf_pair, is_pair, nonzero_band, sr, lsf) -> np.ndarray:
+    """float32 [64, 2, 2] per-band mixing: [L';R'] = M @ [xr0; xr1]."""
+    M = np.zeros((64, 2, 2), np.float32)
+    M[:, 0, 0] = 1.0
+    M[:, 1, 1] = 1.0
+    if h.channels == 1:
+        return M
+    ms = h.ms_stereo
+    ist = h.intensity_stereo
+    if ms and not ist:
+        M[:, 0, 0] = M[:, 0, 1] = M[:, 1, 0] = _SQRT2_INV
+        M[:, 1, 1] = -_SQRT2_INV
+        return M
+    if not ist:
+        return M
+    # intensity (possibly + MS below the intensity bound)
+    sf_r: Scalefactors = sf_pair[1]
+    # intensity bound per "window group": long bands group -1, short w
+    # bands group w. A band is intensity iff all right-channel bands at
+    # or above it (within its group) are zero.
+    for group, slots in ((-1, range(22)), (0, range(22, 35)),
+                         (1, range(35, 48)), (2, range(48, 61))):
+        slots = list(slots)
+        nz = [s for s in slots if nonzero_band[s]]
+        bound = (slots.index(nz[-1]) + 1) if nz else 0
+        for j, slot in enumerate(slots):
+            if j < bound:
+                if ms:
+                    M[slot, 0, 0] = M[slot, 0, 1] = M[slot, 1, 0] = _SQRT2_INV
+                    M[slot, 1, 1] = -_SQRT2_INV
+                continue
+            # candidate intensity band: position from right channel sf
+            if slot < 22:
+                pos = int(sf_r.long_sf[slot])
+                illegal = 7 if not lsf else int(sf_r.long_max[slot])
+            else:
+                w, s = divmod(slot - 22, 13)
+                pos = int(sf_r.short_sf[s, w])
+                illegal = 7 if not lsf else int(sf_r.short_max[s, w])
+            if pos == illegal:
+                if ms:
+                    M[slot, 0, 0] = M[slot, 0, 1] = M[slot, 1, 0] = _SQRT2_INV
+                    M[slot, 1, 1] = -_SQRT2_INV
+                continue
+            kl, kr = (_intensity_kl_kr_lsf(pos, sf_r.intensity_scale) if lsf
+                      else _intensity_kl_kr_mpeg1(pos))
+            scale = _SQRT2_INV if ms else 1.0
+            M[slot, 0, 0] = kl * scale
+            M[slot, 0, 1] = 0.0
+            M[slot, 1, 0] = kr * scale
+            M[slot, 1, 1] = 0.0
+    return M
+
+
+def unpack(data: bytes, index: fr.FrameIndex | None = None) -> SymbolTensors:
+    """Unpack a whole Layer III stream into SymbolTensors."""
+    buf = np.frombuffer(data, np.uint8)
+    if index is None:
+        index = fr.scan_frames(buf)
+    lsf = index.version != fr.VERSION_MPEG1
+    sr = index.sample_rate
+    nch = index.channels
+    ngr = 1 if lsf else 2
+    G = index.n_frames * ngr
+
+    is_ = np.zeros((G, 2, 576), np.int16)
+    exp = np.zeros((G, 2, 64), np.int16)
+    block_type = np.zeros((G, 2), np.int8)
+    mixed = np.zeros((G, 2), bool)
+    mix = np.zeros((G, 64, 2, 2), np.float32)
+    mix[:, :, 0, 0] = 1.0
+    mix[:, :, 1, 1] = 1.0
+    errors = np.zeros(G, np.int16)
+    huff_slack = np.zeros((G, 2), np.int32)  # leftover part3 bits (diagnostic)
+    lines_used = np.zeros((G, 2), np.int32)  # spectrum extent per granule-ch
+
+    reservoir = bytearray()
+    res_trim = 0  # bytes trimmed off the front of `reservoir`
+    prev_sf: dict[int, Scalefactors] = {}  # scfsi carry, per channel
+
+    for fi in range(index.n_frames):
+        off = int(index.offsets[fi])
+        h = index.headers[fi]
+        si_start = off + 4 + (2 if h.crc_protected else 0)
+        r = BitReader(buf[si_start: si_start + h.side_info_bytes])
+        si = parse_side_info(r, h)
+        crc_ok = fr.check_crc16(buf, off, h)
+
+        main_start = si_start + h.side_info_bytes
+        main_bytes = bytes(buf[main_start: off + h.frame_bytes])
+        # reservoir bookkeeping: this frame's granule data starts
+        # main_data_begin bytes before the end of the accumulated store
+        frame_data_start = len(reservoir) + res_trim - si.main_data_begin
+        reservoir += main_bytes
+        underflow = frame_data_start < res_trim
+        bitpos = (frame_data_start - res_trim) * 8
+
+        for gr in range(ngr):
+            gidx = fi * ngr + gr
+            sf_pair = [Scalefactors(), Scalefactors()]
+            if not crc_ok:
+                errors[gidx] |= ERR_CRC
+            if underflow:
+                errors[gidx] |= ERR_RESERVOIR
+                for ch in range(nch):
+                    g = si.granules[gr][ch]
+                    block_type[gidx, ch] = g.block_type
+                    mixed[gidx, ch] = bool(g.mixed_block_flag)
+                bitpos += sum(si.granules[gr][ch].part2_3_length for ch in range(nch))
+                continue
+            for ch in range(nch):
+                g = si.granules[gr][ch]
+                block_type[gidx, ch] = g.block_type
+                mixed[gidx, ch] = bool(g.mixed_block_flag)
+                br = GranuleBits(bytes(reservoir), bitpos, g.part2_3_length)
+                bitpos += g.part2_3_length
+                if lsf:
+                    is_int_ch = h.intensity_stereo and ch == 1
+                    sf = read_scalefactors_lsf(br, g, is_int_ch)
+                else:
+                    sf = read_scalefactors_mpeg1(
+                        br, g, si.scfsi[ch], prev_sf.get(ch), gr)
+                    if gr == 0:
+                        prev_sf[ch] = sf
+                sf_pair[ch] = sf
+                part3 = g.part2_3_length - sf.part2_bits
+                if part3 < 0:
+                    errors[gidx] |= ERR_BAD_DATA
+                    continue
+                spec, c1end, overrun, slack = decode_spectrum(br, g, sr, lsf, part3)
+                huff_slack[gidx, ch] = slack
+                lines_used[gidx, ch] = c1end
+                if overrun:
+                    errors[gidx] |= ERR_HUFFMAN_OVERRUN
+                np.clip(spec, -32768, 32767, out=spec)
+                is_[gidx, ch] = spec.astype(np.int16)
+                exp[gidx, ch] = _band_exponents(g, sf, sr, lsf).astype(np.int16)
+            # stereo matrices need right-channel band occupancy
+            if nch == 2:
+                fl = _flavor(int(block_type[gidx, 1]), int(mixed[gidx, 1]))
+                bm = tmaps.get_maps(sr)[0][fl]
+                nzb = np.zeros(64, bool)
+                nz_lines = np.nonzero(is_[gidx, 1])[0]
+                nzb[bm[nz_lines]] = True
+                mix[gidx] = _stereo_matrices(
+                    h, si.granules[gr], sf_pair, is_[gidx], nzb, sr, lsf)
+        # trim reservoir: keep at most 511 bytes + current frame headroom
+        if len(reservoir) > 4096:
+            cut = len(reservoir) - 1024
+            del reservoir[:cut]
+            res_trim += cut
+
+    return SymbolTensors(is_=is_, exp=exp, block_type=block_type, mixed=mixed,
+                         mix=mix, errors=errors, huff_slack=huff_slack,
+                         lines_used=lines_used, sample_rate=sr,
+                         channels=nch, version=index.version)
