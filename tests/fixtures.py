@@ -1,0 +1,73 @@
+"""Deterministic test-signal generators + fixture cache (SURVEY.md F5/§4.3).
+
+All MP3 fixtures are generated at test time (no binary assets in git):
+real-world encodings via the system LAME library (trust anchor), plus
+hand-crafted streams via tools/craft.py.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+
+def tone_sweep(seconds: float, sr: int, ch: int = 2) -> np.ndarray:
+    """Exponential sine sweep + harmonics; stereo gets decorrelated phase."""
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    f0, f1 = 40.0, min(0.45 * sr, 16000.0)
+    k = np.log(f1 / f0)
+    phase = 2 * np.pi * f0 * (np.exp(t / t[-1] * k) - 1) * t[-1] / k
+    sig = 0.45 * np.sin(phase) + 0.2 * np.sin(2.3 * phase)
+    if ch == 1:
+        return sig[:, None]
+    rphase = phase * 1.003 + 0.7
+    return np.stack([sig, 0.45 * np.sin(rphase) + 0.1 * np.sin(3.1 * rphase)], 1)
+
+
+def transients(seconds: float, sr: int, ch: int = 2) -> np.ndarray:
+    """Click train + noise bursts — forces short/mixed block switching."""
+    n = int(seconds * sr)
+    rng = np.random.default_rng(1234)
+    sig = 0.02 * rng.standard_normal((n, ch))
+    period = sr // 7
+    for i in range(0, n - 400, period):
+        burst = rng.standard_normal((300, ch)) * np.hanning(300)[:, None]
+        sig[i:i + 300] += 0.8 * burst
+    return np.clip(sig, -0.99, 0.99)
+
+
+def tonal_stereo(seconds: float, sr: int) -> np.ndarray:
+    """Highly correlated stereo — encourages MS + intensity coding."""
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    base = sum(0.12 * np.sin(2 * np.pi * f * t + f) for f in
+               (220.0, 440.0, 659.0, 880.0, 1320.0, 3520.0, 7040.0, 11000.0))
+    lr = np.stack([base, base * 0.55 + 0.001 * np.sin(2 * np.pi * 9000 * t)], 1)
+    return lr.astype(np.float64)
+
+
+def silence(seconds: float, sr: int, ch: int = 2) -> np.ndarray:
+    return np.zeros((int(seconds * sr), ch))
+
+
+_CACHE: dict = {}
+
+
+def lame_fixture(name: str, **kw) -> bytes:
+    """Cached LAME encodings of the named deterministic signal."""
+    key = (name, tuple(sorted(kw.items())))
+    if key not in _CACHE:
+        import lameref
+        sr = kw.pop("sr", 44100)
+        ch = kw.pop("ch", 2)
+        seconds = kw.pop("seconds", 2.0)
+        gen = {"sweep": tone_sweep, "transients": transients,
+               "tonal": tonal_stereo, "silence": silence}[name]
+        sig = gen(seconds, sr) if name == "tonal" else gen(seconds, sr, ch)
+        _CACHE[key] = lameref.encode(sig, sr, **kw)
+    return _CACHE[key]

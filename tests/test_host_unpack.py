@@ -1,0 +1,47 @@
+"""Host unpack validation: exact Huffman bit-accounting on real-world and
+LAME-encoded streams (SURVEY.md §4.4 integration level).
+
+part2_3_length is an exact per-granule checksum of the scalefactor +
+Huffman decode: any table or parser error desynchronizes it.
+"""
+import numpy as np
+import pytest
+
+from mp3tpu.bitstream.unpack import unpack
+
+import fixtures
+
+REAL_FILES = [
+    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3",
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3",
+]
+
+
+def _assert_exact_accounting(st):
+    full = st.lines_used >= 573
+    bad = (st.huff_slack != 0) & ~full
+    assert int(bad[:, : st.channels].sum()) == 0
+    assert int((st.errors != 0).sum()) == 0
+
+
+@pytest.mark.parametrize("path", REAL_FILES)
+def test_real_world_bit_accounting(path):
+    import os
+    if not os.path.exists(path):
+        pytest.skip("real-world file not present")
+    st = unpack(open(path, "rb").read())
+    _assert_exact_accounting(st)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("sweep", dict(ch=1, bitrate=128, mode="mono")),
+    ("sweep", dict(ch=2, bitrate=128, mode="jstereo")),
+    ("transients", dict(ch=2, bitrate=128, mode="jstereo")),
+    ("sweep", dict(ch=2, vbr=True, mode="jstereo")),
+    ("sweep", dict(ch=2, bitrate=128, mode="jstereo", sr=48000)),
+    ("transients", dict(ch=2, bitrate=48, mode="jstereo", sr=32000)),
+])
+def test_lame_fixture_bit_accounting(name, kw):
+    pytest.importorskip("lameref")
+    st = unpack(fixtures.lame_fixture(name, **kw))
+    _assert_exact_accounting(st)
