@@ -1,0 +1,195 @@
+"""Batched TPU decode pipeline (SURVEY.md C1-C8, L2).
+
+One jittable pure function maps dense SymbolTensors onto PCM for a whole
+[stream, granule] window at once:
+
+  requantize -> stereo mix -> (reorder+alias as one constant matmul) ->
+  IMDCT/window -> overlap-add -> frequency inversion -> polyphase
+  synthesis (16-tap FIR over granule time-steps) -> PCM
+
+TPU-first design decisions (SURVEY.md §7.3), learned from profiling:
+  * NO data-dependent gathers anywhere — TPU gathers are ~20x slower
+    than the MXU work here. Every table lookup is expressed as a small
+    one-hot matmul, every permutation/selection as a constant matrix:
+      - short-block reorder + alias butterflies: composed into one
+        [576,576] matrix per block flavor (built by probing the float64
+        oracle with an identity basis — structurally exact);
+      - band-exponent and stereo-matrix expansion: one-hot [64->576]
+        matmuls per flavor, selected by flavor one-hots;
+      - |is|^(4/3): computed (cbrt + one Newton step) instead of a LUT.
+  * granule-parallel everywhere; the two temporal couplings (IMDCT
+    overlap-add, synthesis FIFO) are a shift along the granule axis and
+    a 16-tap FIR with explicit tiny carried state — no lax.scan, no
+    stateful kernels.
+
+State per stream-channel: overlap [32,18] + synthesis history [15,32]
+floats — small, explicit, checkpoint/seek-friendly (SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class DeviceTables:
+    """Per-samplerate constant tables, device-resident."""
+    band_oh: jax.Array      # f32 [3, 64, 576] one-hot band->line expansion
+    ra: jax.Array           # f32 [3, 576, 576] reorder+alias composed
+    imdct_long: jax.Array   # f32 [18, 36]  (unwindowed IMDCT-36)
+    imdct_short: jax.Array  # f32 [18, 36]  (composite windowed short)
+    windows: jax.Array      # f32 [4, 36]   (long windows; row 2 = ones)
+    synth_fir: jax.Array    # f32 [16, 32, 32]
+    inv_mask: jax.Array     # f32 [32, 18]
+
+
+@functools.lru_cache(maxsize=None)
+def build_tables(sample_rate: int) -> DeviceTables:
+    from ..oracle.decoder import alias_reduce
+    from ..tables import filterbank as fb
+    from ..tables import maps as tmaps
+    bm, rm = tmaps.get_maps(sample_rate)
+
+    band_oh = np.zeros((3, 64, 576))
+    for f in range(3):
+        band_oh[f, bm[f], np.arange(576)] = 1.0
+
+    # reorder + alias composed, by linearity, from the oracle stages
+    n_bound = {tmaps.FLAVOR_LONG: 31, tmaps.FLAVOR_SHORT: 0, tmaps.FLAVOR_MIXED: 1}
+    ra = np.zeros((3, 576, 576))
+    eye = np.eye(576)
+    for f in range(3):
+        nat = eye[:, rm[f]]                      # reorder rows of identity
+        for r in range(576):
+            ra[f, r] = alias_reduce(nat[r].reshape(32, 18), n_bound[f]).ravel()
+
+    mats = fb.imdct_block_matrices()
+    wins = np.stack([fb.imdct_window(0), fb.imdct_window(1),
+                     np.ones(36), fb.imdct_window(3)])
+    inv = np.ones((32, 18))
+    inv[1::2, 1::2] = -1.0
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    return DeviceTables(
+        band_oh=f32(band_oh), ra=f32(ra),
+        imdct_long=f32(fb.imdct36_matrix()), imdct_short=f32(mats[2]),
+        windows=f32(wins), synth_fir=f32(fb.synthesis_fir()),
+        inv_mask=f32(inv))
+
+
+def init_state(n_streams: int, n_channels: int = 2):
+    """Explicit decoder state carried between windows (f32, tiny)."""
+    return {
+        "overlap": jnp.zeros((n_streams, n_channels, 32, 18), jnp.float32),
+        "hist": jnp.zeros((n_streams, n_channels, 15, 32), jnp.float32),
+    }
+
+
+def _pow43(a: jax.Array) -> jax.Array:
+    """|is|^(4/3) = a * cbrt(a), cbrt refined by one Newton step (~0.5 ulp)."""
+    y = jnp.cbrt(a)
+    y2 = y * y
+    y = jnp.where(a > 0, y - (y2 * y - a) / (3.0 * y2 + 1e-30), 0.0)
+    return a * y
+
+
+def granule_pipeline(is_, exp, block_type, mixed, mix, state, tables: DeviceTables):
+    """Decode a [S, G] window.
+
+    Args:
+      is_:  int16/int32 [S, G, 2, 576] quantized spectrum (signed)
+      exp:  int16/int32 [S, G, 2, 64] quarter-step band exponents
+      block_type: int8/int32 [S, G, 2]
+      mixed: bool [S, G, 2]
+      mix:  f32 [S, G, 64, 2, 2] per-band stereo mixing matrices
+      state: dict from init_state()
+      tables: DeviceTables for this stream batch's sample rate
+    Returns:
+      pcm f32 [S, G*576, 2], new_state
+    """
+    S, G = is_.shape[:2]
+    iv = is_.astype(jnp.float32)
+    bt = block_type.astype(jnp.int32)
+    short = bt == 2
+    fl = jnp.where(short, jnp.where(mixed, 2, 1), 0)          # [S,G,2]
+    fl_oh = (fl[..., None] == jnp.arange(3)).astype(jnp.float32)  # [S,G,2,3]
+
+    # ---- C1 requantize: xr = sign * |is|^(4/3) * 2^(exp[band]/4)
+    e_flav = jnp.einsum("sgcf,nfi->sgcni", exp.astype(jnp.float32),
+                        tables.band_oh, precision=HIGHEST)    # [S,G,2,3,576]
+    e_line = jnp.einsum("sgcni,sgcn->sgci", e_flav, fl_oh, precision=HIGHEST)
+    xr = jnp.sign(iv) * _pow43(jnp.abs(iv)) * jnp.exp2(0.25 * e_line)
+
+    # ---- C2 stereo: per-line 2x2 mixing (band geometry of channel 0)
+    m_flav = jnp.einsum("sgfab,nfi->sgniab", mix, tables.band_oh,
+                        precision=HIGHEST)                    # [S,G,3,576,2,2]
+    m_line = jnp.einsum("sgniab,sgn->sgiab", m_flav, fl_oh[:, :, 0],
+                        precision=HIGHEST)                    # [S,G,576,2,2]
+    xr = jnp.einsum("sgiab,sgbi->sgai", m_line, xr, precision=HIGHEST)
+
+    # ---- C3+C4 reorder + alias butterflies: one constant matmul/flavor
+    nat_f = jnp.einsum("sgci,nij->sgcnj", xr, tables.ra, precision=HIGHEST)
+    nat = jnp.einsum("sgcnj,sgcn->sgcj", nat_f, fl_oh, precision=HIGHEST)
+    v = nat.reshape(S, G, 2, 32, 18)
+
+    # ---- C5 IMDCT + window; per-subband block type (mixed: sb<2 long)
+    sb = jnp.arange(32)
+    bt_sb = jnp.where(short[..., None] & mixed[..., None]
+                      & (sb < 2)[None, None, None, :], 0, bt[..., None])
+    win = jnp.einsum("sgcbw,wj->sgcbj",
+                     (bt_sb[..., None] == jnp.arange(4)).astype(jnp.float32),
+                     tables.windows, precision=HIGHEST)       # [S,G,2,32,36]
+    z_long = jnp.einsum("sgcbk,kj->sgcbj", v, tables.imdct_long,
+                        precision=HIGHEST)
+    z_short = jnp.einsum("sgcbk,kj->sgcbj", v, tables.imdct_short,
+                         precision=HIGHEST)
+    z = jnp.where((bt_sb == 2)[..., None], z_short, z_long * win)
+
+    # ---- overlap-add along the granule axis + C6 frequency inversion
+    tails = jnp.concatenate(
+        [state["overlap"][:, None], z[:, :-1, :, :, 18:]], axis=1)
+    s = (z[..., :18] + tails) * tables.inv_mask               # [S,G,2,32,18]
+    new_overlap = z[:, -1, :, :, 18:]
+
+    # ---- C7 polyphase synthesis as 16-tap FIR over granule time-steps
+    T = G * 18
+    seq = s.transpose(0, 2, 1, 4, 3).reshape(S, 2, T, 32)
+    full = jnp.concatenate([state["hist"], seq], axis=2)      # [S,2,15+T,32]
+    h = jnp.stack([full[:, :, 15 - d: 15 - d + T] for d in range(16)],
+                  axis=3)                                     # [S,2,T,16,32]
+    pcm = jnp.einsum("sctdk,dkj->sctj", h, tables.synth_fir,
+                     precision=HIGHEST)                       # [S,2,T,32]
+    new_hist = full[:, :, -15:]
+
+    pcm = pcm.reshape(S, 2, T * 32).transpose(0, 2, 1)        # [S, G*576, 2]
+    return pcm, {"overlap": new_overlap, "hist": new_hist}
+
+
+def quantize_i16(pcm: jax.Array) -> jax.Array:
+    """float PCM in [-1, 1) -> int16, round-half-away-from-zero (C8)."""
+    scaled = pcm * 32768.0
+    r = jnp.where(scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5))
+    return jnp.clip(r, -32768.0, 32767.0).astype(jnp.int16)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_for(sample_rate: int):
+    # tables are built eagerly (outside any trace) and captured as
+    # closure constants of the per-samplerate jitted function
+    tables = build_tables(sample_rate)
+
+    @jax.jit
+    def run(is_, exp, block_type, mixed, mix, state):
+        return granule_pipeline(is_, exp, block_type, mixed, mix, state, tables)
+
+    return run
+
+
+def decode_window(is_, exp, block_type, mixed, mix, state, sample_rate: int):
+    """jit entry: one decode window at a fixed sample rate."""
+    return _jitted_for(sample_rate)(is_, exp, block_type, mixed, mix, state)
