@@ -1,0 +1,76 @@
+"""ctypes loader for the C++ fast-path unpacker (SURVEY.md B2/B4).
+
+Compiles src/mp3tpu/native on first use (g++, no deps); the pure-Python
+path in unpack.py is the mandatory fallback and the semantics oracle —
+tests assert bit-identical SymbolTensors between the two.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO = os.path.join(_DIR, "libmp3tpu_native.so")
+_lib = None
+_checked = False
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _load():
+    global _lib, _checked
+    if _checked:
+        return _lib
+    _checked = True
+    if os.environ.get("MP3TPU_NO_NATIVE"):
+        return None
+    try:
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(os.path.join(_DIR, "unpack.cpp"))):
+            subprocess.run(["make", "-s", "-C", _DIR], check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+        lib.mp3tpu_probe.restype = ctypes.c_int
+        lib.mp3tpu_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+        lib.mp3tpu_unpack.restype = ctypes.c_int
+        lib.mp3tpu_unpack.argtypes = [ctypes.c_char_p, ctypes.c_int64] + [
+            ctypes.c_void_p] * 8
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def unpack_native(data: bytes):
+    """C++ unpack -> SymbolTensors, or None if unavailable/failed."""
+    from .unpack import SymbolTensors
+    lib = _load()
+    if lib is None:
+        return None
+    meta = (ctypes.c_int32 * 4)()
+    g = lib.mp3tpu_probe(data, len(data), meta)
+    if g <= 0:
+        return None
+    G = g
+    is_ = np.zeros((G, 2, 576), np.int16)
+    exp = np.zeros((G, 2, 64), np.int16)
+    bt = np.zeros((G, 2), np.int8)
+    mixed = np.zeros((G, 2), np.uint8)
+    mix = np.zeros((G, 64, 2, 2), np.float32)
+    err = np.zeros(G, np.int16)
+    slack = np.zeros((G, 2), np.int32)
+    lines = np.zeros((G, 2), np.int32)
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    r = lib.mp3tpu_unpack(data, len(data), ptr(is_), ptr(exp), ptr(bt),
+                          ptr(mixed), ptr(mix), ptr(err), ptr(slack), ptr(lines))
+    if r != G:
+        return None
+    return SymbolTensors(
+        is_=is_, exp=exp, block_type=bt, mixed=mixed.astype(bool), mix=mix,
+        errors=err, huff_slack=slack, lines_used=lines,
+        sample_rate=int(meta[0]), channels=int(meta[1]), version=int(meta[2]))

@@ -245,3 +245,11 @@ def unpack(data: bytes, index: fr.FrameIndex | None = None) -> SymbolTensors:
                          mix=mix, errors=errors, huff_slack=huff_slack,
                          lines_used=lines_used, sample_rate=sr,
                          channels=nch, version=index.version)
+
+
+def unpack_fast(data: bytes) -> SymbolTensors:
+    """Unpack via the C++ fast path when available (bit-identical to
+    unpack(); see tests/test_native_unpack.py), else pure Python."""
+    from . import native
+    st = native.unpack_native(data) if native.available() else None
+    return st if st is not None else unpack(data)

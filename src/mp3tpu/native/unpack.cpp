@@ -1,0 +1,775 @@
+// mp3tpu native host unpacker (SURVEY.md B2/B4 C++ fast path).
+//
+// Mirrors mp3tpu.bitstream.unpack exactly (tested for bit-identical
+// SymbolTensors against the pure-Python path): frame scan, side info,
+// MPEG-1 + LSF scalefactors, 2-level-LUT Huffman decode, bit-reservoir
+// assembly, band exponents and per-band stereo mixing matrices.
+//
+// C ABI only; loaded via ctypes (no pybind11 in this environment).
+// Spec tables come from the generated spec_tables.h (single source of
+// truth: the behaviorally extracted ISO 11172-3 Annex B data).
+//
+// Build: make -C src/mp3tpu/native   (g++ -O3, no external deps)
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "spec_tables.h"
+
+namespace {
+
+// ----------------------------------------------------------------- util
+
+static inline uint64_t be64(const uint8_t* p) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    return __builtin_bswap64(v);
+}
+
+// ------------------------------------------------------------ bit reader
+
+struct BitReader {  // MSB-first over a bounded buffer
+    const uint8_t* data;
+    size_t nbytes;
+    size_t pos = 0;  // bit position
+
+    uint32_t read(int n) {
+        if (n == 0) return 0;
+        size_t byte = pos >> 3;
+        int sh = int(pos & 7);
+        uint64_t acc = 0;
+        if (byte + 8 <= nbytes) {
+            acc = be64(data + byte);
+        } else {
+            uint8_t tmp[8] = {0};
+            size_t avail = nbytes > byte ? nbytes - byte : 0;
+            if (avail > 8) avail = 8;
+            memcpy(tmp, data + byte, avail);
+            acc = be64(tmp);
+        }
+        pos += n;
+        return uint32_t((acc << sh) >> (64 - n));
+    }
+    uint32_t read1() { return read(1); }
+    void skip(int n) { pos += n; }
+};
+
+// granule-bounded reader: bits beyond `limit_bits` read as zero
+struct GranuleBits {
+    std::vector<uint8_t> buf;  // zero-guarded copy
+    size_t pos = 0;            // bits consumed within the granule
+    size_t nbits = 0;
+
+    void init(const uint8_t* base, size_t base_len, size_t bit_off, size_t bits) {
+        nbits = bits;
+        size_t first = bit_off >> 3;
+        size_t last = (bit_off + bits + 7) >> 3;
+        int lead = int(bit_off - first * 8);
+        buf.assign(last - first + 16, 0);
+        if (first < base_len) {
+            size_t avail = base_len - first;
+            memcpy(buf.data(), base + first, avail < last - first ? avail : last - first);
+        }
+        // clear leading bits of first byte
+        if (lead) buf[0] &= uint8_t(0xFFu >> lead);
+        // clear bits past the granule end
+        size_t endbit = lead + bits;
+        size_t endbyte = endbit >> 3;
+        int rem = int(endbit & 7);
+        if (endbyte < buf.size()) {
+            if (rem)
+                buf[endbyte] &= uint8_t(0xFFu << (8 - rem));
+            else if (endbyte < buf.size())
+                buf[endbyte] = 0;
+            for (size_t i = endbyte + 1; i < buf.size(); i++) buf[i] = 0;
+        }
+        lead_ = lead;
+    }
+    int lead_ = 0;
+
+    uint32_t peek(int n) const {
+        size_t p = pos + lead_;
+        size_t byte = p >> 3;
+        int sh = int(p & 7);
+        uint64_t acc = be64(buf.data() + byte);
+        return uint32_t((acc << sh) >> (64 - n));
+    }
+    uint32_t read(int n) {
+        if (!n) return 0;
+        uint32_t v = peek(n);
+        pos += n;
+        return v;
+    }
+    uint32_t read1() { return read(1); }
+    void skip(int n) { pos += n; }
+};
+
+// ----------------------------------------------------- huffman 2-level LUT
+
+struct HuffLut {
+    // root: 10 bits. entry: leaf = (len<<8)|xy (len>=1); 0x8000|subidx = subtable
+    static const int ROOT_BITS = 10;
+    static const int SUB_BITS = 9;
+    std::vector<uint16_t> root;
+    std::vector<uint16_t> subs;  // 512-entry blocks
+    int linbits = 0;
+
+    void build(const uint8_t* lens, const uint32_t* codes, int n, int ylen, int lb) {
+        linbits = lb;
+        root.assign(1 << ROOT_BITS, 0);
+        for (int i = 0; i < n; i++) {
+            int l = lens[i];
+            if (l == 0) continue;
+            uint32_t c = codes[i];
+            uint16_t leaf = uint16_t((l << 8) | ((i / ylen) << 4) | (i % ylen));
+            if (l <= ROOT_BITS) {
+                uint32_t lo = c << (ROOT_BITS - l);
+                for (uint32_t k = 0; k < (1u << (ROOT_BITS - l)); k++) root[lo + k] = leaf;
+            } else {
+                uint32_t prefix = c >> (l - ROOT_BITS);
+                if (!(root[prefix] & 0x8000)) {
+                    root[prefix] = uint16_t(0x8000 | (subs.size() / 512));
+                    subs.resize(subs.size() + 512, 0);
+                }
+                uint32_t subidx = (root[prefix] & 0x7FFF) * 512;
+                int sl = l - ROOT_BITS;  // <= 9
+                uint32_t rest = c & ((1u << sl) - 1);
+                uint32_t lo = rest << (SUB_BITS - sl);
+                // store total length in subtable leaf
+                uint16_t sleaf = uint16_t((l << 8) | ((i / ylen) << 4) | (i % ylen));
+                for (uint32_t k = 0; k < (1u << (SUB_BITS - sl)); k++)
+                    subs[subidx + lo + k] = sleaf;
+            }
+        }
+    }
+
+    // decode one pair; returns packed leaf (len<<8 | x<<4 | y)
+    inline uint16_t decode(GranuleBits& br) const {
+        uint16_t e = root[br.peek(ROOT_BITS)];
+        if (e & 0x8000) {
+            uint32_t sub = (e & 0x7FFF) * 512;
+            uint32_t more = br.peek(ROOT_BITS + SUB_BITS) & ((1u << SUB_BITS) - 1);
+            e = subs[sub + more];
+        }
+        br.skip(e >> 8);
+        return e;
+    }
+};
+
+static HuffLut g_luts[32];
+static HuffLut g_c1[2];
+static bool g_init = false;
+
+static void ensure_init() {
+    if (g_init) return;
+    for (int t = 1; t < 32; t++) {
+        const HuffSpec& s = HUFF_SPECS[t];
+        if (s.n) g_luts[t].build(s.lens, s.codes, s.n, s.ylen, s.linbits);
+    }
+    g_c1[0].build(COUNT1A_LENS, COUNT1A_CODES, 16, 16, 0);
+    g_c1[1].build(COUNT1B_LENS, COUNT1B_CODES, 16, 16, 0);
+    g_init = true;
+}
+
+// -------------------------------------------------------------- headers
+
+struct Header {
+    int version;  // 3=MPEG1 2=MPEG2 0=MPEG2.5
+    int crc;      // protected flag
+    int bitrate;  // bits/s
+    int sr;       // Hz
+    int sr_idx9;  // index into SR_LIST
+    int padding;
+    int mode, mode_ext;
+    int frame_bytes, samples, channels, ngr, side_bytes;
+    bool lsf;
+};
+
+static const int BR1[16] = {0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320};
+static const int BR2[16] = {0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160};
+
+static bool parse_header(uint32_t w, Header* h) {
+    if ((w >> 21) != 0x7FF) return false;
+    int ver = (w >> 19) & 3;
+    if (ver == 1) return false;
+    int layer = (w >> 17) & 3;
+    if (layer != 1) return false;  // layer III
+    int br = (w >> 12) & 15;
+    if (br == 0 || br == 15) return false;
+    int sr = (w >> 10) & 3;
+    if (sr == 3) return false;
+    h->version = ver;
+    h->lsf = ver != 3;
+    h->crc = !((w >> 16) & 1);
+    h->bitrate = (h->lsf ? BR2[br] : BR1[br]) * 1000;
+    static const int SRS[4][3] = {{11025, 12000, 8000}, {0, 0, 0},
+                                  {22050, 24000, 16000}, {44100, 48000, 32000}};
+    h->sr = SRS[ver][sr];
+    for (int i = 0; i < 9; i++)
+        if (SR_LIST[i] == h->sr) h->sr_idx9 = i;
+    h->padding = (w >> 9) & 1;
+    h->mode = (w >> 6) & 3;
+    h->mode_ext = (w >> 4) & 3;
+    h->samples = h->lsf ? 576 : 1152;
+    h->frame_bytes = (h->samples / 8) * h->bitrate / h->sr + h->padding;
+    h->channels = h->mode == 3 ? 1 : 2;
+    h->ngr = h->lsf ? 1 : 2;
+    h->side_bytes = h->lsf ? (h->channels == 1 ? 9 : 17)
+                           : (h->channels == 1 ? 17 : 32);
+    return true;
+}
+
+static uint32_t word_at(const uint8_t* d, size_t i) {
+    return (uint32_t(d[i]) << 24) | (uint32_t(d[i + 1]) << 16) |
+           (uint32_t(d[i + 2]) << 8) | uint32_t(d[i + 3]);
+}
+
+// --------------------------------------------------------- side info etc.
+
+struct GranSI {
+    int part2_3_length, big_values, global_gain, scalefac_compress;
+    int window_switching, block_type, mixed;
+    int table_select[3];
+    int subblock_gain[3];
+    int region0_count, region1_count, preflag, scalefac_scale, count1table_select;
+};
+
+struct SideInfo {
+    int main_data_begin;
+    int scfsi[2][4];
+    GranSI gr[2][2];  // [granule][channel]
+};
+
+static void parse_side_info(BitReader& r, const Header& h, SideInfo* si) {
+    if (h.lsf) {
+        si->main_data_begin = r.read(8);
+        r.skip(h.channels);
+        memset(si->scfsi, 0, sizeof(si->scfsi));
+    } else {
+        si->main_data_begin = r.read(9);
+        r.skip(h.channels == 1 ? 5 : 3);
+        for (int c = 0; c < h.channels; c++)
+            for (int i = 0; i < 4; i++) si->scfsi[c][i] = r.read1();
+    }
+    for (int g = 0; g < h.ngr; g++)
+        for (int c = 0; c < h.channels; c++) {
+            GranSI& gi = si->gr[g][c];
+            gi.part2_3_length = r.read(12);
+            gi.big_values = r.read(9);
+            gi.global_gain = r.read(8);
+            gi.scalefac_compress = r.read(h.lsf ? 9 : 4);
+            gi.window_switching = r.read1();
+            if (gi.window_switching) {
+                gi.block_type = r.read(2);
+                gi.mixed = r.read1();
+                gi.table_select[0] = r.read(5);
+                gi.table_select[1] = r.read(5);
+                gi.table_select[2] = 0;
+                for (int w = 0; w < 3; w++) gi.subblock_gain[w] = r.read(3);
+                gi.region0_count = (gi.block_type == 2 && !gi.mixed) ? 8 : 7;
+                gi.region1_count = 20 - gi.region0_count;
+            } else {
+                gi.block_type = 0;
+                gi.mixed = 0;
+                for (int t = 0; t < 3; t++) gi.table_select[t] = r.read(5);
+                for (int w = 0; w < 3; w++) gi.subblock_gain[w] = 0;
+                gi.region0_count = r.read(4);
+                gi.region1_count = r.read(3);
+            }
+            gi.preflag = h.lsf ? 0 : r.read1();
+            gi.scalefac_scale = r.read1();
+            gi.count1table_select = r.read1();
+        }
+}
+
+static bool check_crc(const uint8_t* d, size_t off, const Header& h) {
+    if (!h.crc) return true;
+    uint32_t stored = (uint32_t(d[off + 4]) << 8) | d[off + 5];
+    uint32_t crc = 0xFFFF;
+    auto feed = [&](uint8_t b) {
+        crc ^= uint32_t(b) << 8;
+        for (int i = 0; i < 8; i++)
+            crc = (crc & 0x8000) ? ((crc << 1) ^ 0x8005) & 0xFFFF : (crc << 1) & 0xFFFF;
+    };
+    feed(d[off + 2]);
+    feed(d[off + 3]);
+    for (int i = 0; i < h.side_bytes; i++) feed(d[off + 6 + i]);
+    return crc == stored;
+}
+
+// -------------------------------------------------------- scalefactors
+
+struct Scf {
+    int32_t long_sf[22] = {0};
+    int32_t short_sf[13][3] = {{0}};
+    int32_t long_max[22] = {0};
+    int32_t short_max[13][3] = {{0}};
+    int preflag = 0;
+    int intensity_scale = 0;
+    int part2_bits = 0;
+};
+
+static void read_scf_mpeg1(GranuleBits& r, const GranSI& g, const int* scfsi,
+                           const Scf* prev, int gr_idx, Scf* sf) {
+    sf->preflag = g.preflag;
+    int slen1 = SLEN1[g.scalefac_compress], slen2 = SLEN2[g.scalefac_compress];
+    size_t start = r.pos;
+    bool short_b = g.block_type == 2;
+    if (short_b && !g.mixed) {
+        for (int b = 0; b < 6; b++)
+            for (int w = 0; w < 3; w++) sf->short_sf[b][w] = r.read(slen1);
+        for (int b = 6; b < 12; b++)
+            for (int w = 0; w < 3; w++) sf->short_sf[b][w] = r.read(slen2);
+    } else if (short_b) {
+        for (int b = 0; b < 8; b++) sf->long_sf[b] = r.read(slen1);
+        for (int b = 3; b < 6; b++)
+            for (int w = 0; w < 3; w++) sf->short_sf[b][w] = r.read(slen1);
+        for (int b = 6; b < 12; b++)
+            for (int w = 0; w < 3; w++) sf->short_sf[b][w] = r.read(slen2);
+    } else {
+        static const int grp[4][3] = {{0, 6, 0}, {6, 11, 0}, {11, 16, 1}, {16, 21, 1}};
+        for (int gi = 0; gi < 4; gi++) {
+            int lo = grp[gi][0], hi = grp[gi][1];
+            int slen = grp[gi][2] ? slen2 : slen1;
+            if (gr_idx == 1 && scfsi[gi] && prev) {
+                for (int b = lo; b < hi; b++) sf->long_sf[b] = prev->long_sf[b];
+            } else {
+                for (int b = lo; b < hi; b++) sf->long_sf[b] = r.read(slen);
+            }
+        }
+    }
+    sf->part2_bits = int(r.pos - start);
+}
+
+static const int NSFB_NORMAL[3][3][4] = {
+    {{6, 5, 5, 5}, {9, 9, 9, 9}, {6, 9, 9, 9}},
+    {{6, 5, 7, 3}, {9, 9, 12, 6}, {6, 9, 12, 6}},
+    {{11, 10, 0, 0}, {18, 18, 0, 0}, {15, 18, 0, 0}},
+};
+static const int NSFB_INT[3][3][4] = {
+    {{7, 7, 7, 0}, {12, 12, 12, 0}, {6, 15, 12, 0}},
+    {{6, 6, 6, 3}, {12, 9, 9, 6}, {6, 12, 9, 6}},
+    {{8, 8, 5, 0}, {15, 12, 9, 0}, {6, 18, 9, 0}},
+};
+
+static void read_scf_lsf(GranuleBits& r, const GranSI& g, bool int_ch, Scf* sf) {
+    int sfc = g.scalefac_compress;
+    int btn = (g.window_switching && g.block_type == 2) ? (g.mixed ? 2 : 1) : 0;
+    int slen[4];
+    const int* nsfb;
+    sf->preflag = 0;
+    sf->intensity_scale = 0;
+    if (int_ch) {
+        sf->intensity_scale = sfc & 1;
+        sfc >>= 1;
+        if (sfc < 180) {
+            slen[0] = sfc / 36; slen[1] = (sfc % 36) / 6; slen[2] = sfc % 6; slen[3] = 0;
+            nsfb = NSFB_INT[0][btn];
+        } else if (sfc < 244) {
+            sfc -= 180;
+            slen[0] = (sfc % 64) >> 4; slen[1] = (sfc % 16) >> 2; slen[2] = sfc % 4; slen[3] = 0;
+            nsfb = NSFB_INT[1][btn];
+        } else {
+            sfc -= 244;
+            slen[0] = sfc / 3; slen[1] = sfc % 3; slen[2] = 0; slen[3] = 0;
+            nsfb = NSFB_INT[2][btn];
+        }
+    } else {
+        if (sfc < 400) {
+            slen[0] = (sfc >> 4) / 5; slen[1] = (sfc >> 4) % 5;
+            slen[2] = (sfc & 15) >> 2; slen[3] = sfc & 3;
+            nsfb = NSFB_NORMAL[0][btn];
+        } else if (sfc < 500) {
+            sfc -= 400;
+            slen[0] = (sfc >> 2) / 5; slen[1] = (sfc >> 2) % 5; slen[2] = sfc & 3; slen[3] = 0;
+            nsfb = NSFB_NORMAL[1][btn];
+        } else {
+            sfc -= 500;
+            slen[0] = sfc / 3; slen[1] = sfc % 3; slen[2] = 0; slen[3] = 0;
+            nsfb = NSFB_NORMAL[2][btn];
+            sf->preflag = 1;
+        }
+    }
+    size_t start = r.pos;
+    int seq_v[60], seq_m[60], n = 0;
+    for (int part = 0; part < 4; part++)
+        for (int k = 0; k < nsfb[part]; k++) {
+            seq_v[n] = slen[part] ? int(r.read(slen[part])) : 0;
+            seq_m[n] = (1 << slen[part]) - 1;
+            n++;
+        }
+    bool short_b = g.window_switching && g.block_type == 2;
+    bool mixed = short_b && g.mixed;
+    int i = 0;
+    if (short_b && !mixed) {
+        for (int b = 0; b < 12; b++)
+            for (int w = 0; w < 3; w++)
+                if (i < n) { sf->short_sf[b][w] = seq_v[i]; sf->short_max[b][w] = seq_m[i]; i++; }
+    } else if (mixed) {
+        for (int b = 0; b < 6; b++)
+            if (i < n) { sf->long_sf[b] = seq_v[i]; sf->long_max[b] = seq_m[i]; i++; }
+        for (int b = 3; b < 12; b++)
+            for (int w = 0; w < 3; w++)
+                if (i < n) { sf->short_sf[b][w] = seq_v[i]; sf->short_max[b][w] = seq_m[i]; i++; }
+    } else {
+        for (int b = 0; b < 21; b++)
+            if (i < n) { sf->long_sf[b] = seq_v[i]; sf->long_max[b] = seq_m[i]; i++; }
+    }
+    sf->part2_bits = int(r.pos - start);
+}
+
+// ----------------------------------------------------------- band maps
+
+// transmitted line -> band slot, per flavor (0 long, 1 short, 2 mixed)
+struct BandMaps {
+    int16_t map[3][576];
+    void build(int sr9) {
+        const int16_t* L = SFB_LONG + sr9 * 23;
+        const int16_t* S = SFB_SHORT + sr9 * 14;
+        for (int s = 0; s < 22; s++)
+            for (int i = L[s]; i < L[s + 1]; i++) map[0][i] = int16_t(s);
+        // short
+        for (int s = 0; s < 13; s++) {
+            int lo = S[s], hi = S[s + 1], width = hi - lo;
+            for (int w = 0; w < 3; w++)
+                for (int k = 0; k < width; k++)
+                    map[1][3 * lo + w * width + k] = int16_t(22 + w * 13 + s);
+        }
+        // mixed
+        for (int i = 0; i < 36; i++) map[2][i] = map[0][i];
+        int start_sfb = 0;
+        while (3 * S[start_sfb] < 36) start_sfb++;
+        for (int s = start_sfb; s < 13; s++) {
+            int lo = S[s], hi = S[s + 1], width = hi - lo;
+            int base = 3 * lo < 36 ? 36 : 3 * lo;
+            for (int w = 0; w < 3; w++)
+                for (int k = 0; k < width; k++) {
+                    int idx = base + w * width + k;
+                    if (idx < 576) map[2][idx] = int16_t(22 + w * 13 + s);
+                }
+        }
+    }
+};
+
+// -------------------------------------------------------------- spectrum
+
+struct DecodeResult {
+    int32_t spec[580];
+    int lines_used;
+    bool overrun;
+    int32_t slack;
+};
+
+static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
+                            int part3, DecodeResult* out) {
+    memset(out->spec, 0, sizeof(out->spec));
+    size_t end_pos = br.pos + part3;
+    const int16_t* L = SFB_LONG + sr9 * 23;
+    const int16_t* S = SFB_SHORT + sr9 * 14;
+    int bv2 = g.big_values * 2;
+    if (bv2 > 576) bv2 = 576;
+    int r1, r2;
+    if (g.window_switching) {
+        r1 = (g.block_type == 2 && !g.mixed) ? 3 * S[3] : L[8];
+        r2 = bv2;
+    } else {
+        int i1 = g.region0_count + 1; if (i1 > 22) i1 = 22;
+        int i2 = g.region0_count + 1 + g.region1_count + 1; if (i2 > 22) i2 = 22;
+        r1 = L[i1];
+        r2 = L[i2];
+    }
+    if (r1 > bv2) r1 = bv2;
+    if (r2 > bv2) r2 = bv2;
+
+    int pos = 0;
+    while (pos < bv2) {
+        int tid = pos < r1 ? g.table_select[0] : (pos < r2 ? g.table_select[1] : g.table_select[2]);
+        if (tid == 0) { pos += 2; continue; }
+        const HuffLut& lut = g_luts[tid];
+        uint16_t e = lut.decode(br);
+        int x = (e >> 4) & 15, y = e & 15;
+        if (x == 15 && lut.linbits) x += br.read(lut.linbits);
+        if (x && br.read1()) x = -x;
+        if (y == 15 && lut.linbits) y += br.read(lut.linbits);
+        if (y && br.read1()) y = -y;
+        out->spec[pos] = x;
+        out->spec[pos + 1] = y;
+        pos += 2;
+    }
+    const HuffLut& c1 = g_c1[g.count1table_select];
+    while (br.pos < end_pos && pos <= 572) {
+        uint16_t e = c1.decode(br);
+        int quad = e & 0xFF;
+        for (int j = 0; j < 4; j++) {
+            int v = (quad >> (3 - j)) & 1;
+            if (v && br.read1()) v = -1;
+            out->spec[pos + j] = v;
+        }
+        pos += 4;
+    }
+    out->overrun = br.pos > end_pos;
+    out->slack = int32_t(int64_t(end_pos) - int64_t(br.pos));
+    if (out->overrun) {
+        for (int j = pos - 4; j < pos; j++) out->spec[j] = 0;
+        pos -= 4;
+    }
+    out->lines_used = pos < 576 ? pos : 576;
+    br.pos = end_pos;
+}
+
+// --------------------------------------------------------------- stereo
+
+static void intensity_mpeg1(int pos, double* kl, double* kr) {
+    if (pos == 6) { *kl = 1.0; *kr = 0.0; return; }
+    double r = tan(pos * M_PI / 12.0);
+    *kl = r / (1.0 + r);
+    *kr = 1.0 / (1.0 + r);
+}
+
+static void intensity_lsf(int pos, int iscale, double* kl, double* kr) {
+    double io = pow(2.0, -0.25 * (iscale + 1));
+    if (pos == 0) { *kl = 1.0; *kr = 1.0; return; }
+    int p = (pos + 1) / 2;
+    if (pos & 1) { *kl = pow(io, p); *kr = 1.0; }
+    else { *kl = 1.0; *kr = pow(io, p); }
+}
+
+static void stereo_matrices(const Header& h, const Scf& sf_r,
+                            const bool* nonzero_band, bool lsf, float* M /*64*4*/) {
+    const double s2 = 1.0 / sqrt(2.0);
+    for (int b = 0; b < 64; b++) {
+        M[b * 4 + 0] = 1.0f; M[b * 4 + 1] = 0.0f;
+        M[b * 4 + 2] = 0.0f; M[b * 4 + 3] = 1.0f;
+    }
+    if (h.channels == 1) return;
+    bool ms = h.mode == 1 && (h.mode_ext & 2);
+    bool ist = h.mode == 1 && (h.mode_ext & 1);
+    auto set_ms = [&](int b) {
+        M[b * 4 + 0] = float(s2); M[b * 4 + 1] = float(s2);
+        M[b * 4 + 2] = float(s2); M[b * 4 + 3] = float(-s2);
+    };
+    if (ms && !ist) {
+        for (int b = 0; b < 64; b++) set_ms(b);
+        return;
+    }
+    if (!ist) return;
+    static const int groups[4][2] = {{0, 22}, {22, 35}, {35, 48}, {48, 61}};
+    for (int gi = 0; gi < 4; gi++) {
+        int lo = groups[gi][0], hi = groups[gi][1];
+        int bound = 0;
+        for (int s = lo; s < hi; s++)
+            if (nonzero_band[s]) bound = s - lo + 1;
+        for (int j = 0; j < hi - lo; j++) {
+            int slot = lo + j;
+            if (j < bound) {
+                if (ms) set_ms(slot);
+                continue;
+            }
+            int pos, illegal;
+            if (slot < 22) {
+                pos = sf_r.long_sf[slot];
+                illegal = lsf ? sf_r.long_max[slot] : 7;
+            } else {
+                int w = (slot - 22) / 13, s = (slot - 22) % 13;
+                pos = sf_r.short_sf[s][w];
+                illegal = lsf ? sf_r.short_max[s][w] : 7;
+            }
+            if (pos == illegal) {
+                if (ms) set_ms(slot);
+                continue;
+            }
+            double kl, kr;
+            if (lsf) intensity_lsf(pos, sf_r.intensity_scale, &kl, &kr);
+            else intensity_mpeg1(pos, &kl, &kr);
+            double scale = ms ? s2 : 1.0;
+            M[slot * 4 + 0] = float(kl * scale); M[slot * 4 + 1] = 0.0f;
+            M[slot * 4 + 2] = float(kr * scale); M[slot * 4 + 3] = 0.0f;
+        }
+    }
+}
+
+// ------------------------------------------------------------ frame scan
+
+struct Scan {
+    std::vector<size_t> offsets;
+    std::vector<Header> headers;
+};
+
+static bool scan_frames(const uint8_t* d, size_t len, Scan* out) {
+    size_t pos = 0;
+    while (pos + 4 <= len) {
+        Header h;
+        bool ok = false;
+        if (parse_header(word_at(d, pos), &h) && pos + h.frame_bytes <= len + 4) {
+            size_t nxt = pos + h.frame_bytes;
+            if (nxt + 4 > len) {
+                ok = true;
+            } else {
+                Header h2;
+                ok = parse_header(word_at(d, nxt), &h2) && h2.version == h.version &&
+                     h2.sr == h.sr;
+            }
+        }
+        if (ok) {
+            if (pos + h.frame_bytes > len) break;
+            out->offsets.push_back(pos);
+            out->headers.push_back(h);
+            pos += h.frame_bytes;
+        } else {
+            pos += 1;
+        }
+    }
+    return !out->headers.empty();
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------ ABI
+
+extern "C" {
+
+// Returns granule count (frames * ngr) or -1; fills meta[4] =
+// {sample_rate, channels, version, n_frames}.
+int mp3tpu_probe(const uint8_t* data, int64_t len, int32_t* meta) {
+    ensure_init();
+    Scan sc;
+    if (!scan_frames(data, size_t(len), &sc)) return -1;
+    const Header& h0 = sc.headers[0];
+    meta[0] = h0.sr;
+    meta[1] = h0.channels;
+    meta[2] = h0.version;
+    meta[3] = int32_t(sc.offsets.size());
+    return int(sc.offsets.size()) * h0.ngr;
+}
+
+// Unpack the whole stream. Caller allocates arrays sized by mp3tpu_probe.
+// Layouts match mp3tpu.bitstream.unpack.SymbolTensors.
+int mp3tpu_unpack(const uint8_t* data, int64_t len,
+                  int16_t* is_out,      // [G,2,576]
+                  int16_t* exp_out,     // [G,2,64]
+                  int8_t* bt_out,       // [G,2]
+                  uint8_t* mixed_out,   // [G,2]
+                  float* mix_out,       // [G,64,2,2]
+                  int16_t* err_out,     // [G]
+                  int32_t* slack_out,   // [G,2]
+                  int32_t* lines_out) { // [G,2]
+    ensure_init();
+    Scan sc;
+    if (!scan_frames(data, size_t(len), &sc)) return -1;
+    const Header& h0 = sc.headers[0];
+    bool lsf = h0.lsf;
+    int sr9 = h0.sr_idx9;
+    int nch = h0.channels;
+    int ngr = h0.ngr;
+    BandMaps bmaps;
+    bmaps.build(sr9);
+
+    std::vector<uint8_t> reservoir;
+    reservoir.reserve(size_t(len));
+    Scf prev_sf[2];
+    bool have_prev[2] = {false, false};
+
+    int G = int(sc.offsets.size()) * ngr;
+    // init identity mix
+    for (int g = 0; g < G; g++)
+        for (int b = 0; b < 64; b++) {
+            mix_out[(g * 64 + b) * 4 + 0] = 1.0f;
+            mix_out[(g * 64 + b) * 4 + 1] = 0.0f;
+            mix_out[(g * 64 + b) * 4 + 2] = 0.0f;
+            mix_out[(g * 64 + b) * 4 + 3] = 1.0f;
+        }
+
+    for (size_t fi = 0; fi < sc.offsets.size(); fi++) {
+        size_t off = sc.offsets[fi];
+        const Header& h = sc.headers[fi];
+        size_t si_start = off + 4 + (h.crc ? 2 : 0);
+        BitReader sir{data + si_start, size_t(h.side_bytes)};
+        SideInfo si;
+        parse_side_info(sir, h, &si);
+        bool crc_ok = check_crc(data, off, h);
+
+        size_t main_start = si_start + h.side_bytes;
+        size_t main_len = off + h.frame_bytes - main_start;
+        size_t frame_data_start = reservoir.size() >= size_t(si.main_data_begin)
+                                      ? reservoir.size() - si.main_data_begin
+                                      : SIZE_MAX;
+        bool underflow = frame_data_start == SIZE_MAX;
+        reservoir.insert(reservoir.end(), data + main_start, data + main_start + main_len);
+        size_t bitpos = underflow ? 0 : frame_data_start * 8;
+
+        for (int gr = 0; gr < ngr; gr++) {
+            int gidx = int(fi) * ngr + gr;
+            if (!crc_ok) err_out[gidx] |= 4;
+            if (underflow) {
+                err_out[gidx] |= 1;
+                for (int ch = 0; ch < nch; ch++) {
+                    const GranSI& g = si.gr[gr][ch];
+                    bt_out[gidx * 2 + ch] = int8_t(g.block_type);
+                    mixed_out[gidx * 2 + ch] = uint8_t(g.mixed);
+                }
+                continue;
+            }
+            Scf sf_pair[2];
+            for (int ch = 0; ch < nch; ch++) {
+                const GranSI& g = si.gr[gr][ch];
+                bt_out[gidx * 2 + ch] = int8_t(g.block_type);
+                mixed_out[gidx * 2 + ch] = uint8_t(g.mixed);
+                GranuleBits br;
+                br.init(reservoir.data(), reservoir.size(), bitpos,
+                        size_t(g.part2_3_length));
+                bitpos += g.part2_3_length;
+                Scf& sf = sf_pair[ch];
+                if (lsf) {
+                    bool int_ch = (h.mode == 1 && (h.mode_ext & 1)) && ch == 1;
+                    read_scf_lsf(br, g, int_ch, &sf);
+                } else {
+                    read_scf_mpeg1(br, g, si.scfsi[ch],
+                                   have_prev[ch] ? &prev_sf[ch] : nullptr, gr, &sf);
+                    if (gr == 0) { prev_sf[ch] = sf; have_prev[ch] = true; }
+                }
+                int part3 = g.part2_3_length - sf.part2_bits;
+                if (part3 < 0) { err_out[gidx] |= 8; continue; }
+                DecodeResult dr;
+                decode_spectrum(br, g, sr9, lsf, part3, &dr);
+                slack_out[gidx * 2 + ch] = dr.slack;
+                lines_out[gidx * 2 + ch] = dr.lines_used;
+                if (dr.overrun) err_out[gidx] |= 2;
+                int16_t* dst = is_out + (size_t(gidx) * 2 + ch) * 576;
+                for (int i = 0; i < 576; i++) {
+                    int v = dr.spec[i];
+                    dst[i] = int16_t(v > 32767 ? 32767 : (v < -32768 ? -32768 : v));
+                }
+                // band exponents
+                int16_t* eo = exp_out + (size_t(gidx) * 2 + ch) * 64;
+                int gg = g.global_gain - 210;
+                int shift = 2 * (g.scalefac_scale + 1);
+                for (int b = 0; b < 22; b++)
+                    eo[b] = int16_t(gg - shift * (sf.long_sf[b] + sf.preflag * PRETAB[b]));
+                for (int w = 0; w < 3; w++)
+                    for (int b = 0; b < 13; b++)
+                        eo[22 + w * 13 + b] =
+                            int16_t(gg - 8 * g.subblock_gain[w] - shift * sf.short_sf[b][w]);
+            }
+            if (nch == 2) {
+                const GranSI& g1 = si.gr[gr][1];
+                int fl = g1.block_type != 2 ? 0 : (g1.mixed ? 2 : 1);
+                bool nzb[64] = {false};
+                const int16_t* spec1 = is_out + (size_t(gidx) * 2 + 1) * 576;
+                for (int i = 0; i < 576; i++)
+                    if (spec1[i]) nzb[bmaps.map[fl][i]] = true;
+                stereo_matrices(h, sf_pair[1], nzb, lsf, mix_out + size_t(gidx) * 64 * 4);
+            }
+        }
+        // trim reservoir
+        if (reservoir.size() > 65536) {
+            size_t cut = reservoir.size() - 1024;
+            reservoir.erase(reservoir.begin(), reservoir.begin() + cut);
+            if (bitpos >= cut * 8) { /* bitpos no longer used this frame */ }
+        }
+    }
+    return G;
+}
+
+}  // extern "C"

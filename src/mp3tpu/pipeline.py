@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .bitstream.unpack import SymbolTensors, unpack
+from .bitstream.unpack import SymbolTensors, unpack_fast
 from .container import frames as fr
 from .kernels import pipeline as kp
 
@@ -72,7 +72,7 @@ def decode_file(path_or_bytes, output: str = "int16"):
     output: "int16" (default, spec-rounded) or "float32".
     """
     data = _read(path_or_bytes)
-    st = unpack(data)
+    st = unpack_fast(data)
     pcm = decode_symbols_device(st)
     if output == "int16":
         pcm = np.asarray(kp.quantize_i16(jnp.asarray(pcm)))
