@@ -39,7 +39,7 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
         lib.mp3tpu_unpack.restype = ctypes.c_int
         lib.mp3tpu_unpack.argtypes = [ctypes.c_char_p, ctypes.c_int64] + [
-            ctypes.c_void_p] * 8
+            ctypes.c_void_p] * 8 + [ctypes.c_int32] * 3
         _lib = lib
     except Exception:
         _lib = None
@@ -61,16 +61,47 @@ def unpack_native(data: bytes):
     exp = np.zeros((G, 2, 64), np.int16)
     bt = np.zeros((G, 2), np.int8)
     mixed = np.zeros((G, 2), np.uint8)
-    mix = np.zeros((G, 64, 2, 2), np.float32)
+    smode = np.zeros((G, 64), np.uint8)
     err = np.zeros(G, np.int16)
     slack = np.zeros((G, 2), np.int32)
     lines = np.zeros((G, 2), np.int32)
     ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     r = lib.mp3tpu_unpack(data, len(data), ptr(is_), ptr(exp), ptr(bt),
-                          ptr(mixed), ptr(mix), ptr(err), ptr(slack), ptr(lines))
+                          ptr(mixed), ptr(smode), ptr(err), ptr(slack), ptr(lines),
+                          0, 1, 0)
     if r != G:
         return None
     return SymbolTensors(
-        is_=is_, exp=exp, block_type=bt, mixed=mixed.astype(bool), mix=mix,
+        is_=is_, exp=exp, block_type=bt, mixed=mixed.astype(bool), smode=smode,
         errors=err, huff_slack=slack, lines_used=lines,
         sample_rate=int(meta[0]), channels=int(meta[1]), version=int(meta[2]))
+
+
+def unpack_native_into(data: bytes, G: int, is_, exp, bt, mixed, smode,
+                       stream_idx: int = 0, n_streams: int = 1,
+                       win: int = 0) -> bool:
+    """Unpack directly into caller-provided batch tensors.
+
+    With win == 0: arrays are this stream's [G, ...] slices (contiguous).
+    With win > 0: arrays are whole window-major batch tensors shaped
+    [n_win, n_streams, win, ...] and this stream's granules are written
+    at stream_idx (zero-copy batch assembly). The stream must have
+    exactly G = n_win*win granules (callers bucket/pad).
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    meta = (ctypes.c_int32 * 4)()
+    g = lib.mp3tpu_probe(data, len(data), meta)
+    if g <= 0 or g != G:
+        return False
+    err = np.zeros(g, np.int16)
+    slack = np.zeros((g, 2), np.int32)
+    lines = np.zeros((g, 2), np.int32)
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    for a in (is_, exp, bt, mixed, smode):
+        assert a.flags["C_CONTIGUOUS"]
+    r = lib.mp3tpu_unpack(data, len(data), ptr(is_), ptr(exp), ptr(bt),
+                          ptr(mixed), ptr(smode), ptr(err), ptr(slack), ptr(lines),
+                          stream_idx, n_streams, win)
+    return r == g

@@ -15,6 +15,7 @@ import numpy as np
 
 from ..container import frames as fr
 from ..tables import maps as tmaps
+from ..tables import stereo_palette as spal
 from ..tables.sfb import LONG, SHORT, PRETAB
 from .bits import BitReader
 from .huffdec import GranuleBits, decode_spectrum
@@ -35,7 +36,7 @@ class SymbolTensors:
     exp: np.ndarray        # int16 [G, 2, 64] quarter-step band exponents
     block_type: np.ndarray  # int8 [G, 2]
     mixed: np.ndarray      # bool [G, 2]
-    mix: np.ndarray        # float32 [G, 64, 2, 2] stereo mixing matrices
+    smode: np.ndarray      # uint8 [G, 64] stereo palette index per band
     errors: np.ndarray     # int16 [G]
     huff_slack: np.ndarray  # int32 [G, 2] leftover part3 bits (diagnostic)
     lines_used: np.ndarray  # int32 [G, 2] decoded spectrum extent
@@ -46,6 +47,11 @@ class SymbolTensors:
     @property
     def n_granules(self) -> int:
         return self.is_.shape[0]
+
+    @property
+    def mix(self) -> np.ndarray:
+        """float64 [G, 64, 2, 2] mixing matrices (palette-expanded)."""
+        return spal.PALETTE[self.smode]
 
 
 def _flavor(block_type: int, mixed: int) -> int:
@@ -72,75 +78,45 @@ def _band_exponents(g, sf: Scalefactors, sr: int, lsf: bool) -> np.ndarray:
 _SQRT2_INV = np.float64(1.0) / np.sqrt(np.float64(2.0))
 
 
-def _intensity_kl_kr_mpeg1(is_pos: int) -> tuple[float, float]:
-    if is_pos == 6:
-        return 1.0, 0.0
-    r = np.tan(is_pos * np.pi / 12.0)
-    return float(r / (1.0 + r)), float(1.0 / (1.0 + r))
-
-
-def _intensity_kl_kr_lsf(is_pos: int, intensity_scale: int) -> tuple[float, float]:
-    io = 2.0 ** (-0.25 * (intensity_scale + 1))
-    if is_pos == 0:
-        return 1.0, 1.0
-    p = (is_pos + 1) // 2
-    if is_pos & 1:
-        return float(io ** p), 1.0
-    return 1.0, float(io ** p)
-
-
-def _stereo_matrices(h, g_pair, sf_pair, is_pair, nonzero_band, sr, lsf) -> np.ndarray:
-    """float32 [64, 2, 2] per-band mixing: [L';R'] = M @ [xr0; xr1]."""
-    M = np.zeros((64, 2, 2), np.float32)
-    M[:, 0, 0] = 1.0
-    M[:, 1, 1] = 1.0
+def _stereo_modes(h, sf_pair, nonzero_band, lsf) -> np.ndarray:
+    """uint8 [64] stereo palette index per band (see tables.stereo_palette)."""
+    out = np.zeros(64, np.uint8)
     if h.channels == 1:
-        return M
+        return out
     ms = h.ms_stereo
     ist = h.intensity_stereo
     if ms and not ist:
-        M[:, 0, 0] = M[:, 0, 1] = M[:, 1, 0] = _SQRT2_INV
-        M[:, 1, 1] = -_SQRT2_INV
-        return M
+        out[:] = spal.IDX_MS
+        return out
     if not ist:
-        return M
-    # intensity (possibly + MS below the intensity bound)
+        return out
     sf_r: Scalefactors = sf_pair[1]
-    # intensity bound per "window group": long bands group -1, short w
-    # bands group w. A band is intensity iff all right-channel bands at
-    # or above it (within its group) are zero.
-    for group, slots in ((-1, range(22)), (0, range(22, 35)),
-                         (1, range(35, 48)), (2, range(48, 61))):
+    # intensity bound per "window group": long bands group, short w groups.
+    # A band is intensity iff all right-channel bands at or above it
+    # (within its group) are zero.
+    for slots in (range(22), range(22, 35), range(35, 48), range(48, 61)):
         slots = list(slots)
         nz = [s for s in slots if nonzero_band[s]]
         bound = (slots.index(nz[-1]) + 1) if nz else 0
         for j, slot in enumerate(slots):
             if j < bound:
-                if ms:
-                    M[slot, 0, 0] = M[slot, 0, 1] = M[slot, 1, 0] = _SQRT2_INV
-                    M[slot, 1, 1] = -_SQRT2_INV
+                out[slot] = spal.IDX_MS if ms else spal.IDX_LR
                 continue
-            # candidate intensity band: position from right channel sf
             if slot < 22:
                 pos = int(sf_r.long_sf[slot])
                 illegal = 7 if not lsf else int(sf_r.long_max[slot])
             else:
-                w, s = divmod(slot - 22, 13)
-                pos = int(sf_r.short_sf[s, w])
-                illegal = 7 if not lsf else int(sf_r.short_max[s, w])
+                w, sb = divmod(slot - 22, 13)
+                pos = int(sf_r.short_sf[sb, w])
+                illegal = 7 if not lsf else int(sf_r.short_max[sb, w])
             if pos == illegal:
-                if ms:
-                    M[slot, 0, 0] = M[slot, 0, 1] = M[slot, 1, 0] = _SQRT2_INV
-                    M[slot, 1, 1] = -_SQRT2_INV
+                out[slot] = spal.IDX_MS if ms else spal.IDX_LR
                 continue
-            kl, kr = (_intensity_kl_kr_lsf(pos, sf_r.intensity_scale) if lsf
-                      else _intensity_kl_kr_mpeg1(pos))
-            scale = _SQRT2_INV if ms else 1.0
-            M[slot, 0, 0] = kl * scale
-            M[slot, 0, 1] = 0.0
-            M[slot, 1, 0] = kr * scale
-            M[slot, 1, 1] = 0.0
-    return M
+            if lsf:
+                out[slot] = spal.idx_lsf(pos, sf_r.intensity_scale, ms)
+            else:
+                out[slot] = spal.idx_mpeg1(pos, ms)
+    return out
 
 
 def unpack(data: bytes, index: fr.FrameIndex | None = None) -> SymbolTensors:
@@ -158,9 +134,7 @@ def unpack(data: bytes, index: fr.FrameIndex | None = None) -> SymbolTensors:
     exp = np.zeros((G, 2, 64), np.int16)
     block_type = np.zeros((G, 2), np.int8)
     mixed = np.zeros((G, 2), bool)
-    mix = np.zeros((G, 64, 2, 2), np.float32)
-    mix[:, :, 0, 0] = 1.0
-    mix[:, :, 1, 1] = 1.0
+    smode = np.zeros((G, 64), np.uint8)
     errors = np.zeros(G, np.int16)
     huff_slack = np.zeros((G, 2), np.int32)  # leftover part3 bits (diagnostic)
     lines_used = np.zeros((G, 2), np.int32)  # spectrum extent per granule-ch
@@ -226,15 +200,14 @@ def unpack(data: bytes, index: fr.FrameIndex | None = None) -> SymbolTensors:
                 np.clip(spec, -32768, 32767, out=spec)
                 is_[gidx, ch] = spec.astype(np.int16)
                 exp[gidx, ch] = _band_exponents(g, sf, sr, lsf).astype(np.int16)
-            # stereo matrices need right-channel band occupancy
+            # stereo modes need right-channel band occupancy
             if nch == 2:
                 fl = _flavor(int(block_type[gidx, 1]), int(mixed[gidx, 1]))
                 bm = tmaps.get_maps(sr)[0][fl]
                 nzb = np.zeros(64, bool)
                 nz_lines = np.nonzero(is_[gidx, 1])[0]
                 nzb[bm[nz_lines]] = True
-                mix[gidx] = _stereo_matrices(
-                    h, si.granules[gr], sf_pair, is_[gidx], nzb, sr, lsf)
+                smode[gidx] = _stereo_modes(h, sf_pair, nzb, lsf)
         # trim reservoir: keep at most 511 bytes + current frame headroom
         if len(reservoir) > 4096:
             cut = len(reservoir) - 1024
@@ -242,7 +215,7 @@ def unpack(data: bytes, index: fr.FrameIndex | None = None) -> SymbolTensors:
             res_trim += cut
 
     return SymbolTensors(is_=is_, exp=exp, block_type=block_type, mixed=mixed,
-                         mix=mix, errors=errors, huff_slack=huff_slack,
+                         smode=smode, errors=errors, huff_slack=huff_slack,
                          lines_used=lines_used, sample_rate=sr,
                          channels=nch, version=index.version)
 

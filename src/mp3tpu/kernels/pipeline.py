@@ -45,6 +45,7 @@ class DeviceTables:
     imdct_long: jax.Array   # f32 [18, 36]  (unwindowed IMDCT-36)
     imdct_short: jax.Array  # f32 [18, 36]  (composite windowed short)
     windows: jax.Array      # f32 [4, 36]   (long windows; row 2 = ones)
+    palette4: jax.Array     # f32 [144, 4]  stereo mixing palette (flattened 2x2)
     synth_fir: jax.Array    # f32 [16, 32, 32]
     inv_mask: jax.Array     # f32 [32, 18]
 
@@ -54,6 +55,7 @@ def build_tables(sample_rate: int) -> DeviceTables:
     from ..oracle.decoder import alias_reduce
     from ..tables import filterbank as fb
     from ..tables import maps as tmaps
+    from ..tables.stereo_palette import PALETTE
     bm, rm = tmaps.get_maps(sample_rate)
 
     band_oh = np.zeros((3, 64, 576))
@@ -78,8 +80,8 @@ def build_tables(sample_rate: int) -> DeviceTables:
     return DeviceTables(
         band_oh=f32(band_oh), ra=f32(ra),
         imdct_long=f32(fb.imdct36_matrix()), imdct_short=f32(mats[2]),
-        windows=f32(wins), synth_fir=f32(fb.synthesis_fir()),
-        inv_mask=f32(inv))
+        windows=f32(wins), palette4=f32(PALETTE.reshape(-1, 4)),
+        synth_fir=f32(fb.synthesis_fir()), inv_mask=f32(inv))
 
 
 def init_state(n_streams: int, n_channels: int = 2):
@@ -98,7 +100,7 @@ def _pow43(a: jax.Array) -> jax.Array:
     return a * y
 
 
-def granule_pipeline(is_, exp, block_type, mixed, mix, state, tables: DeviceTables):
+def granule_pipeline(is_, exp, block_type, mixed, smode, state, tables: DeviceTables):
     """Decode a [S, G] window.
 
     Args:
@@ -106,7 +108,7 @@ def granule_pipeline(is_, exp, block_type, mixed, mix, state, tables: DeviceTabl
       exp:  int16/int32 [S, G, 2, 64] quarter-step band exponents
       block_type: int8/int32 [S, G, 2]
       mixed: bool [S, G, 2]
-      mix:  f32 [S, G, 64, 2, 2] per-band stereo mixing matrices
+      smode: uint8 [S, G, 64] stereo-palette index per band
       state: dict from init_state()
       tables: DeviceTables for this stream batch's sample rate
     Returns:
@@ -125,12 +127,19 @@ def granule_pipeline(is_, exp, block_type, mixed, mix, state, tables: DeviceTabl
     e_line = jnp.einsum("sgcni,sgcn->sgci", e_flav, fl_oh, precision=HIGHEST)
     xr = jnp.sign(iv) * _pow43(jnp.abs(iv)) * jnp.exp2(0.25 * e_line)
 
-    # ---- C2 stereo: per-line 2x2 mixing (band geometry of channel 0)
-    m_flav = jnp.einsum("sgfab,nfi->sgniab", mix, tables.band_oh,
-                        precision=HIGHEST)                    # [S,G,3,576,2,2]
-    m_line = jnp.einsum("sgniab,sgn->sgiab", m_flav, fl_oh[:, :, 0],
-                        precision=HIGHEST)                    # [S,G,576,2,2]
-    xr = jnp.einsum("sgiab,sgbi->sgai", m_line, xr, precision=HIGHEST)
+    # ---- C2 stereo: palette-index -> 2x2 matrix (one-hot matmul), then
+    # per-line expansion and mixing (band geometry of channel 0)
+    oh = (smode[..., None] == jnp.arange(tables.palette4.shape[0])
+          ).astype(jnp.float32)                               # [S,G,64,P]
+    m_band = jnp.einsum("sgbp,pq->sgbq", oh, tables.palette4,
+                        precision=HIGHEST)                    # [S,G,64,4]
+    m_flav = jnp.einsum("sgbq,nbi->sgniq", m_band, tables.band_oh,
+                        precision=HIGHEST)                    # [S,G,3,576,4]
+    m_line = jnp.einsum("sgniq,sgn->sgiq", m_flav, fl_oh[:, :, 0],
+                        precision=HIGHEST)                    # [S,G,576,4]
+    xr = jnp.stack([m_line[..., 0] * xr[:, :, 0] + m_line[..., 1] * xr[:, :, 1],
+                    m_line[..., 2] * xr[:, :, 0] + m_line[..., 3] * xr[:, :, 1]],
+                   axis=2)
 
     # ---- C3+C4 reorder + alias butterflies: one constant matmul/flavor
     nat_f = jnp.einsum("sgci,nij->sgcnj", xr, tables.ra, precision=HIGHEST)
@@ -178,18 +187,57 @@ def quantize_i16(pcm: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_for(sample_rate: int):
+def _jitted_for(sample_rate: int, i16: bool = False):
     # tables are built eagerly (outside any trace) and captured as
     # closure constants of the per-samplerate jitted function
     tables = build_tables(sample_rate)
 
     @jax.jit
-    def run(is_, exp, block_type, mixed, mix, state):
-        return granule_pipeline(is_, exp, block_type, mixed, mix, state, tables)
+    def run(is_, exp, block_type, mixed, smode, state):
+        pcm, st = granule_pipeline(is_, exp, block_type, mixed, smode, state, tables)
+        return (quantize_i16(pcm) if i16 else pcm), st
 
     return run
 
 
-def decode_window(is_, exp, block_type, mixed, mix, state, sample_rate: int):
-    """jit entry: one decode window at a fixed sample rate."""
-    return _jitted_for(sample_rate)(is_, exp, block_type, mixed, mix, state)
+def decode_window(is_, exp, block_type, mixed, smode, state, sample_rate: int):
+    """jit entry: one decode window at a fixed sample rate (f32 PCM)."""
+    return _jitted_for(sample_rate)(is_, exp, block_type, mixed, smode, state)
+
+
+def decode_window_i16(is_, exp, block_type, mixed, smode, state, sample_rate: int):
+    """jit entry: one decode window, int16 PCM out (single dispatch)."""
+    return _jitted_for(sample_rate, True)(is_, exp, block_type, mixed, smode, state)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_scan_for(sample_rate: int, win: int):
+    """Whole-batch decode as one dispatch: lax.scan over granule windows
+    (the state carry IS the scan carry), symbols stay device-resident,
+    int16 PCM emitted per window to bound memory."""
+    tables = build_tables(sample_rate)
+
+    @jax.jit
+    def run(is_, exp, block_type, mixed, smode, state):
+        S, G = is_.shape[:2]
+        n_win = G // win
+        # [S, n_win, win, ...] -> scan over windows
+        def to_xs(a):
+            return a.reshape((a.shape[0], n_win, win) + a.shape[2:]).swapaxes(0, 1)
+        xs = tuple(to_xs(a) for a in (is_, exp, block_type, mixed, smode))
+
+        def step(state, x):
+            pcm, new_state = granule_pipeline(*x, state, tables)
+            return new_state, quantize_i16(pcm)
+
+        state, pcm = jax.lax.scan(step, state, xs)
+        # pcm: [n_win, S, win*576, 2] -> [S, G*576, 2]
+        return pcm.swapaxes(0, 1).reshape(S, G * 576 * 2 // 2, 2), state
+
+    return run
+
+
+def decode_batch_scan(is_, exp, block_type, mixed, smode, state, sample_rate: int,
+                      win: int = 32):
+    """One-dispatch batched decode; G must be a multiple of win."""
+    return _jitted_scan_for(sample_rate, win)(is_, exp, block_type, mixed, smode, state)

@@ -63,11 +63,13 @@ struct GranuleBits {
     size_t nbits = 0;
 
     void init(const uint8_t* base, size_t base_len, size_t bit_off, size_t bits) {
+        pos = 0;
         nbits = bits;
         size_t first = bit_off >> 3;
         size_t last = (bit_off + bits + 7) >> 3;
         int lead = int(bit_off - first * 8);
-        buf.assign(last - first + 16, 0);
+        size_t need = last - first + 16;
+        buf.assign(need, 0);
         if (first < base_len) {
             size_t avail = base_len - first;
             memcpy(buf.data(), base + first, avail < last - first ? avail : last - first);
@@ -521,37 +523,21 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
 
 // --------------------------------------------------------------- stereo
 
-static void intensity_mpeg1(int pos, double* kl, double* kr) {
-    if (pos == 6) { *kl = 1.0; *kr = 0.0; return; }
-    double r = tan(pos * M_PI / 12.0);
-    *kl = r / (1.0 + r);
-    *kr = 1.0 / (1.0 + r);
+// palette index layout: see mp3tpu/tables/stereo_palette.py (shared contract)
+static const int IDX_LR = 0, IDX_MS = 1;
+static inline int idx_mpeg1(int pos, bool ms) { return (ms ? 9 : 2) + pos; }
+static inline int idx_lsf(int pos, int scale, bool ms) {
+    return (ms ? 80 : 16) + scale * 32 + pos;
 }
 
-static void intensity_lsf(int pos, int iscale, double* kl, double* kr) {
-    double io = pow(2.0, -0.25 * (iscale + 1));
-    if (pos == 0) { *kl = 1.0; *kr = 1.0; return; }
-    int p = (pos + 1) / 2;
-    if (pos & 1) { *kl = pow(io, p); *kr = 1.0; }
-    else { *kl = 1.0; *kr = pow(io, p); }
-}
-
-static void stereo_matrices(const Header& h, const Scf& sf_r,
-                            const bool* nonzero_band, bool lsf, float* M /*64*4*/) {
-    const double s2 = 1.0 / sqrt(2.0);
-    for (int b = 0; b < 64; b++) {
-        M[b * 4 + 0] = 1.0f; M[b * 4 + 1] = 0.0f;
-        M[b * 4 + 2] = 0.0f; M[b * 4 + 3] = 1.0f;
-    }
+static void stereo_modes(const Header& h, const Scf& sf_r,
+                         const bool* nonzero_band, bool lsf, uint8_t* out /*64*/) {
+    memset(out, 0, 64);
     if (h.channels == 1) return;
     bool ms = h.mode == 1 && (h.mode_ext & 2);
     bool ist = h.mode == 1 && (h.mode_ext & 1);
-    auto set_ms = [&](int b) {
-        M[b * 4 + 0] = float(s2); M[b * 4 + 1] = float(s2);
-        M[b * 4 + 2] = float(s2); M[b * 4 + 3] = float(-s2);
-    };
     if (ms && !ist) {
-        for (int b = 0; b < 64; b++) set_ms(b);
+        memset(out, IDX_MS, 64);
         return;
     }
     if (!ist) return;
@@ -559,12 +545,12 @@ static void stereo_matrices(const Header& h, const Scf& sf_r,
     for (int gi = 0; gi < 4; gi++) {
         int lo = groups[gi][0], hi = groups[gi][1];
         int bound = 0;
-        for (int s = lo; s < hi; s++)
-            if (nonzero_band[s]) bound = s - lo + 1;
+        for (int sI = lo; sI < hi; sI++)
+            if (nonzero_band[sI]) bound = sI - lo + 1;
         for (int j = 0; j < hi - lo; j++) {
             int slot = lo + j;
             if (j < bound) {
-                if (ms) set_ms(slot);
+                out[slot] = ms ? IDX_MS : IDX_LR;
                 continue;
             }
             int pos, illegal;
@@ -572,20 +558,16 @@ static void stereo_matrices(const Header& h, const Scf& sf_r,
                 pos = sf_r.long_sf[slot];
                 illegal = lsf ? sf_r.long_max[slot] : 7;
             } else {
-                int w = (slot - 22) / 13, s = (slot - 22) % 13;
-                pos = sf_r.short_sf[s][w];
-                illegal = lsf ? sf_r.short_max[s][w] : 7;
+                int w = (slot - 22) / 13, sb = (slot - 22) % 13;
+                pos = sf_r.short_sf[sb][w];
+                illegal = lsf ? sf_r.short_max[sb][w] : 7;
             }
             if (pos == illegal) {
-                if (ms) set_ms(slot);
+                out[slot] = ms ? IDX_MS : IDX_LR;
                 continue;
             }
-            double kl, kr;
-            if (lsf) intensity_lsf(pos, sf_r.intensity_scale, &kl, &kr);
-            else intensity_mpeg1(pos, &kl, &kr);
-            double scale = ms ? s2 : 1.0;
-            M[slot * 4 + 0] = float(kl * scale); M[slot * 4 + 1] = 0.0f;
-            M[slot * 4 + 2] = float(kr * scale); M[slot * 4 + 3] = 0.0f;
+            out[slot] = uint8_t(lsf ? idx_lsf(pos, sf_r.intensity_scale, ms)
+                                    : idx_mpeg1(pos, ms));
         }
     }
 }
@@ -646,15 +628,20 @@ int mp3tpu_probe(const uint8_t* data, int64_t len, int32_t* meta) {
 
 // Unpack the whole stream. Caller allocates arrays sized by mp3tpu_probe.
 // Layouts match mp3tpu.bitstream.unpack.SymbolTensors.
+// Layouts match mp3tpu.bitstream.unpack.SymbolTensors. When win > 0 the
+// five per-granule outputs are written window-major into a batch tensor
+// [n_win, n_streams, win, ...] at stream `stream_idx` (zero-copy batch
+// assembly for the scheduler/bench); win == 0 means plain [G, ...].
 int mp3tpu_unpack(const uint8_t* data, int64_t len,
                   int16_t* is_out,      // [G,2,576]
                   int16_t* exp_out,     // [G,2,64]
                   int8_t* bt_out,       // [G,2]
                   uint8_t* mixed_out,   // [G,2]
-                  float* mix_out,       // [G,64,2,2]
+                  uint8_t* smode_out,   // [G,64]
                   int16_t* err_out,     // [G]
                   int32_t* slack_out,   // [G,2]
-                  int32_t* lines_out) { // [G,2]
+                  int32_t* lines_out,   // [G,2]
+                  int32_t stream_idx, int32_t n_streams, int32_t win) {
     ensure_init();
     Scan sc;
     if (!scan_frames(data, size_t(len), &sc)) return -1;
@@ -670,16 +657,14 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
     reservoir.reserve(size_t(len));
     Scf prev_sf[2];
     bool have_prev[2] = {false, false};
+    GranuleBits br;  // reused across granules
 
     int G = int(sc.offsets.size()) * ngr;
-    // init identity mix
-    for (int g = 0; g < G; g++)
-        for (int b = 0; b < 64; b++) {
-            mix_out[(g * 64 + b) * 4 + 0] = 1.0f;
-            mix_out[(g * 64 + b) * 4 + 1] = 0.0f;
-            mix_out[(g * 64 + b) * 4 + 2] = 0.0f;
-            mix_out[(g * 64 + b) * 4 + 3] = 1.0f;
-        }
+    auto row = [&](int g) -> size_t {  // window-major batch row index
+        if (win <= 0) return size_t(g);
+        return size_t(g / win) * size_t(n_streams) * win +
+               size_t(stream_idx) * win + size_t(g % win);
+    };
 
     for (size_t fi = 0; fi < sc.offsets.size(); fi++) {
         size_t off = sc.offsets[fi];
@@ -702,21 +687,21 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
         for (int gr = 0; gr < ngr; gr++) {
             int gidx = int(fi) * ngr + gr;
             if (!crc_ok) err_out[gidx] |= 4;
+            size_t gr_row = row(gidx);
             if (underflow) {
                 err_out[gidx] |= 1;
                 for (int ch = 0; ch < nch; ch++) {
                     const GranSI& g = si.gr[gr][ch];
-                    bt_out[gidx * 2 + ch] = int8_t(g.block_type);
-                    mixed_out[gidx * 2 + ch] = uint8_t(g.mixed);
+                    bt_out[gr_row * 2 + ch] = int8_t(g.block_type);
+                    mixed_out[gr_row * 2 + ch] = uint8_t(g.mixed);
                 }
                 continue;
             }
             Scf sf_pair[2];
             for (int ch = 0; ch < nch; ch++) {
                 const GranSI& g = si.gr[gr][ch];
-                bt_out[gidx * 2 + ch] = int8_t(g.block_type);
-                mixed_out[gidx * 2 + ch] = uint8_t(g.mixed);
-                GranuleBits br;
+                bt_out[gr_row * 2 + ch] = int8_t(g.block_type);
+                mixed_out[gr_row * 2 + ch] = uint8_t(g.mixed);
                 br.init(reservoir.data(), reservoir.size(), bitpos,
                         size_t(g.part2_3_length));
                 bitpos += g.part2_3_length;
@@ -736,13 +721,13 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                 slack_out[gidx * 2 + ch] = dr.slack;
                 lines_out[gidx * 2 + ch] = dr.lines_used;
                 if (dr.overrun) err_out[gidx] |= 2;
-                int16_t* dst = is_out + (size_t(gidx) * 2 + ch) * 576;
+                int16_t* dst = is_out + (gr_row * 2 + ch) * 576;
                 for (int i = 0; i < 576; i++) {
                     int v = dr.spec[i];
                     dst[i] = int16_t(v > 32767 ? 32767 : (v < -32768 ? -32768 : v));
                 }
                 // band exponents
-                int16_t* eo = exp_out + (size_t(gidx) * 2 + ch) * 64;
+                int16_t* eo = exp_out + (gr_row * 2 + ch) * 64;
                 int gg = g.global_gain - 210;
                 int shift = 2 * (g.scalefac_scale + 1);
                 for (int b = 0; b < 22; b++)
@@ -756,10 +741,10 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                 const GranSI& g1 = si.gr[gr][1];
                 int fl = g1.block_type != 2 ? 0 : (g1.mixed ? 2 : 1);
                 bool nzb[64] = {false};
-                const int16_t* spec1 = is_out + (size_t(gidx) * 2 + 1) * 576;
+                const int16_t* spec1 = is_out + (gr_row * 2 + 1) * 576;
                 for (int i = 0; i < 576; i++)
                     if (spec1[i]) nzb[bmaps.map[fl][i]] = true;
-                stereo_matrices(h, sf_pair[1], nzb, lsf, mix_out + size_t(gidx) * 64 * 4);
+                stereo_modes(h, sf_pair[1], nzb, lsf, smode_out + gr_row * 64);
             }
         }
         // trim reservoir

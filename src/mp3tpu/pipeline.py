@@ -53,14 +53,9 @@ def decode_symbols_device(st: SymbolTensors, state=None) -> np.ndarray:
                 a = np.pad(a, width, constant_values=fill)
             return jnp.asarray(a[None])  # add S axis
 
-        mix = st.mix[sl]
-        if gb != g:
-            mixp = np.zeros((gb, 64, 2, 2), st.mix.dtype)
-            mixp[:g] = mix
-            mix = mixp
         pcm, state = kp.decode_window(
             prep(st.is_), prep(st.exp), prep(st.block_type), prep(st.mixed),
-            jnp.asarray(mix[None]), state, st.sample_rate)
+            prep(st.smode), state, st.sample_rate)
         out.append(np.asarray(pcm[0, : g * 576]))
     pcm = np.concatenate(out, axis=0)
     return pcm[:, : st.channels]

@@ -8,7 +8,7 @@ from mp3tpu.bitstream.unpack import unpack
 
 import fixtures
 
-FIELDS = ("is_", "exp", "block_type", "mixed", "mix", "errors",
+FIELDS = ("is_", "exp", "block_type", "mixed", "smode", "errors",
           "huff_slack", "lines_used")
 
 
