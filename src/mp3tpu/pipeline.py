@@ -10,18 +10,14 @@ import jax.numpy as jnp
 
 from .bitstream.unpack import SymbolTensors, unpack_fast
 from .container import frames as fr
+from .container.id3 import parse_id3v2
+from .container.xing import StreamInfo, is_metadata_frame, parse_stream_info
 from .kernels import pipeline as kp
 
-# jit-signature buckets for the granule axis
-_BUCKETS = (16, 32, 64, 128, 256)
-_WINDOW = 256  # max granules per device call
-
-
-def _bucket(g: int) -> int:
-    for b in _BUCKETS:
-        if g <= b:
-            return b
-    return _BUCKETS[-1]
+# One canonical window shape for all single-stream paths: identical jit
+# executables produce bit-identical PCM (XLA reduction order varies with
+# shape, so shape consistency IS the determinism contract; SURVEY.md §7.5).
+WINDOW = 32
 
 
 def _read(path_or_bytes) -> bytes:
@@ -40,17 +36,15 @@ def decode_symbols_device(st: SymbolTensors, state=None) -> np.ndarray:
     if state is None:
         state = kp.init_state(1)
     out = []
-    for start in range(0, G, _WINDOW):
-        g = min(_WINDOW, G - start)
-        gb = _bucket(g)
+    for start in range(0, G, WINDOW):
+        g = min(WINDOW, G - start)
         sl = slice(start, start + g)
-        pad = ((0, gb - g),)
 
-        def prep(a, fill=0):
+        def prep(a):
             a = a[sl]
-            if gb != g:
-                width = pad + tuple((0, 0) for _ in a.shape[1:])
-                a = np.pad(a, width, constant_values=fill)
+            if g != WINDOW:  # zero-pad the final partial window
+                width = ((0, WINDOW - g),) + tuple((0, 0) for _ in a.shape[1:])
+                a = np.pad(a, width)
             return jnp.asarray(a[None])  # add S axis
 
         pcm, state = kp.decode_window(
@@ -61,14 +55,45 @@ def decode_symbols_device(st: SymbolTensors, state=None) -> np.ndarray:
     return pcm[:, : st.channels]
 
 
-def decode_file(path_or_bytes, output: str = "int16"):
+def load_symbols(data: bytes):
+    """Container parse + unpack: (SymbolTensors, StreamInfo, FrameIndex).
+
+    Skips ID3v2 regions and a leading Xing/Info/VBRI metadata frame
+    (which carries no audio)."""
+    id3 = parse_id3v2(data)
+    buf = np.frombuffer(data, np.uint8)
+    index = fr.scan_frames(buf, start=id3.size)
+    info = parse_stream_info(data, int(index.offsets[0]), index.headers[0])
+    st = unpack_fast(data)
+    if is_metadata_frame(info):
+        n = index.headers[0].n_granules
+        st = SymbolTensors(
+            is_=st.is_[n:], exp=st.exp[n:], block_type=st.block_type[n:],
+            mixed=st.mixed[n:], smode=st.smode[n:], errors=st.errors[n:],
+            huff_slack=st.huff_slack[n:], lines_used=st.lines_used[n:],
+            sample_rate=st.sample_rate, channels=st.channels,
+            version=st.version)
+        index = fr.FrameIndex(
+            offsets=index.offsets[1:], headers=index.headers[1:],
+            junk_bytes=index.junk_bytes, sample_rate=index.sample_rate,
+            channels=index.channels, version=index.version)
+    return st, info, index
+
+
+def decode_file(path_or_bytes, output: str = "int16", gapless: bool = True):
     """decode(path) -> (pcm, sample_rate) [SURVEY.md §3.1].
 
     output: "int16" (default, spec-rounded) or "float32".
+    gapless: trim encoder delay/padding per the LAME tag when present,
+    so decode(encode(x)) is sample-aligned with x.
     """
     data = _read(path_or_bytes)
-    st = unpack_fast(data)
+    st, info, _index = load_symbols(data)
     pcm = decode_symbols_device(st)
+    if gapless and info.gapless:
+        from .dsp.gapless import gapless_bounds
+        a, b = gapless_bounds(len(pcm), info.encoder_delay, info.encoder_padding)
+        pcm = pcm[a:b]
     if output == "int16":
         pcm = np.asarray(kp.quantize_i16(jnp.asarray(pcm)))
     return pcm, st.sample_rate

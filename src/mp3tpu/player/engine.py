@@ -1,0 +1,236 @@
+"""Player/session engine (SURVEY.md D5, §3.3).
+
+Headless play/seek/loop engine matching the reference's repeat-listening
+usage (play a clip, loop a segment, slow re-listen): open -> play /
+seek(t) / loop(a, b) / stop, with exact-sample seek (reservoir-correct
+pre-roll) and checkpoint/resume via snapshot()/restore().
+
+The decode cursor advances in fixed granule windows; device state
+(IMDCT overlap + synthesis history) is explicit and tiny, so seek is
+"reset state + pre-roll" and snapshots are a few KB (SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.unpack import SymbolTensors
+from ..container import frames as fr
+from ..container.id3 import Id3Info, parse_id3v1, parse_id3v2
+from ..container.seek import PREROLL_FRAMES, SeekTable
+from ..container.xing import StreamInfo
+from ..dsp.gapless import DECODER_DELAY, gapless_bounds
+from ..kernels import pipeline as kp
+from ..metrics import Metrics
+from .sink import CollectSink, Sink
+
+WINDOW_GRANULES = 32  # must match pipeline.WINDOW for bit-identity
+
+
+@dataclass
+class Track:
+    """Parsed container + unpacked symbols for one stream."""
+    symbols: SymbolTensors
+    index: fr.FrameIndex
+    id3: Id3Info
+    id3v1: dict
+    stream_info: StreamInfo
+    seek_table: SeekTable
+    first_audio_frame: int = 0
+
+    @property
+    def sample_rate(self) -> int:
+        return self.symbols.sample_rate
+
+    @property
+    def channels(self) -> int:
+        return self.symbols.channels
+
+
+def open_track(path_or_bytes) -> Track:
+    from ..pipeline import load_symbols
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    id3 = parse_id3v2(data)
+    id3v1 = parse_id3v1(data)
+    symbols, info, index = load_symbols(data)
+    return Track(symbols=symbols, index=index, id3=id3, id3v1=id3v1,
+                 stream_info=info, seek_table=SeekTable(index, info),
+                 first_audio_frame=0)
+
+
+class Player:
+    """Single-stream playback session."""
+
+    def __init__(self, path_or_bytes, sink: Sink | None = None,
+                 gain_db: float = 0.0, eq_gains_db=None, apply_gapless: bool = True):
+        self.track = open_track(path_or_bytes)
+        self.sink = sink or CollectSink()
+        self.metrics = Metrics()
+        self.gain_db = gain_db
+        self._eq = None
+        self._eq_state = None
+        if eq_gains_db is not None:
+            from ..dsp.eq import GraphicEQ
+            self._eq = GraphicEQ(eq_gains_db, self.track.sample_rate)
+        st = self.track.symbols
+        self.ngr_per_frame = 1 if st.version != fr.VERSION_MPEG1 else 2
+        self.spf = 576  # samples per granule
+        info = self.track.stream_info
+        if apply_gapless and info.gapless:
+            total = st.n_granules * self.spf
+            self._start, self._end = gapless_bounds(
+                total, info.encoder_delay, info.encoder_padding)
+        else:
+            self._start, self._end = 0, st.n_granules * self.spf
+        self._pos = self._start       # absolute decoded-sample position
+        self._state = None
+        self._state_granule = None    # granule the device state is valid for
+        self.stopped = False
+
+    # ------------------------------------------------------------- info
+    @property
+    def duration(self) -> float:
+        return (self._end - self._start) / self.track.sample_rate
+
+    @property
+    def position(self) -> float:
+        return (self._pos - self._start) / self.track.sample_rate
+
+    @property
+    def metadata(self) -> dict:
+        md = dict(self.track.id3.frames)
+        for k, v in self.track.id3v1.items():
+            md.setdefault(f"v1:{k}", v)
+        return md
+
+    # ------------------------------------------------------------ decode
+    # The file is decoded in fixed window partitions [w*32, (w+1)*32) of
+    # granules — the same partition decode_file uses, so play/seek output
+    # is bit-identical to full-file decode (XLA reduction order is only
+    # stable for identical executables+shapes; SURVEY.md §7.5).
+    def _decode_window_idx(self, w: int) -> np.ndarray:
+        """Decode window w; device state must sit at w*32. Returns PCM of
+        the window's real granules and advances state to (w+1)*32."""
+        import jax.numpy as jnp
+        st = self.track.symbols
+        W = WINDOW_GRANULES
+        g0 = w * W
+        assert self._state is not None and self._state_granule == g0
+        n = min(W, st.n_granules - g0)
+        sl = slice(g0, g0 + n)
+
+        def prep(a):
+            a = a[sl]
+            if n != W:  # zero-pad the final partial window
+                width = ((0, W - n),) + tuple((0, 0) for _ in a.shape[1:])
+                a = np.pad(a, width)
+            return jnp.asarray(a[None])
+
+        pcm, self._state = kp.decode_window(
+            prep(st.is_), prep(st.exp), prep(st.block_type), prep(st.mixed),
+            prep(st.smode), self._state, st.sample_rate)
+        self._state_granule = g0 + W
+        self.metrics.granules_decoded += n
+        return np.asarray(pcm[0, : n * 576, : st.channels])
+
+    def _ensure_state_at_window(self, w: int):
+        """Make device state valid at window w's start: either it is
+        already there, or reset and pre-roll one full window (32 granules
+        >> the 2-granule overlap+FIFO warmup; SURVEY.md §5.4)."""
+        g0 = w * WINDOW_GRANULES
+        if self._state is not None and self._state_granule == g0:
+            return
+        w0 = max(0, w - 1)
+        self._state = kp.init_state(1)
+        self._state_granule = w0 * WINDOW_GRANULES
+        if w0 < w:
+            self._decode_window_idx(w0)  # discard pre-roll PCM
+        self.metrics.seeks += 1
+
+    def _emit(self, pcm: np.ndarray):
+        import jax.numpy as jnp
+        x = jnp.asarray(pcm)
+        if self.gain_db:
+            from ..dsp.gain import apply_gain
+            x = apply_gain(x, self.gain_db)
+        if self._eq is not None:
+            x, self._eq_state = self._eq(x, self._eq_state)
+        i16 = np.asarray(kp.quantize_i16(x))
+        self.sink.push(i16)
+        self.metrics.samples_out += len(i16)
+
+    # -------------------------------------------------------------- api
+    def play(self, until_sample: int | None = None, max_samples: int | None = None):
+        """Decode from the current position to `until_sample` (absolute,
+        default end), pushing PCM to the sink."""
+        end = self._end if until_sample is None else min(until_sample, self._end)
+        wspan = WINDOW_GRANULES * self.spf
+        emitted = 0
+        self.stopped = False
+        while self._pos < end and not self.stopped:
+            w = self._pos // wspan
+            self._ensure_state_at_window(w)
+            pcm = self._decode_window_idx(w)
+            if len(pcm) == 0:
+                break
+            lo = self._pos - w * wspan
+            hi = min(len(pcm), end - w * wspan)
+            if hi > lo:
+                self._emit(pcm[lo:hi])
+                emitted += hi - lo
+            self._pos = min((w + 1) * wspan, end)
+        return emitted
+
+    def seek(self, seconds: float):
+        """Exact-sample seek (reservoir correctness is inherent: symbols
+        were unpacked with full reservoir context; the filterbank state
+        is rebuilt by a full-window pre-roll)."""
+        sample = self._start + int(round(seconds * self.track.sample_rate))
+        self._pos = max(self._start, min(sample, self._end))
+
+    def loop(self, a: float, b: float, times: int = 1):
+        """Repeat-listen the segment [a, b) seconds `times` times —
+        the reference's core usage pattern (README.md:46)."""
+        for _ in range(times):
+            self.seek(a)
+            end = self._start + int(round(b * self.track.sample_rate))
+            self.play(until_sample=end)
+
+    def stop(self):
+        self.stopped = True
+
+    def pause(self):  # cursor simply stops advancing; resume with play()
+        self.stopped = True
+
+    # ------------------------------------------------- checkpoint/resume
+    def snapshot(self) -> bytes:
+        """Serialize the session cursor + DSP/device state (~KBs)."""
+        buf = io.BytesIO()
+        state = self._state or kp.init_state(1)
+        np.savez(buf, pos=self._pos,
+                 state_granule=(-1 if self._state_granule is None
+                                else self._state_granule),
+                 overlap=np.asarray(state["overlap"]),
+                 hist=np.asarray(state["hist"]),
+                 eq_state=(np.asarray(self._eq_state)
+                           if self._eq_state is not None else np.zeros(0)),
+                 gain_db=self.gain_db)
+        return buf.getvalue()
+
+    def restore(self, blob: bytes):
+        import jax.numpy as jnp
+        z = np.load(io.BytesIO(blob))
+        self._pos = int(z["pos"])
+        sg = int(z["state_granule"])
+        self._state_granule = None if sg < 0 else sg
+        self._state = {"overlap": jnp.asarray(z["overlap"]),
+                       "hist": jnp.asarray(z["hist"])}
+        if z["eq_state"].size and self._eq is not None:
+            self._eq_state = jnp.asarray(z["eq_state"])
+        self.gain_db = float(z["gain_db"])

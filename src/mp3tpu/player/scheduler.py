@@ -1,0 +1,205 @@
+"""Stream scheduler (SURVEY.md D6, §3.2/§3.3): batches up to hundreds of
+live streams into fixed-shape device steps.
+
+Design: S slots, each holding one stream's SymbolTensors and a granule
+cursor. Every step gathers the next `win` granules from all slots into
+one [S, win, ...] batch (finished/empty slots padded with zero granules
+— zero spectrum decodes to silence, so masking is free), runs one
+device call with per-slot carried state, and routes each slot's PCM to
+its sink. Finished slots are refilled from the queue (the "elastic"
+behavior of SURVEY.md §5.3) with their device state columns reset.
+
+Batching N streams per chip is what removes the reference player's
+underrun artifacts: one device step decodes seconds of audio across
+the whole batch in milliseconds (BASELINE.json:5).
+
+All streams in one scheduler share a sample rate (jit shape/table
+bucket); bucket by sample rate at a higher level for mixed workloads.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.unpack import SymbolTensors, unpack_fast
+from ..kernels import pipeline as kp
+from ..metrics import Metrics
+from .sink import CollectSink, Sink
+
+
+@dataclass
+class _Slot:
+    symbols: SymbolTensors | None = None
+    cursor: int = 0                      # next granule to decode
+    sink: Sink | None = None
+    total_emitted: int = 0
+    end_sample: int | None = None        # gapless end bound
+    start_skip: int = 0                  # gapless leading samples to drop
+    active: bool = False
+    stream_id: object = None
+
+
+class StreamScheduler:
+    """Masked-batch streaming decode engine over one device."""
+
+    def __init__(self, n_slots: int = 64, win: int = 16,
+                 sample_rate: int = 44100):
+        self.S = n_slots
+        self.win = win
+        self.sample_rate = sample_rate
+        self.slots = [_Slot() for _ in range(n_slots)]
+        self.queue: list[tuple[object, SymbolTensors, Sink, int, int | None]] = []
+        self.state = kp.init_state(n_slots)
+        self.metrics = Metrics()
+
+    # ------------------------------------------------------------ intake
+    def submit(self, data_or_symbols, sink: Sink | None = None,
+               stream_id=None, apply_gapless: bool = True):
+        """Queue one stream (mp3 bytes or pre-unpacked SymbolTensors)."""
+        if isinstance(data_or_symbols, SymbolTensors):
+            st = data_or_symbols
+        else:
+            with self.metrics.span("host"):
+                st = unpack_fast(data_or_symbols)
+        if st.sample_rate != self.sample_rate:
+            raise ValueError(
+                f"scheduler is bucketed at {self.sample_rate} Hz, stream is "
+                f"{st.sample_rate} Hz — use one scheduler per sample rate")
+        start_skip, end = 0, None
+        if apply_gapless and not isinstance(data_or_symbols, SymbolTensors):
+            from ..container import frames as fr
+            from ..container.xing import parse_stream_info
+            from ..dsp.gapless import gapless_bounds
+            try:
+                idx = fr.scan_frames(np.frombuffer(data_or_symbols, np.uint8))
+                info = parse_stream_info(bytes(data_or_symbols),
+                                         int(idx.offsets[0]), idx.headers[0])
+                if info.gapless:
+                    start_skip, end = gapless_bounds(
+                        st.n_granules * 576, info.encoder_delay, info.encoder_padding)
+            except Exception:
+                pass
+        self.queue.append((stream_id, st, sink or CollectSink(),
+                           start_skip, end))
+        self._refill()
+        return self.queue and stream_id
+
+    def _refill(self):
+        import jax.numpy as jnp
+        for i, slot in enumerate(self.slots):
+            if slot.active or not self.queue:
+                continue
+            sid, st, sink, skip, end = self.queue.pop(0)
+            self.slots[i] = _Slot(symbols=st, cursor=0, sink=sink,
+                                  end_sample=end, start_skip=skip,
+                                  active=True, stream_id=sid)
+            # reset this slot's device state columns
+            for k in self.state:
+                self.state[k] = self.state[k].at[i].set(0.0)
+            self.metrics.streams_active += 1
+
+    @property
+    def n_active(self) -> int:
+        return sum(s.active for s in self.slots)
+
+    # -------------------------------------------------------------- step
+    def step(self) -> int:
+        """One batched device step; returns samples emitted (all slots)."""
+        import jax.numpy as jnp
+        S, W = self.S, self.win
+        if self.n_active == 0:
+            return 0
+        is_ = np.zeros((S, W, 2, 576), np.int16)
+        exp = np.zeros((S, W, 2, 64), np.int16)
+        bt = np.zeros((S, W, 2), np.int8)
+        mx = np.zeros((S, W, 2), bool)
+        sm = np.zeros((S, W, 64), np.uint8)
+        counts = np.zeros(S, np.int32)
+        with self.metrics.span("host"):
+            for i, slot in enumerate(self.slots):
+                if not slot.active:
+                    continue
+                st = slot.symbols
+                n = min(W, st.n_granules - slot.cursor)
+                if n <= 0:
+                    continue
+                sl = slice(slot.cursor, slot.cursor + n)
+                is_[i, :n] = st.is_[sl]
+                exp[i, :n] = st.exp[sl]
+                bt[i, :n] = st.block_type[sl]
+                mx[i, :n] = st.mixed[sl]
+                sm[i, :n] = st.smode[sl]
+                counts[i] = n
+        with self.metrics.span("device"):
+            pcm16, self.state = kp.decode_window_i16(
+                jnp.asarray(is_), jnp.asarray(exp), jnp.asarray(bt),
+                jnp.asarray(mx), jnp.asarray(sm), self.state, self.sample_rate)
+            pcm16 = np.asarray(pcm16)
+        emitted = 0
+        for i, slot in enumerate(self.slots):
+            if not slot.active or counts[i] == 0:
+                continue
+            st = slot.symbols
+            n = int(counts[i])
+            out = pcm16[i, : n * 576, : st.channels]
+            pos0 = slot.cursor * 576
+            lo = max(slot.start_skip - pos0, 0)
+            hi = len(out)
+            if slot.end_sample is not None:
+                hi = min(hi, slot.end_sample - pos0)
+            if hi > lo:
+                slot.sink.push(out[lo:hi])
+                slot.total_emitted += hi - lo
+                emitted += hi - lo
+            slot.cursor += n
+            self.metrics.granules_decoded += n
+            done = slot.cursor >= st.n_granules or (
+                slot.end_sample is not None and pos0 + hi >= slot.end_sample)
+            if done:
+                slot.active = False
+                self.metrics.streams_active -= 1
+                self.metrics.streams_finished += 1
+        self.metrics.samples_out += emitted
+        self._refill()
+        return emitted
+
+    def run(self, max_steps: int | None = None) -> int:
+        """Step until all queued streams are drained."""
+        total = 0
+        steps = 0
+        while self.n_active or self.queue:
+            total += self.step()
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                break
+        return total
+
+
+def decode_batch_streams(paths_or_bytes, output: str = "int16", n_slots: int = 64,
+                         win: int = 32):
+    """Convenience batched decode: returns list of (pcm, sample_rate)
+    aligned with the inputs (SURVEY.md §3.2)."""
+    datas = []
+    for p in paths_or_bytes:
+        if isinstance(p, (bytes, bytearray)):
+            datas.append(bytes(p))
+        else:
+            with open(p, "rb") as f:
+                datas.append(f.read())
+    symbols = [unpack_fast(d) for d in datas]
+    rates = {st.sample_rate for st in symbols}
+    out: list = [None] * len(datas)
+    for rate in sorted(rates):
+        idxs = [i for i, st in enumerate(symbols) if st.sample_rate == rate]
+        sched = StreamScheduler(n_slots=min(n_slots, len(idxs)), win=win,
+                                sample_rate=rate)
+        sinks = {}
+        for i in idxs:
+            sinks[i] = CollectSink()
+            sched.submit(symbols[i], sink=sinks[i], stream_id=i,
+                         apply_gapless=False)
+        sched.run()
+        for i in idxs:
+            out[i] = (sinks[i].pcm, rate)
+    return out
