@@ -14,4 +14,27 @@ JAX/XLA/Pallas kernels over [stream, granule, channel, ...] tensors.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_jit_cache():
+    """Persistent XLA compilation cache: first-run compiles of the decode
+    pipeline (~30-60 s over remote-compile TPU tunnels) are reused across
+    processes — the production cure for the reference player's
+    cold-start glitch symptom (SURVEY.md §3.5)."""
+    try:
+        import jax
+        cache = _os.environ.get(
+            "MP3TPU_JIT_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "mp3tpu_jax"))
+        if cache and cache != "0":
+            _os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_jit_cache()
+
 from .api import decode, decode_batch, encode  # noqa: F401

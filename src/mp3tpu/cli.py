@@ -1,0 +1,136 @@
+"""mp3tpu CLI (SURVEY.md L5): decode | play | encode | info | bench."""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _cmd_decode(args):
+    from .pipeline import decode_file
+    from .player.sink import WavFileSink
+    t0 = time.perf_counter()
+    pcm, sr = decode_file(args.input, gapless=not args.no_gapless)
+    dt = time.perf_counter() - t0
+    out = args.output or (args.input.rsplit(".", 1)[0] + ".wav")
+    sink = WavFileSink(out, sr, pcm.shape[1])
+    sink.push(pcm)
+    sink.close()
+    print(f"decoded {len(pcm)} samples @ {sr} Hz -> {out} "
+          f"({len(pcm) / sr / dt:.1f}x realtime)")
+
+
+def _cmd_play(args):
+    """Headless play: decode (with seek/loop) to a WAV/raw sink."""
+    from .player import Player, WavFileSink
+    sink = None
+    if args.output:
+        import mp3tpu.player.engine as _e
+        tmp = Player(args.input)  # probe rate/channels
+        sink = WavFileSink(args.output, tmp.track.sample_rate, tmp.track.channels)
+    p = Player(args.input, sink=sink, gain_db=args.gain,
+               eq_gains_db=[float(x) for x in args.eq.split(",")] if args.eq else None)
+    if args.loop:
+        a, b = (float(x) for x in args.loop.split(":"))
+        p.loop(a, b, times=args.times)
+    else:
+        if args.seek:
+            p.seek(args.seek)
+        p.play()
+    if sink:
+        sink.close()
+    print(json.dumps({"duration": p.duration, "metadata": p.metadata,
+                      "metrics": p.metrics.to_dict()}, default=str))
+
+
+def _cmd_encode(args):
+    from .encoder import encode_pcm
+    # read WAV (16-bit PCM) or raw float32
+    data = open(args.input, "rb").read()
+    if data[:4] == b"RIFF":
+        import struct
+        ch = struct.unpack("<H", data[22:24])[0]
+        sr = struct.unpack("<I", data[24:28])[0]
+        i = data.index(b"data")
+        pcm = np.frombuffer(data[i + 8:], "<i2").astype(np.float64) / 32768.0
+        pcm = pcm.reshape(-1, ch)
+    else:
+        raise SystemExit("encode expects a 16-bit PCM WAV input")
+    t0 = time.perf_counter()
+    mp3 = encode_pcm(pcm, sr, bitrate=args.bitrate)
+    dt = time.perf_counter() - t0
+    out = args.output or (args.input.rsplit(".", 1)[0] + ".mp3")
+    open(out, "wb").write(mp3)
+    print(f"encoded {len(pcm)} samples -> {out} ({len(mp3)} bytes, "
+          f"{len(pcm) / sr / dt:.1f}x realtime)")
+
+
+def _cmd_info(args):
+    from .player.engine import open_track
+    t = open_track(args.input)
+    print(json.dumps({
+        "sample_rate": t.sample_rate, "channels": t.channels,
+        "version": {3: "MPEG-1", 2: "MPEG-2", 0: "MPEG-2.5"}.get(
+            t.symbols.version, "?"),
+        "frames": int(t.index.n_frames),
+        "duration_s": round(t.seek_table.duration, 3),
+        "vbr_tag": t.stream_info.kind,
+        "gapless": t.stream_info.gapless,
+        "encoder_delay": t.stream_info.encoder_delay,
+        "encoder_padding": t.stream_info.encoder_padding,
+        "id3": t.id3.frames, "id3v1": t.id3v1,
+        "decode_errors": int((t.symbols.errors != 0).sum()),
+    }, default=str))
+
+
+def _cmd_bench(args):
+    import runpy
+    import os
+    runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "bench.py"),
+        run_name="__main__")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mp3tpu",
+                                 description="TPU-native MP3 framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("decode", help="decode MP3 to WAV")
+    d.add_argument("input")
+    d.add_argument("-o", "--output")
+    d.add_argument("--no-gapless", action="store_true")
+    d.set_defaults(fn=_cmd_decode)
+
+    p = sub.add_parser("play", help="headless play/seek/loop to a sink")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", help="WAV sink path")
+    p.add_argument("--seek", type=float, default=0.0)
+    p.add_argument("--loop", help="A:B seconds segment")
+    p.add_argument("--times", type=int, default=1)
+    p.add_argument("--gain", type=float, default=0.0)
+    p.add_argument("--eq", help="10 comma-separated band gains (dB)")
+    p.set_defaults(fn=_cmd_play)
+
+    e = sub.add_parser("encode", help="encode WAV to MP3")
+    e.add_argument("input")
+    e.add_argument("-o", "--output")
+    e.add_argument("-b", "--bitrate", type=int, default=128)
+    e.set_defaults(fn=_cmd_encode)
+
+    i = sub.add_parser("info", help="stream/tag info as JSON")
+    i.add_argument("input")
+    i.set_defaults(fn=_cmd_info)
+
+    b = sub.add_parser("bench", help="run the aggregate-throughput benchmark")
+    b.set_defaults(fn=_cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""MP3 encoder (SURVEY.md E1-E6): analysis filterbank + MDCT on the
+batched transform path, psychoacoustic-informed block switching, rate
+loop, Huffman coding and CBR mux. Produces ISO 11172-3 conformant
+MPEG-1 Layer III streams with a Xing/LAME gapless tag so that
+decode(encode(x)) is sample-aligned with x.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..container.frames import BITRATES_V1_L3
+from .huffcode import CodedGranule, encode_granule
+from .mux import FrameSizer, build_frame, build_xing_frame, frame_capacity_bits
+from .psymodel import block_type_sequence
+from .quantize import inner_rate_loop
+from .transform import granule_spectra
+
+SPF = 576
+ENCODER_DELAY = 528   # analysis+MDCT chain delay minus the decoder's 529
+SR_IDX = {44100: 0, 48000: 1, 32000: 2}
+
+
+def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
+               gapless_tag: bool = True, short_blocks: bool = True) -> bytes:
+    """Encode float PCM [-1, 1], shape [n] or [n, ch], to MP3 bytes.
+
+    MPEG-1 rates only (44100/48000/32000); 1 or 2 channels (L/R coding).
+    CBR at `bitrate` kbps; the first frame is a Xing/LAME metadata frame.
+    """
+    if sample_rate not in SR_IDX:
+        raise ValueError(f"unsupported sample rate {sample_rate} "
+                         f"(MPEG-1: 44100/48000/32000)")
+    if bitrate not in BITRATES_V1_L3:
+        raise ValueError(f"unsupported bitrate {bitrate}")
+    pcm = np.asarray(pcm, np.float64)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, nch = pcm.shape
+    if nch > 2:
+        raise ValueError("at most 2 channels")
+
+    # flush so the decoded+trimmed output covers all n input samples
+    total_needed = n + ENCODER_DELAY + 529
+    G = -(-total_needed // SPF)
+    G += G & 1  # whole frames (2 granules)
+    enc_padding = G * SPF - ENCODER_DELAY - n
+    padded = np.zeros((G * SPF, nch))
+    padded[:n] = pcm
+
+    sr_idx = SR_IDX[sample_rate]
+    br_idx = BITRATES_V1_L3.index(bitrate)
+    bts = block_type_sequence(padded, sample_rate) if short_blocks \
+        else np.zeros(G, np.int64)
+
+    # E1+E2 transform, per channel
+    xr = np.stack([granule_spectra(padded[:, c], bts, sample_rate)
+                   for c in range(nch)], axis=1)   # [G, nch, 576]
+
+    sizer = FrameSizer(sample_rate, bitrate * 1000)
+    frames = []
+    n_frames = G // 2
+    for f in range(n_frames):
+        frame_bytes, padbit = sizer.next()
+        budget = frame_capacity_bits(frame_bytes, nch) // (2 * nch) - 8
+        granules = []
+        for gr in range(2):
+            chs = []
+            for c in range(nch):
+                g_idx = f * 2 + gr
+                bt = int(bts[g_idx])
+                ix, gg = inner_rate_loop(xr[g_idx, c], budget, sample_rate, bt)
+                chs.append(encode_granule(ix, gg, sample_rate, bt))
+            granules.append(chs)
+        frames.append(build_frame(granules, nch, sr_idx, br_idx,
+                                  frame_bytes, padbit))
+
+    out = b"".join(frames)
+    if gapless_tag:
+        xing_bytes = FrameSizer(sample_rate, bitrate * 1000).next()[0]
+        xing = build_xing_frame(nch, sr_idx, br_idx, xing_bytes,
+                                n_frames=n_frames,
+                                n_bytes=len(out) + xing_bytes,
+                                encoder_delay=ENCODER_DELAY,
+                                encoder_padding=enc_padding)
+        out = xing + out
+    return out

@@ -1,0 +1,230 @@
+"""Huffman coding + table selection + bit counting (SURVEY.md E5) —
+ISO 11172-3 §2.4.2.7 / Annex B.7 / Annex C.1.5.4.4.
+
+Bit counting is fully vectorized (numpy length-LUTs per table) because
+the inner rate loop calls it per global_gain candidate.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+
+from ..bitstream.bitwriter import BitWriter
+from ..tables import huffman as ht
+from ..tables.sfb import LONG
+
+# tables usable per max value (non-escape); chosen by minimal bits
+_PLAIN_TABLES = (1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15)
+_ESC_TABLES_A = (16, 17, 18, 19, 20, 21, 22, 23)   # linbits 1..13
+_ESC_TABLES_B = (24, 25, 26, 27, 28, 29, 30, 31)
+
+
+@lru_cache(maxsize=None)
+def _len_lut(tid: int) -> tuple[np.ndarray, int, int]:
+    lens, _codes, xl, yl, linbits = ht.table_arrays(tid)
+    return np.asarray(lens, np.int32).reshape(xl, yl), xl, linbits
+
+
+def count_pair_bits(ix: np.ndarray, tid: int) -> int:
+    """Total bits to code pairs ix[[n,2]] with table tid (incl. signs,
+    linbits); returns a huge number if the table cannot represent them."""
+    if tid == 0:
+        return 0 if not ix.any() else 1 << 30
+    lut, xl, linbits = _len_lut(tid)
+    a = np.abs(ix[:, 0])
+    b = np.abs(ix[:, 1])
+    mx = max(int(a.max(initial=0)), int(b.max(initial=0)))
+    if xl < 16 and mx >= xl:
+        return 1 << 30
+    if xl == 16 and mx - 15 >= (1 << linbits):
+        return 1 << 30
+    ac = np.minimum(a, xl - 1)
+    bc = np.minimum(b, xl - 1)
+    bits = lut[ac, bc].sum()
+    bits += (a > 0).sum() + (b > 0).sum()
+    if xl == 16:
+        bits += linbits * ((a >= 15).sum() + (b >= 15).sum())
+    return int(bits)
+
+
+def best_table(ix_pairs: np.ndarray) -> tuple[int, int]:
+    """(table id, bits) minimizing coded size for the given pairs."""
+    if not ix_pairs.size or not ix_pairs.any():
+        return 0, 0
+    mx = int(np.abs(ix_pairs).max())
+    cands = [t for t in _PLAIN_TABLES if mx < _len_lut(t)[1]] if mx < 16 else []
+    if mx >= 15:
+        need = max(mx - 15, 0)
+        for group in (_ESC_TABLES_A, _ESC_TABLES_B):
+            for t in group:
+                if need < (1 << ht.TABLE_INFO[t][3]):
+                    cands.append(t)
+                    break
+    best = (0, 1 << 30)
+    for t in cands:
+        bits = count_pair_bits(ix_pairs, t)
+        if bits < best[1]:
+            best = (t, bits)
+    return best
+
+
+_C1A_LENS = np.asarray(ht.COUNT1A_LENS, np.int32)
+
+
+def count1_bits(quads: np.ndarray, table: int) -> int:
+    """Bits for count1 quads [n,4] with table A (0) or B (1)."""
+    if not quads.size:
+        return 0
+    idx = (np.abs(quads[:, 0]) << 3) | (np.abs(quads[:, 1]) << 2) | \
+          (np.abs(quads[:, 2]) << 1) | np.abs(quads[:, 3])
+    signs = (np.abs(quads) > 0).sum()
+    code = _C1A_LENS[idx].sum() if table == 0 else 4 * len(quads)
+    return int(code + signs)
+
+
+@dataclass
+class CodedGranule:
+    """Everything the mux needs for one granule-channel."""
+    part2_3_length: int = 0
+    big_values: int = 0
+    global_gain: int = 210
+    scalefac_compress: int = 0
+    window_switching: int = 0
+    block_type: int = 0
+    table_select: tuple = (0, 0, 0)
+    subblock_gain: tuple = (0, 0, 0)
+    region0_count: int = 0
+    region1_count: int = 0
+    preflag: int = 0
+    scalefac_scale: int = 0
+    count1table_select: int = 0
+    bits: BitWriter = field(default_factory=BitWriter)
+
+
+def split_spectrum(ix: np.ndarray) -> tuple[int, int]:
+    """(big_value_pairs, count1_quads) region split: trailing zeros form
+    rzero; before them, quads of |v|<=1 form count1; rest is big values."""
+    nz = np.nonzero(ix)[0]
+    if not len(nz):
+        return 0, 0
+    last = int(nz[-1]) + 1
+    rzero_start = last + (last & 1)  # pair-align
+    # scan backwards in quads while all |v| <= 1
+    c1_start = rzero_start
+    while c1_start >= 4 and np.abs(ix[c1_start - 4:c1_start]).max() <= 1:
+        c1_start -= 4
+    # big values region must be pair-aligned (it is: c1_start % 2 == 0)
+    big_values = c1_start // 2
+    count1 = (rzero_start - c1_start) // 4
+    return big_values, count1
+
+
+def _regions_long(bv2: int, sample_rate: int) -> tuple[int, int, int, int]:
+    """(region0_count, region1_count, r1_line, r2_line) for long blocks —
+    split the big-values region ~1/3, 5/12 by scalefactor bands [Annex C]."""
+    bands = LONG[sample_rate]
+    bidx = int(np.searchsorted(bands, bv2, "left"))
+    r0c = max(min(bidx * 1 // 3, 15), 0)
+    r1c = max(min(bidx - r0c - 1, 7), 0)
+    if r0c + 1 + r1c + 1 > 22:
+        r1c = 22 - r0c - 2
+    r1 = int(bands[min(r0c + 1, 22)])
+    r2 = int(bands[min(r0c + 1 + r1c + 1, 22)])
+    return r0c, r1c, min(r1, bv2), min(r2, bv2)
+
+
+def _encode_pairs(w: BitWriter, pairs: np.ndarray, tid: int):
+    if tid == 0:
+        return
+    lens, codes, xl, yl, linbits = ht.table_arrays(tid)
+    lut_l = np.asarray(lens).reshape(xl, yl)
+    lut_c = np.asarray(codes).reshape(xl, yl)
+    for x, y in pairs:
+        ax, ay = abs(int(x)), abs(int(y))
+        cx, cy = min(ax, xl - 1), min(ay, yl - 1)
+        w.put(int(lut_c[cx, cy]), int(lut_l[cx, cy]))
+        if xl == 16 and ax >= 15:
+            w.put(ax - 15, linbits)
+        if ax:
+            w.put(1 if x < 0 else 0, 1)
+        if xl == 16 and ay >= 15:
+            w.put(ay - 15, linbits)
+        if ay:
+            w.put(1 if y < 0 else 0, 1)
+
+
+def encode_granule(ix: np.ndarray, gg: int, sample_rate: int,
+                   block_type: int = 0) -> CodedGranule:
+    """Entropy-code one granule-channel's quantized spectrum (long or
+    window-switched block), scalefactors all zero (rate-loop encoder)."""
+    g = CodedGranule(global_gain=gg, block_type=block_type,
+                     window_switching=1 if block_type else 0)
+    bv, c1n = split_spectrum(ix)
+    g.big_values = bv
+    bv2 = bv * 2
+    w = BitWriter()
+    if g.window_switching:
+        # fixed split [§2.4.2.7]
+        r1 = min(3 * 12 if block_type == 2 else int(LONG[sample_rate][8]), bv2)
+        t0, _ = best_table(ix[:r1].reshape(-1, 2))
+        t1, _ = best_table(ix[r1:bv2].reshape(-1, 2))
+        g.table_select = (t0, t1, 0)
+        g.region0_count = 8 if block_type == 2 else 7
+        g.region1_count = 20 - g.region0_count
+        _encode_pairs(w, ix[:r1].reshape(-1, 2), t0)
+        _encode_pairs(w, ix[r1:bv2].reshape(-1, 2), t1)
+    else:
+        r0c, r1c, r1, r2 = _regions_long(bv2, sample_rate)
+        g.region0_count, g.region1_count = r0c, r1c
+        t0, _ = best_table(ix[:r1].reshape(-1, 2))
+        t1, _ = best_table(ix[r1:r2].reshape(-1, 2))
+        t2, _ = best_table(ix[r2:bv2].reshape(-1, 2))
+        g.table_select = (t0, t1, t2)
+        for lo, hi, t in ((0, r1, t0), (r1, r2, t1), (r2, bv2, t2)):
+            _encode_pairs(w, ix[lo:hi].reshape(-1, 2), t)
+    # count1
+    quads = ix[bv2: bv2 + 4 * c1n].reshape(-1, 4)
+    ba = count1_bits(quads, 0)
+    bb = count1_bits(quads, 1)
+    g.count1table_select = 0 if ba <= bb else 1
+    if g.count1table_select == 0:
+        lensA, codesA = ht.COUNT1A_LENS, ht.COUNT1A_CODES
+        for q in quads:
+            idx = (abs(int(q[0])) << 3) | (abs(int(q[1])) << 2) | \
+                  (abs(int(q[2])) << 1) | abs(int(q[3]))
+            w.put(codesA[idx], lensA[idx])
+            for v in q:
+                if v:
+                    w.put(1 if v < 0 else 0, 1)
+    else:
+        for q in quads:
+            idx = (abs(int(q[0])) << 3) | (abs(int(q[1])) << 2) | \
+                  (abs(int(q[2])) << 1) | abs(int(q[3]))
+            w.put(15 - idx, 4)
+            for v in q:
+                if v:
+                    w.put(1 if v < 0 else 0, 1)
+    g.bits = w
+    g.part2_3_length = len(w)  # scalefactor part2 is 0 bits (compress=0)
+    return g
+
+
+def count_granule_bits(ix: np.ndarray, sample_rate: int,
+                       block_type: int = 0) -> int:
+    """Fast bit count for the rate loop (no bitstream materialized)."""
+    bv, c1n = split_spectrum(ix)
+    bv2 = bv * 2
+    total = 0
+    if block_type:
+        r1 = min(36, bv2)
+        total += best_table(ix[:r1].reshape(-1, 2))[1]
+        total += best_table(ix[r1:bv2].reshape(-1, 2))[1]
+    else:
+        _r0c, _r1c, r1, r2 = _regions_long(bv2, sample_rate)
+        for lo, hi in ((0, r1), (r1, r2), (r2, bv2)):
+            total += best_table(ix[lo:hi].reshape(-1, 2))[1]
+    quads = ix[bv2: bv2 + 4 * c1n].reshape(-1, 4)
+    total += min(count1_bits(quads, 0), count1_bits(quads, 1))
+    return total

@@ -1,0 +1,125 @@
+"""Bitstream assembly (SURVEY.md E6) — ISO 11172-3 §2.4.1 syntax writer.
+
+CBR frames with the standard padding-slot accumulator; bit reservoir is
+intentionally disabled (main_data_begin = 0 in every frame): each
+granule is rate-looped to its in-frame budget, trading a little
+efficiency for random access and simpler muxing. First frame carries a
+Xing + LAME-format tag (frame count, byte count, seek TOC, encoder
+delay/padding for gapless decode).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.bitwriter import BitWriter
+from ..container.frames import BITRATES_V1_L3, SAMPLE_RATES, VERSION_MPEG1
+from .huffcode import CodedGranule
+
+
+def _header_word(sr_idx: int, br_idx: int, padding: int, nch: int) -> BitWriter:
+    w = BitWriter()
+    w.put(0x7FF, 11)
+    w.put(0b11, 2)       # MPEG-1
+    w.put(0b01, 2)       # Layer III
+    w.put(1, 1)          # no CRC
+    w.put(br_idx, 4)
+    w.put(sr_idx, 2)
+    w.put(padding, 1)
+    w.put(0, 1)          # private
+    w.put(0b11 if nch == 1 else 0b00, 2)  # single channel / stereo
+    w.put(0, 2)          # mode extension
+    w.put(0, 1)          # copyright
+    w.put(1, 1)          # original
+    w.put(0, 2)          # emphasis
+    return w
+
+
+def _side_info(granules, nch: int) -> BitWriter:
+    """granules: [2][nch] CodedGranule."""
+    w = BitWriter()
+    w.put(0, 9)                       # main_data_begin (reservoir off)
+    w.put(0, 5 if nch == 1 else 3)    # private bits
+    for _ch in range(nch):
+        w.put(0, 4)                   # scfsi (no sharing)
+    for gr in range(2):
+        for ch in range(nch):
+            g: CodedGranule = granules[gr][ch]
+            w.put(g.part2_3_length, 12)
+            w.put(g.big_values, 9)
+            w.put(g.global_gain, 8)
+            w.put(g.scalefac_compress, 4)
+            w.put(g.window_switching, 1)
+            if g.window_switching:
+                w.put(g.block_type, 2)
+                w.put(0, 1)           # mixed_block_flag
+                for t in g.table_select[:2]:
+                    w.put(t, 5)
+                for s in g.subblock_gain:
+                    w.put(s, 3)
+            else:
+                for t in g.table_select:
+                    w.put(t, 5)
+                w.put(g.region0_count, 4)
+                w.put(g.region1_count, 3)
+            w.put(g.preflag, 1)
+            w.put(g.scalefac_scale, 1)
+            w.put(g.count1table_select, 1)
+    return w
+
+
+class FrameSizer:
+    """CBR frame lengths with the padding-slot accumulator."""
+
+    def __init__(self, sample_rate: int, bitrate: int):
+        self.base = 144 * bitrate // sample_rate
+        self.rem = (144 * bitrate) % sample_rate
+        self.sr = sample_rate
+        self.acc = 0
+
+    def next(self) -> tuple[int, int]:
+        """(frame_bytes, padding_bit)"""
+        self.acc += self.rem
+        if self.acc >= self.sr:
+            self.acc -= self.sr
+            return self.base + 1, 1
+        return self.base, 0
+
+
+def frame_capacity_bits(frame_bytes: int, nch: int) -> int:
+    side = 17 if nch == 1 else 32
+    return (frame_bytes - 4 - side) * 8
+
+
+def build_frame(granules, nch: int, sr_idx: int, br_idx: int,
+                frame_bytes: int, padding: int) -> bytes:
+    w = _header_word(sr_idx, br_idx, padding, nch)
+    w.put_bits(_side_info(granules, nch))
+    for gr in range(2):
+        for ch in range(nch):
+            w.put_bits(granules[gr][ch].bits)
+    return w.to_bytes(pad_to=frame_bytes)
+
+
+def build_xing_frame(nch: int, sr_idx: int, br_idx: int, frame_bytes: int,
+                     n_frames: int, n_bytes: int, encoder_delay: int,
+                     encoder_padding: int) -> bytes:
+    """Metadata-only first frame: Xing flags+frames+bytes+TOC+quality,
+    then a LAME-format tag carrying delay/padding (gapless)."""
+    empty = [[CodedGranule() for _ in range(nch)] for _ in range(2)]
+    w = _header_word(sr_idx, br_idx, 0, nch)
+    w.put_bits(_side_info(empty, nch))
+    body = bytearray(w.to_bytes())
+    body += b"Xing"
+    body += (0xF).to_bytes(4, "big")           # frames|bytes|toc|quality
+    body += n_frames.to_bytes(4, "big")
+    body += n_bytes.to_bytes(4, "big")
+    body += bytes((np.arange(100) * 256 // 100).astype(np.uint8))  # linear TOC (CBR)
+    body += (100).to_bytes(4, "big")
+    lame = bytearray(b"LAME3.100")              # tag magic + version field
+    lame += b"\x00" * 12                        # revision/quality/peak/gain fields
+    v = (encoder_delay << 12) | encoder_padding
+    lame += bytes(((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF))
+    lame += b"\x00" * 12                        # flags/gains/crc placeholder
+    body += bytes(lame)
+    assert len(body) <= frame_bytes
+    return bytes(body) + b"\x00" * (frame_bytes - len(body))

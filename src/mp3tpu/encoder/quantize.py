@@ -1,0 +1,52 @@
+"""Quantization rate loop (SURVEY.md E4) — ISO 11172-3 Annex C.1.5.4.
+
+Inner (rate) loop only in v1: scalefactors stay zero and global_gain is
+searched so the Huffman-coded granule fits its bit budget. The outer
+(distortion) loop hooks in via the psymodel's per-band allowed noise
+(see psymodel.py) by raising scalefactors — wired when xmin shaping is
+enabled.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .huffcode import count_granule_bits
+
+MAGIC = 0.4054   # x^(3/4) rounding offset (Annex C reference value)
+IX_MAX = 8206    # largest representable |ix| (escape 15 + 2^13 - 1)
+
+
+def quantize(xr: np.ndarray, global_gain: int) -> np.ndarray:
+    """xr [576] float -> ix [576] int32 with step 2^((gg-210)/4)."""
+    y = np.abs(xr) * 2.0 ** (-(global_gain - 210) / 4.0)
+    ix = np.floor(y ** 0.75 + MAGIC).astype(np.int64)
+    return (np.sign(xr) * ix).astype(np.int32)
+
+
+def inner_rate_loop(xr: np.ndarray, budget_bits: int, sample_rate: int,
+                    block_type: int = 0) -> tuple[np.ndarray, int]:
+    """Find the smallest global_gain whose coded size fits budget_bits.
+
+    Returns (ix, global_gain). Monotone in gg, so bisect."""
+    lo, hi = 0, 255
+    # quick lower bound: max |ix| must be <= IX_MAX
+    amax = np.abs(xr).max()
+    if amax > 0:
+        while (amax * 2.0 ** (-(lo - 210) / 4.0)) ** 0.75 > IX_MAX and lo < 255:
+            lo += 4
+    best = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        ix = quantize(xr, mid)
+        if np.abs(ix).max() > IX_MAX:
+            lo = mid + 1
+            continue
+        bits = count_granule_bits(ix, sample_rate, block_type)
+        if bits <= budget_bits:
+            best = (ix, mid)
+            hi = mid - 1
+        else:
+            lo = mid + 1
+    if best is None:
+        return np.zeros(576, np.int32), 210
+    return best

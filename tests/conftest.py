@@ -17,9 +17,17 @@ for p in (os.path.join(_REPO, "src"), os.path.join(_REPO, "tools")):
 
 _platform = os.environ.get("MP3TPU_TEST_PLATFORM", "cpu")
 if _platform == "cpu":
-    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # This environment's sitecustomize imports jax at interpreter start
+    # with JAX_PLATFORMS=axon (the TPU tunnel), binding the platform
+    # before any env override can land — so force it via jax.config,
+    # which wins over the captured env (otherwise the whole suite runs
+    # on the shared TPU, ~50x slower).
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platform_name", "cpu")
