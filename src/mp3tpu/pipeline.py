@@ -105,3 +105,39 @@ def decode_files(paths, output: str = "int16"):
     returns a list of (pcm, sample_rate)."""
     from .player.scheduler import decode_batch_streams
     return decode_batch_streams(paths, output=output)
+
+
+def decode_symbols_chunked(st: SymbolTensors, chunk_granules: int = 128,
+                           halo: int = 2) -> np.ndarray:
+    """Sequence-parallel decode of ONE long stream (SURVEY.md P3, §5.7).
+
+    The granule chain is finite-window linear: IMDCT overlap-add couples
+    adjacent granules and the synthesis FIR reads 15 prior steps — both
+    inside a 2-granule halo. So a long file is decoded as a BATCH of
+    independent chunks, each pre-rolled with `halo` redundant granules
+    whose output is discarded. One device call decodes the whole file;
+    no collectives, no scan — the ring-attention analog is a static halo
+    (SURVEY.md §2.4 P3).
+    """
+    G = st.n_granules
+    n_chunks = max(1, -(-G // chunk_granules))
+    W = halo + chunk_granules
+    S = n_chunks
+
+    def gather(a, fill=0):
+        out = np.zeros((S, W) + a.shape[1:], a.dtype)
+        for c in range(n_chunks):
+            lo = c * chunk_granules - halo
+            for w in range(W):
+                g = lo + w
+                if 0 <= g < G:
+                    out[c, w] = a[g]
+        return jnp.asarray(out)
+
+    state = kp.init_state(S)
+    pcm, _ = kp.decode_window(gather(st.is_), gather(st.exp),
+                              gather(st.block_type), gather(st.mixed),
+                              gather(st.smode), state, st.sample_rate)
+    pcm = np.asarray(pcm)[:, halo * 576:]          # drop halo output
+    out = pcm.reshape(S * chunk_granules * 576, 2)[: G * 576]
+    return out[:, : st.channels]
