@@ -50,6 +50,9 @@ class DeviceTables:
     inv_mask: jax.Array     # f32 [32, 18]
 
 
+_SR_BY_TABLES: dict = {}
+
+
 @functools.lru_cache(maxsize=None)
 def build_tables(sample_rate: int) -> DeviceTables:
     from ..oracle.decoder import alias_reduce
@@ -77,11 +80,13 @@ def build_tables(sample_rate: int) -> DeviceTables:
     inv = np.ones((32, 18))
     inv[1::2, 1::2] = -1.0
     f32 = lambda a: jnp.asarray(a, jnp.float32)
-    return DeviceTables(
+    out = DeviceTables(
         band_oh=f32(band_oh), ra=f32(ra),
         imdct_long=f32(fb.imdct36_matrix()), imdct_short=f32(mats[2]),
         windows=f32(wins), palette4=f32(PALETTE.reshape(-1, 4)),
         synth_fir=f32(fb.synthesis_fir()), inv_mask=f32(inv))
+    _SR_BY_TABLES[id(out)] = sample_rate
+    return out
 
 
 def init_state(n_streams: int, n_channels: int = 2):
@@ -100,7 +105,22 @@ def _pow43(a: jax.Array) -> jax.Array:
     return a * y
 
 
-def granule_pipeline(is_, exp, block_type, mixed, smode, state, tables: DeviceTables):
+def granule_pipeline(is_, exp, block_type, mixed, smode, state, tables: DeviceTables,
+                     use_pallas: bool = False):
+    if use_pallas:
+        from .pallas_fused import fused_frontend
+        S, G = is_.shape[:2]
+        bt = block_type.astype(jnp.int32)
+        short = bt == 2
+        nat = fused_frontend(is_, exp, block_type, mixed, smode, tables,
+                             _SR_BY_TABLES[id(tables)])
+        v = nat.reshape(S, G, 2, 32, 18)
+        return _imdct_and_backend(v, bt, short, mixed, state, tables, S, G)
+    return _granule_pipeline_xla(is_, exp, block_type, mixed, smode, state, tables)
+
+
+def _granule_pipeline_xla(is_, exp, block_type, mixed, smode, state,
+                          tables: DeviceTables):
     """Decode a [S, G] window.
 
     Args:
@@ -145,6 +165,10 @@ def granule_pipeline(is_, exp, block_type, mixed, smode, state, tables: DeviceTa
     nat_f = jnp.einsum("sgci,nij->sgcnj", xr, tables.ra, precision=HIGHEST)
     nat = jnp.einsum("sgcnj,sgcn->sgcj", nat_f, fl_oh, precision=HIGHEST)
     v = nat.reshape(S, G, 2, 32, 18)
+    return _imdct_and_backend(v, bt, short, mixed, state, tables, S, G)
+
+
+def _imdct_and_backend(v, bt, short, mixed, state, tables, S, G):
 
     # ---- C5 IMDCT + window; per-subband block type (mixed: sb<2 long)
     sb = jnp.arange(32)
@@ -158,7 +182,11 @@ def granule_pipeline(is_, exp, block_type, mixed, smode, state, tables: DeviceTa
     z_short = jnp.einsum("sgcbk,kj->sgcbj", v, tables.imdct_short,
                          precision=HIGHEST)
     z = jnp.where((bt_sb == 2)[..., None], z_short, z_long * win)
+    return _backend(z, state, tables, S, G)
 
+
+def _backend(z, state, tables: DeviceTables, S: int, G: int):
+    """Overlap-add + frequency inversion + synthesis FIR (C6-C7)."""
     # ---- overlap-add along the granule axis + C6 frequency inversion
     tails = jnp.concatenate(
         [state["overlap"][:, None], z[:, :-1, :, :, 18:]], axis=1)
@@ -187,14 +215,18 @@ def quantize_i16(pcm: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_for(sample_rate: int, i16: bool = False):
+def _jitted_for(sample_rate: int, i16: bool = False, use_pallas: bool | None = None):
     # tables are built eagerly (outside any trace) and captured as
     # closure constants of the per-samplerate jitted function
+    if use_pallas is None:
+        import os
+        use_pallas = os.environ.get("MP3TPU_PALLAS") == "1"
     tables = build_tables(sample_rate)
 
     @jax.jit
     def run(is_, exp, block_type, mixed, smode, state):
-        pcm, st = granule_pipeline(is_, exp, block_type, mixed, smode, state, tables)
+        pcm, st = granule_pipeline(is_, exp, block_type, mixed, smode, state,
+                                   tables, use_pallas=use_pallas)
         return (quantize_i16(pcm) if i16 else pcm), st
 
     return run
