@@ -60,14 +60,15 @@ def main():
 
     S = n_streams
     n_win = G // win
-    from mp3tpu.bitstream.native import unpack_native_into
+    from mp3tpu.bitstream.native import unpack_native_into12
 
     # window-major batch tensors [n_win, S, win, ...]: the C++ unpacker
     # writes each stream's granules directly into place (B5 zero-copy
     # batch assembly) and every per-window slice is contiguous for the
     # device transfer — no host-side restructuring at all.
     batch = {
-        "is_": np.zeros((n_win, S, win, 2, 576), np.int16),
+        "is12": np.zeros((n_win, S, win, 2, 864), np.uint8),
+        "esc": np.zeros((n_win, S, win, 2, 16, 2), np.int16),
         "exp": np.zeros((n_win, S, win, 2, 64), np.int16),
         "bt": np.zeros((n_win, S, win, 2), np.int8),
         "mx": np.zeros((n_win, S, win, 2), np.uint8),
@@ -76,56 +77,73 @@ def main():
     for a in batch.values():
         a.fill(1)  # pre-fault pages outside the timed region
         a.fill(0)
-    unpack_native_into(mp3, G, batch["is_"], batch["exp"], batch["bt"],
-                       batch["mx"], batch["smode"], 0, S, win)
+    stage_is = np.zeros((S, win, 2, 864), np.uint8)
+    stage_exp = np.zeros((S, win, 2, 64), np.int16)
+    def _unpack_one(si):
+        return unpack_native_into12(
+            mp3, G, None, batch["exp"], batch["bt"], batch["mx"],
+            batch["smode"], batch["is12"], batch["esc"], si, S, win)
+    _unpack_one(0)
 
     # ---- timed region -------------------------------------------------
     # phase 1: host unpack of every stream (single core, C++ fast path)
     t0 = time.perf_counter()
     for si in range(n_streams):
-        ok = unpack_native_into(mp3, G, batch["is_"], batch["exp"],
-                                batch["bt"], batch["mx"], batch["smode"],
-                                si, S, win)
-        assert ok
+        assert _unpack_one(si)
     t_host = time.perf_counter() - t0
 
-    # warm device compile OUTSIDE the device-timed phase (production
-    # pre-traces at init; SURVEY.md §3.5)
+    # phase 2a: stage all windows onto the device. Environment note: on
+    # this dev tunnel, H2D runs at ~1.5 GB/s only BEFORE any compiled
+    # program is loaded on the device, and at ~0.05 GB/s afterwards —
+    # so the pipeline stages the whole batch up front (a legitimate
+    # production structure: decode jobs pre-stage their inputs).
+    t1 = time.perf_counter()
+    # small per-granule metadata travels as three whole-batch transfers
+    # (mixing tiny and large transfers triggers relay flush stalls);
+    # spectra/exponents go per window
+    d_bt = jnp.asarray(batch["bt"])
+    d_mx = jnp.asarray(batch["mx"].astype(bool))
+    d_sm = jnp.asarray(batch["smode"])
+    d_esc = jnp.asarray(batch["esc"])  # 1.5 MB total
+    dev = []
+    for w in range(n_win):
+        # preallocated staging: fresh numpy allocations stall 1s+ under
+        # THP compaction with a GB-scale dirty working set
+        np.copyto(stage_is, batch["is12"][w])
+        np.copyto(stage_exp, batch["exp"][w])
+        dev.append((jnp.asarray(stage_is), jnp.asarray(stage_exp)))
+        jax.block_until_ready(dev[-1])
+    jax.block_until_ready((d_bt, d_mx, d_sm))
+    t_upload = time.perf_counter() - t1
+    # (jnp.zeros is itself a compiled program; created only after staging)
     state = kp.init_state(S)
-    wslice = lambda f, w: jnp.asarray(batch[f][w].copy())
-    pcm16, _ = kp.decode_window_i16(
-        wslice("is_", 0), wslice("exp", 0), wslice("bt", 0),
-        jnp.asarray(batch["mx"][0].astype(bool)), wslice("smode", 0), state, sr)
+
+    # one-time jit compile (untimed warmup: once per deployment, served
+    # from the persistent compilation cache in production; SURVEY.md §3.5)
+    call = lambda w, st_: kp.decode_window_packed_i16(
+        dev[w][0], d_esc[w, ..., 0], d_esc[w, ..., 1], dev[w][1],
+        d_bt[w], d_mx[w], d_sm[w], st_, sr)
+    pcm16, _ = call(0, kp.init_state(S))
     pcm16.block_until_ready()
 
-    # phase 2: windowed device decode; per-window transfers stay under
-    # the ~32MB tunnel cliff, dispatched async so transfer and compute
-    # pipeline; single jitted dispatch per window (int16 out)
-    t1 = time.perf_counter()
+    # phase 2b: windowed device decode over staged inputs
+    t2 = time.perf_counter()
     state = kp.init_state(S)
     outs = []
     for w in range(n_win):
-        pcm16, state = kp.decode_window_i16(
-            wslice("is_", w), wslice("exp", w), wslice("bt", w),
-            jnp.asarray(batch["mx"][w].astype(bool)), wslice("smode", w), state, sr)
+        pcm16, state = call(w, state)
         outs.append(pcm16)
     outs[-1].block_until_ready()
     pcm16 = outs[-1]
-    t_dev = time.perf_counter() - t1
+    t_dev = (time.perf_counter() - t2) + t_upload
     wall = t_host + t_dev
 
     # device-compute-only reference (inputs already device-resident):
     # isolates MXU pipeline speed from the host<->device tunnel
-    dev_args = [jnp.asarray(batch[f][0].copy()) for f in ("is_", "exp", "bt")]
-    dev_args.append(jnp.asarray(batch["mx"][0].astype(bool)))
-    dev_args.append(jnp.asarray(batch["smode"][0].copy()))
-    jax.block_until_ready(dev_args)
     state0 = kp.init_state(S)
-    p0, _ = kp.decode_window_i16(*dev_args, state0, sr)
-    p0.block_until_ready()
     tc = time.perf_counter()
     for _ in range(5):
-        p0, _ = kp.decode_window_i16(*dev_args, state0, sr)
+        p0, _ = call(0, state0)
     p0.block_until_ready()
     t_compute = (time.perf_counter() - tc) / 5
     compute_x = (S * win * 576 / sr) / t_compute
@@ -142,6 +160,7 @@ def main():
             "audio_seconds": round(audio_seconds_total, 1),
             "host_unpack_s": round(t_host, 3),
             "device_s": round(t_dev, 3),
+            "upload_s": round(t_upload, 3),
             "host_x": round(audio_seconds_total / t_host, 1),
             "device_x": round(audio_seconds_total / t_dev, 1),
             "device_compute_only_x": round(compute_x, 1),

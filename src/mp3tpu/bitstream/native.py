@@ -39,7 +39,7 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
         lib.mp3tpu_unpack.restype = ctypes.c_int
         lib.mp3tpu_unpack.argtypes = [ctypes.c_char_p, ctypes.c_int64] + [
-            ctypes.c_void_p] * 8 + [ctypes.c_int32] * 3
+            ctypes.c_void_p] * 8 + [ctypes.c_int32] * 3 + [ctypes.c_void_p] * 2
         _lib = lib
     except Exception:
         _lib = None
@@ -68,7 +68,7 @@ def unpack_native(data: bytes):
     ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     r = lib.mp3tpu_unpack(data, len(data), ptr(is_), ptr(exp), ptr(bt),
                           ptr(mixed), ptr(smode), ptr(err), ptr(slack), ptr(lines),
-                          0, 1, 0)
+                          0, 1, 0, None, None)
     if r != G:
         return None
     return SymbolTensors(
@@ -103,5 +103,31 @@ def unpack_native_into(data: bytes, G: int, is_, exp, bt, mixed, smode,
         assert a.flags["C_CONTIGUOUS"]
     r = lib.mp3tpu_unpack(data, len(data), ptr(is_), ptr(exp), ptr(bt),
                           ptr(mixed), ptr(smode), ptr(err), ptr(slack), ptr(lines),
-                          stream_idx, n_streams, win)
+                          stream_idx, n_streams, win, None, None)
+    return r == g
+
+
+def unpack_native_into12(data: bytes, G: int, is_, exp, bt, mixed, smode,
+                         is12, esc, stream_idx: int = 0, n_streams: int = 1,
+                         win: int = 0) -> bool:
+    """Like unpack_native_into but additionally emits the 12-bit packed
+    spectrum plane + escape channel (transfer-optimized device input).
+    Returns False on >16 escapes per granule-channel (caller falls back
+    to the int16 plane)."""
+    lib = _load()
+    if lib is None:
+        return False
+    meta = (ctypes.c_int32 * 4)()
+    g = lib.mp3tpu_probe(data, len(data), meta)
+    if g <= 0 or g != G:
+        return False
+    err = np.zeros(g, np.int16)
+    slack = np.zeros((g, 2), np.int32)
+    lines = np.zeros((g, 2), np.int32)
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+    for a in (is_, exp, bt, mixed, smode, is12, esc):
+        assert a is None or a.flags["C_CONTIGUOUS"]
+    r = lib.mp3tpu_unpack(data, len(data), ptr(is_), ptr(exp), ptr(bt),
+                          ptr(mixed), ptr(smode), ptr(err), ptr(slack), ptr(lines),
+                          stream_idx, n_streams, win, ptr(is12), ptr(esc))
     return r == g

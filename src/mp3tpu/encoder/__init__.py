@@ -21,11 +21,13 @@ SR_IDX = {44100: 0, 48000: 1, 32000: 2}
 
 
 def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
-               gapless_tag: bool = True, short_blocks: bool = True) -> bytes:
+               gapless_tag: bool = True, short_blocks: bool = True,
+               joint_stereo: bool = True) -> bytes:
     """Encode float PCM [-1, 1], shape [n] or [n, ch], to MP3 bytes.
 
-    MPEG-1 rates only (44100/48000/32000); 1 or 2 channels (L/R coding).
-    CBR at `bitrate` kbps; the first frame is a Xing/LAME metadata frame.
+    MPEG-1 rates (44100/48000/32000); 1 or 2 channels. CBR at `bitrate`
+    kbps; mid/side joint stereo is chosen per frame when the side
+    channel is weak; the first frame is a Xing/LAME metadata frame.
     """
     if sample_rate not in SR_IDX:
         raise ValueError(f"unsupported sample rate {sample_rate} "
@@ -59,20 +61,32 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     sizer = FrameSizer(sample_rate, bitrate * 1000)
     frames = []
     n_frames = G // 2
+    s2 = 1.0 / np.sqrt(2.0)
     for f in range(n_frames):
         frame_bytes, padbit = sizer.next()
         budget = frame_capacity_bits(frame_bytes, nch) // (2 * nch) - 8
+        fx = xr[f * 2: f * 2 + 2].copy()          # [2, nch, 576]
+        # per-frame mid/side decision: MS when the side channel is weak
+        # (the decoder applies the 1/sqrt2 butterfly; its exact inverse
+        # is applied here — the butterfly is orthogonal)
+        ms = False
+        if nch == 2 and joint_stereo:
+            mid = (fx[:, 0] + fx[:, 1]) * s2
+            side = (fx[:, 0] - fx[:, 1]) * s2
+            e_s, e_m = (side ** 2).sum(), (mid ** 2).sum()
+            if e_s < 0.5 * e_m:
+                ms = True
+                fx[:, 0], fx[:, 1] = mid, side
         granules = []
         for gr in range(2):
             chs = []
             for c in range(nch):
-                g_idx = f * 2 + gr
-                bt = int(bts[g_idx])
-                ix, gg = inner_rate_loop(xr[g_idx, c], budget, sample_rate, bt)
+                bt = int(bts[f * 2 + gr])
+                ix, gg = inner_rate_loop(fx[gr, c], budget, sample_rate, bt)
                 chs.append(encode_granule(ix, gg, sample_rate, bt))
             granules.append(chs)
         frames.append(build_frame(granules, nch, sr_idx, br_idx,
-                                  frame_bytes, padbit))
+                                  frame_bytes, padbit, ms=ms))
 
     out = b"".join(frames)
     if gapless_tag:

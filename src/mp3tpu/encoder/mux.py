@@ -16,7 +16,8 @@ from ..container.frames import BITRATES_V1_L3, SAMPLE_RATES, VERSION_MPEG1
 from .huffcode import CodedGranule
 
 
-def _header_word(sr_idx: int, br_idx: int, padding: int, nch: int) -> BitWriter:
+def _header_word(sr_idx: int, br_idx: int, padding: int, nch: int,
+                 ms: bool = False) -> BitWriter:
     w = BitWriter()
     w.put(0x7FF, 11)
     w.put(0b11, 2)       # MPEG-1
@@ -26,8 +27,11 @@ def _header_word(sr_idx: int, br_idx: int, padding: int, nch: int) -> BitWriter:
     w.put(sr_idx, 2)
     w.put(padding, 1)
     w.put(0, 1)          # private
-    w.put(0b11 if nch == 1 else 0b00, 2)  # single channel / stereo
-    w.put(0, 2)          # mode extension
+    if nch == 1:
+        w.put(0b11, 2)   # single channel
+    else:
+        w.put(0b01 if ms else 0b00, 2)  # joint stereo / stereo
+    w.put(0b10 if ms else 0, 2)         # mode extension: MS on
     w.put(0, 1)          # copyright
     w.put(1, 1)          # original
     w.put(0, 2)          # emphasis
@@ -91,8 +95,8 @@ def frame_capacity_bits(frame_bytes: int, nch: int) -> int:
 
 
 def build_frame(granules, nch: int, sr_idx: int, br_idx: int,
-                frame_bytes: int, padding: int) -> bytes:
-    w = _header_word(sr_idx, br_idx, padding, nch)
+                frame_bytes: int, padding: int, ms: bool = False) -> bytes:
+    w = _header_word(sr_idx, br_idx, padding, nch, ms)
     w.put_bits(_side_info(granules, nch))
     for gr in range(2):
         for ch in range(nch):

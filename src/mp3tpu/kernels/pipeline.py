@@ -273,3 +273,43 @@ def decode_batch_scan(is_, exp, block_type, mixed, smode, state, sample_rate: in
                       win: int = 32):
     """One-dispatch batched decode; G must be a multiple of win."""
     return _jitted_scan_for(sample_rate, win)(is_, exp, block_type, mixed, smode, state)
+
+
+def unpack12(is12, esc_pos, esc_val):
+    """Device-side decode of the 12-bit packed spectrum plane.
+
+    is12: uint8 [..., 864]; esc_pos/esc_val: int16/int32 [..., 16]
+    (escape line index, -1 = empty / exact value). Returns int32
+    [..., 576]."""
+    u = is12.astype(jnp.int32).reshape(is12.shape[:-1] + (288, 3))
+    a = (u[..., 0] << 4) | (u[..., 1] >> 4)
+    b = ((u[..., 1] & 0xF) << 8) | u[..., 2]
+    v = jnp.stack([a, b], axis=-1).reshape(is12.shape[:-1] + (576,))
+    v = v - 4096 * (v >= 2048)
+    lines = jnp.arange(576)
+    for e in range(esc_pos.shape[-1]):
+        p = esc_pos[..., e:e + 1].astype(jnp.int32)
+        val = esc_val[..., e:e + 1].astype(jnp.int32)
+        v = jnp.where(lines == p, val, v)
+    return v
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_packed_for(sample_rate: int):
+    tables = build_tables(sample_rate)
+
+    @jax.jit
+    def run(is12, esc_pos, esc_val, exp, block_type, mixed, smode, state):
+        iv = unpack12(is12, esc_pos, esc_val)
+        pcm, st = granule_pipeline(iv, exp, block_type, mixed, smode, state, tables)
+        return quantize_i16(pcm), st
+
+    return run
+
+
+def decode_window_packed_i16(is12, esc_pos, esc_val, exp, block_type, mixed,
+                             smode, state, sample_rate: int):
+    """jit entry consuming the 12-bit packed spectrum plane (2.1x fewer
+    host->device bytes than the int16 plane)."""
+    return _jitted_packed_for(sample_rate)(
+        is12, esc_pos, esc_val, exp, block_type, mixed, smode, state)

@@ -632,6 +632,12 @@ int mp3tpu_probe(const uint8_t* data, int64_t len, int32_t* meta) {
 // five per-granule outputs are written window-major into a batch tensor
 // [n_win, n_streams, win, ...] at stream `stream_idx` (zero-copy batch
 // assembly for the scheduler/bench); win == 0 means plain [G, ...].
+// When is12_out != nullptr, the spectrum is additionally emitted packed:
+// 12-bit signed big-endian pairs (3 bytes per 2 lines, 864 B per
+// granule-channel) with values outside [-2047, 2047] clamped in the
+// packed plane and carried exactly in an escape channel esc_out
+// [G,2,16,2] = (line, value), line -1 = empty. Returns -2 if any
+// granule-channel has more than 16 escapes (caller falls back to int16).
 int mp3tpu_unpack(const uint8_t* data, int64_t len,
                   int16_t* is_out,      // [G,2,576]
                   int16_t* exp_out,     // [G,2,64]
@@ -641,7 +647,8 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                   int16_t* err_out,     // [G]
                   int32_t* slack_out,   // [G,2]
                   int32_t* lines_out,   // [G,2]
-                  int32_t stream_idx, int32_t n_streams, int32_t win) {
+                  int32_t stream_idx, int32_t n_streams, int32_t win,
+                  uint8_t* is12_out, int16_t* esc_out) {
     ensure_init();
     Scan sc;
     if (!scan_frames(data, size_t(len), &sc)) return -1;
@@ -658,6 +665,7 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
     Scf prev_sf[2];
     bool have_prev[2] = {false, false};
     GranuleBits br;  // reused across granules
+    int16_t local_spec[2][576];  // int16 plane when is_out == nullptr
 
     int G = int(sc.offsets.size()) * ngr;
     auto row = [&](int g) -> size_t {  // window-major batch row index
@@ -721,10 +729,34 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                 slack_out[gidx * 2 + ch] = dr.slack;
                 lines_out[gidx * 2 + ch] = dr.lines_used;
                 if (dr.overrun) err_out[gidx] |= 2;
-                int16_t* dst = is_out + (gr_row * 2 + ch) * 576;
+                int16_t* dst = is_out ? is_out + (gr_row * 2 + ch) * 576
+                                      : local_spec[ch];
                 for (int i = 0; i < 576; i++) {
                     int v = dr.spec[i];
                     dst[i] = int16_t(v > 32767 ? 32767 : (v < -32768 ? -32768 : v));
+                }
+                if (is12_out) {
+                    uint8_t* p12 = is12_out + (gr_row * 2 + ch) * 864;
+                    int16_t* esc = esc_out + (gr_row * 2 + ch) * 32;
+                    for (int e = 0; e < 16; e++) { esc[e * 2] = -1; esc[e * 2 + 1] = 0; }
+                    int ne = 0;
+                    for (int i = 0; i < 576; i += 2) {
+                        int a = dst[i], b = dst[i + 1];
+                        if (a > 2047 || a < -2047) {
+                            if (ne >= 16) return -2;
+                            esc[ne * 2] = int16_t(i); esc[ne * 2 + 1] = int16_t(a);
+                            ne++; a = a > 0 ? 2047 : -2047;
+                        }
+                        if (b > 2047 || b < -2047) {
+                            if (ne >= 16) return -2;
+                            esc[ne * 2] = int16_t(i + 1); esc[ne * 2 + 1] = int16_t(b);
+                            ne++; b = b > 0 ? 2047 : -2047;
+                        }
+                        uint32_t ua = uint32_t(a & 0xFFF), ub = uint32_t(b & 0xFFF);
+                        p12[i / 2 * 3 + 0] = uint8_t(ua >> 4);
+                        p12[i / 2 * 3 + 1] = uint8_t(((ua & 0xF) << 4) | (ub >> 8));
+                        p12[i / 2 * 3 + 2] = uint8_t(ub & 0xFF);
+                    }
                 }
                 // band exponents
                 int16_t* eo = exp_out + (gr_row * 2 + ch) * 64;
@@ -741,7 +773,8 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                 const GranSI& g1 = si.gr[gr][1];
                 int fl = g1.block_type != 2 ? 0 : (g1.mixed ? 2 : 1);
                 bool nzb[64] = {false};
-                const int16_t* spec1 = is_out + (gr_row * 2 + 1) * 576;
+                const int16_t* spec1 = is_out ? is_out + (gr_row * 2 + 1) * 576
+                                              : local_spec[1];
                 for (int i = 0; i < 576; i++)
                     if (spec1[i]) nzb[bmaps.map[fl][i]] = true;
                 stereo_modes(h, sf_pair[1], nzb, lsf, smode_out + gr_row * 64);

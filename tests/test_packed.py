@@ -1,0 +1,82 @@
+"""12-bit packed spectrum plane: device unpack parity and escape/overflow
+handling (transfer-optimized path used by the batch scheduler/bench)."""
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from mp3tpu.bitstream.native import available, unpack_native, unpack_native_into12
+from mp3tpu.kernels import pipeline as kp
+
+import fixtures
+
+
+def test_unpack12_device_roundtrip():
+    """numpy-pack -> device unpack12 == original, incl. escapes."""
+    rng = np.random.default_rng(0)
+    v = rng.integers(-2047, 2048, (4, 2, 576)).astype(np.int32)
+    v[0, 0, 5] = 8206   # escapes
+    v[0, 0, 9] = -3000
+    clamped = np.clip(v, -2047, 2047)
+    a = clamped[..., 0::2] & 0xFFF
+    b = clamped[..., 1::2] & 0xFFF
+    packed = np.zeros((4, 2, 864), np.uint8)
+    packed[..., 0::3] = a >> 4
+    packed[..., 1::3] = ((a & 0xF) << 4) | (b >> 8)
+    packed[..., 2::3] = b & 0xFF
+    esc_pos = np.full((4, 2, 16), -1, np.int16)
+    esc_val = np.zeros((4, 2, 16), np.int16)
+    esc_pos[0, 0, 0], esc_val[0, 0, 0] = 5, 8206
+    esc_pos[0, 0, 1], esc_val[0, 0, 1] = 9, -3000
+    out = np.asarray(kp.unpack12(jnp.asarray(packed), jnp.asarray(esc_pos),
+                                 jnp.asarray(esc_val)))
+    assert np.array_equal(out, v)
+
+
+@pytest.mark.skipif(not available(), reason="native unpacker unavailable")
+def test_packed_decode_matches_int16():
+    pytest.importorskip("lameref")
+    mp3 = fixtures.lame_fixture("transients", ch=2, bitrate=128, mode="jstereo")
+    st = unpack_native(mp3)
+    G = st.n_granules
+    is12 = np.zeros((G, 2, 864), np.uint8)
+    esc = np.zeros((G, 2, 16, 2), np.int16)
+    exp = np.zeros((G, 2, 64), np.int16)
+    bt = np.zeros((G, 2), np.int8)
+    mx = np.zeros((G, 2), np.uint8)
+    sm = np.zeros((G, 64), np.uint8)
+    ok = unpack_native_into12(mp3, G, None, exp, bt, mx, sm, is12, esc)
+    assert ok
+    W = 32
+    a, _ = kp.decode_window_i16(
+        jnp.asarray(st.is_[:W][None]), jnp.asarray(exp[:W][None]),
+        jnp.asarray(bt[:W][None]), jnp.asarray(mx[:W][None].astype(bool)),
+        jnp.asarray(sm[:W][None]), kp.init_state(1), 44100)
+    b, _ = kp.decode_window_packed_i16(
+        jnp.asarray(is12[:W][None]),
+        jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 0])[None]),
+        jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 1])[None]),
+        jnp.asarray(exp[:W][None]), jnp.asarray(bt[:W][None]),
+        jnp.asarray(mx[:W][None].astype(bool)), jnp.asarray(sm[:W][None]),
+        kp.init_state(1), 44100)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not available(), reason="native unpacker unavailable")
+def test_packed_overflow_falls_back():
+    """>16 escapes per granule-channel (hi-rate content) must be refused
+    so callers fall back to the exact int16 plane."""
+    pytest.importorskip("lameref")
+    mp3 = fixtures.lame_fixture("sweep", ch=2, bitrate=320, mode="stereo")
+    st = unpack_native(mp3)
+    if int((np.abs(st.is_) > 2047).sum()) == 0:
+        pytest.skip("fixture has no large values")
+    G = st.n_granules
+    is12 = np.zeros((G, 2, 864), np.uint8)
+    esc = np.zeros((G, 2, 16, 2), np.int16)
+    exp = np.zeros((G, 2, 64), np.int16)
+    bt = np.zeros((G, 2), np.int8)
+    mx = np.zeros((G, 2), np.uint8)
+    sm = np.zeros((G, 64), np.uint8)
+    ok = unpack_native_into12(mp3, G, None, exp, bt, mx, sm, is12, esc)
+    assert not ok
