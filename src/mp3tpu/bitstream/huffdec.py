@@ -126,15 +126,19 @@ def decode_spectrum(br: GranuleBits, g, sample_rate: int, lsf: bool,
     r1, r2, bv2 = region_boundaries(g, sample_rate, lsf)
     ts = g.table_select
     pos = 0
+    hard_overrun = False
     # big values
     while pos < bv2:
+        # corrupt streams: big_values may claim more symbols than
+        # part2_3_length holds — stop at the granule bit boundary
+        if br.pos >= end_pos:
+            hard_overrun = True
+            break
         tid = ts[0] if pos < r1 else (ts[1] if pos < r2 else ts[2])
-        if tid == 0:
-            out[pos] = 0
-            out[pos + 1] = 0
+        lut = _BIG_LUTS.get(tid)
+        if lut is None:  # table 0 (all-zero) or unused spec ids 4/14
             pos += 2
             continue
-        lut = _BIG_LUTS[tid]
         entry = int(lut.table[br.peek(lut.bits)])
         l = entry & 0xFF
         if l == 0:
@@ -172,11 +176,12 @@ def decode_spectrum(br: GranuleBits, g, sample_rate: int, lsf: bool,
                 v = -1
             out[pos + j] = v
         pos += 4
-    overrun = br.pos > end_pos
+    c1_overrun = br.pos > end_pos
+    overrun = hard_overrun or c1_overrun
     slack = end_pos - br.pos  # 0 for conformant streams (or lines full)
-    if overrun:
+    if c1_overrun and pos >= 4:
         # partial last count1 quadruple: discard it [common practice]
         out[pos - 4: pos] = 0
         pos -= 4
     br.pos = end_pos
-    return out, min(pos, 576), overrun, slack
+    return out, max(0, min(pos, 576)), overrun, slack

@@ -460,13 +460,14 @@ struct BandMaps {
 struct DecodeResult {
     int32_t spec[580];
     int lines_used;
-    bool overrun;
+    bool overrun = false;
     int32_t slack;
 };
 
 static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
                             int part3, DecodeResult* out) {
     memset(out->spec, 0, sizeof(out->spec));
+    out->overrun = false;
     size_t end_pos = br.pos + part3;
     const int16_t* L = SFB_LONG + sr9 * 23;
     const int16_t* S = SFB_SHORT + sr9 * 14;
@@ -487,8 +488,13 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
 
     int pos = 0;
     while (pos < bv2) {
+        // corrupt streams: big_values may claim more symbols than
+        // part2_3_length holds — stop at the granule bit boundary
+        if (br.pos >= end_pos) { out->overrun = true; break; }
         int tid = pos < r1 ? g.table_select[0] : (pos < r2 ? g.table_select[1] : g.table_select[2]);
-        if (tid == 0) { pos += 2; continue; }
+        // table 0 = all-zero; ids 4/14 are unused in the spec — corrupt
+        // streams selecting them decode as zeros
+        if (tid == 0 || g_luts[tid].root.empty()) { pos += 2; continue; }
         const HuffLut& lut = g_luts[tid];
         uint16_t e = lut.decode(br);
         int x = (e >> 4) & 15, y = e & 15;
@@ -511,13 +517,15 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
         }
         pos += 4;
     }
-    out->overrun = br.pos > end_pos;
+    bool c1_overrun = br.pos > end_pos;
+    out->overrun = out->overrun || c1_overrun;
     out->slack = int32_t(int64_t(end_pos) - int64_t(br.pos));
-    if (out->overrun) {
+    if (c1_overrun && pos >= 4) {
+        // partial last count1 quadruple: discard it [common practice]
         for (int j = pos - 4; j < pos; j++) out->spec[j] = 0;
         pos -= 4;
     }
-    out->lines_used = pos < 576 ? pos : 576;
+    out->lines_used = pos < 0 ? 0 : (pos < 576 ? pos : 576);
     br.pos = end_pos;
 }
 
