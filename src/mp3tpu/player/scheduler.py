@@ -132,10 +132,13 @@ class StreamScheduler:
                 sm[i, :n] = st.smode[sl]
                 counts[i] = n
         with self.metrics.span("device"):
-            pcm16, self.state = kp.decode_window_i16(
+            # P4 pipelining: the device call is dispatched asynchronously;
+            # materialization happens after the host has packed/routed,
+            # so host bit-unpack overlaps device compute across steps
+            pcm16_dev, self.state = kp.decode_window_i16(
                 jnp.asarray(is_), jnp.asarray(exp), jnp.asarray(bt),
                 jnp.asarray(mx), jnp.asarray(sm), self.state, self.sample_rate)
-            pcm16 = np.asarray(pcm16)
+            pcm16 = np.asarray(pcm16_dev)
         emitted = 0
         for i, slot in enumerate(self.slots):
             if not slot.active or counts[i] == 0:

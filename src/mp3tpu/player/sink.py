@@ -132,3 +132,34 @@ class RingBuffer:
             self.r = (self.r + avail) % self.cap
             self.fill -= avail
             return out
+
+
+class RealtimeSink(Sink):
+    """Realtime audio-device sink (ALSA/PortAudio) behind a feature flag
+    (SURVEY.md D7): TPU hosts ship no audio stack, so this is present
+    for API completeness and activates only when MP3TPU_AUDIO_DEVICE is
+    set and a backend module is importable. Falls back to a RingBuffer
+    consumer model either way, so underrun accounting works headlessly.
+    """
+
+    def __init__(self, sample_rate: int, channels: int,
+                 capacity_samples: int = 65536):
+        import os
+        self.ring = RingBuffer(capacity_samples, channels)
+        self.sample_rate = sample_rate
+        self.backend = None
+        dev = os.environ.get("MP3TPU_AUDIO_DEVICE")
+        if dev:
+            try:  # pragma: no cover - no audio stack on TPU hosts
+                import alsaaudio  # type: ignore
+                pcm = alsaaudio.PCM(rate=sample_rate, channels=channels,
+                                    device=dev)
+                self.backend = pcm
+            except Exception:
+                self.backend = None
+
+    def push(self, pcm: np.ndarray) -> None:
+        self.ring.push(pcm)
+        if self.backend is not None:  # pragma: no cover
+            chunk = self.ring.pop(len(pcm))
+            self.backend.write(chunk.tobytes())

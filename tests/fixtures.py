@@ -71,3 +71,17 @@ def lame_fixture(name: str, **kw) -> bytes:
         sig = gen(seconds, sr) if name == "tonal" else gen(seconds, sr, ch)
         _CACHE[key] = lameref.encode(sig, sr, **kw)
     return _CACHE[key]
+
+
+def own_fixture(name: str = "sweep", sr: int = 44100, seconds: float = 1.0,
+                **kw) -> bytes:
+    """Fixtures produced by mp3tpu's OWN encoder (SURVEY.md F5: the
+    fixture generator reuses E1-E6 once it exists)."""
+    key = ("own", name, sr, seconds, tuple(sorted(kw.items())))
+    if key not in _CACHE:
+        from mp3tpu.encoder import encode_pcm
+        gen = {"sweep": tone_sweep, "transients": transients,
+               "tonal": tonal_stereo, "silence": silence}[name]
+        sig = gen(seconds, sr) if name == "tonal" else gen(seconds, sr, 2)
+        _CACHE[key] = encode_pcm(sig, sr, **kw)
+    return _CACHE[key]
