@@ -15,3 +15,11 @@ def decode_batch(paths, **kw):
 def encode(pcm, sample_rate, **kw):
     from .encoder import encode_pcm
     return encode_pcm(pcm, sample_rate, **kw)
+
+
+def play(path_or_bytes, sink=None, **kw):
+    """Open a playback session (SURVEY.md §3.3): returns a Player with
+    play/seek/loop/stop/snapshot; decodes to the given sink (default:
+    an in-memory CollectSink)."""
+    from .player import Player
+    return Player(path_or_bytes, sink=sink, **kw)

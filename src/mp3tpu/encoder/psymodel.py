@@ -27,14 +27,21 @@ def block_type_sequence(pcm: np.ndarray, sample_rate: int,
     # high-pass emphasizes attacks
     hp = np.diff(x, prepend=x[:1])
     attack = np.zeros(G, bool)
+    prev_mean = floor
     for g in range(G):
         seg = hp[g * SPF:(g + 1) * SPF]
         sub = seg.reshape(9, 64)
         e = (sub ** 2).sum(axis=1) + floor
         # rise vs the quietest earlier sub-block in the granule: catches
-        # windowed (gradual) onsets that adjacent-block ratios miss
+        # windowed (gradual) onsets that adjacent-block ratios miss.
+        # The inter-granule condition (vs the previous granule's mean)
+        # rejects steady tones whose sub-block energies merely beat
+        # against the 64-sample analysis grid.
         base = np.minimum.accumulate(np.concatenate([[e[0]], e[:-1]]))
-        attack[g] = bool((e / base > attack_ratio).any() and e.max() > 1e-4)
+        attack[g] = bool((e / base > attack_ratio).any()
+                         and e.max() > 3.0 * prev_mean
+                         and e.max() > 1e-4)
+        prev_mean = max(float(e.mean()), floor)
     bt = np.zeros(G, np.int64)
     bt[attack] = 2
     # a short granule needs a start before and a stop after
