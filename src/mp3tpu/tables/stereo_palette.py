@@ -13,9 +13,11 @@ float64 oracle, and the device pipeline):
   0                LR identity
   1                MS (1/sqrt2 butterfly)
   2 + p            MPEG-1 intensity, is_pos p in 0..6
-  9 + p            MPEG-1 intensity scaled by 1/sqrt2 (MS frames)
+  9 + p            (reserved; historically an MS-scaled variant — probing
+                    libmpg123 showed intensity bands are NEVER 1/sqrt2
+                    scaled, so these equal rows 2+p)
   16 + s*32 + p    LSF intensity, io scale s in {0,1}, is_pos p in 0..31
-  80 + s*32 + p    LSF intensity scaled by 1/sqrt2
+  80 + s*32 + p    (reserved; equals 16+s*32+p, see above)
 Total P = 144 entries.
 """
 from __future__ import annotations
@@ -62,12 +64,12 @@ def build_palette() -> np.ndarray:
     for pos in range(7):
         kl, kr = _intensity_mpeg1(pos)
         pal[idx_mpeg1(pos, False)] = [[kl, 0.0], [kr, 0.0]]
-        pal[idx_mpeg1(pos, True)] = [[kl * s2, 0.0], [kr * s2, 0.0]]
+        pal[idx_mpeg1(pos, True)] = [[kl, 0.0], [kr, 0.0]]
     for scale in (0, 1):
         for pos in range(32):
             kl, kr = _intensity_lsf(pos, scale)
             pal[idx_lsf(pos, scale, False)] = [[kl, 0.0], [kr, 0.0]]
-            pal[idx_lsf(pos, scale, True)] = [[kl * s2, 0.0], [kr * s2, 0.0]]
+            pal[idx_lsf(pos, scale, True)] = [[kl, 0.0], [kr, 0.0]]
     return pal
 
 

@@ -119,3 +119,65 @@ def craft_stream(probe: GranuleSpec, n_pre: int = 2, n_post: int = 3) -> bytes:
     silent = craft_frame(GranuleSpec(), GranuleSpec())
     frames = [silent] * n_pre + [craft_frame(probe, GranuleSpec())] + [silent] * n_post
     return b"".join(frames)
+
+
+def craft_frame_stereo(gr0_pair, gr1_pair=None, mode=1, mode_ext=1,
+                       scfsi=0) -> bytes:
+    """One MPEG-1 Layer III stereo frame (mode 0=stereo 1=joint;
+    mode_ext bit1=MS bit0=intensity). gr*_pair = (GranuleSpec ch0,
+    GranuleSpec ch1). 44.1k/128k, no CRC, main_data_begin=0."""
+    if gr1_pair is None:
+        gr1_pair = (GranuleSpec(), GranuleSpec())
+    w = BitWriter()
+    w.put(0x7FF, 11)
+    w.put(0b11, 2)
+    w.put(0b01, 2)
+    w.put(1, 1)
+    w.put(9, 4)
+    w.put(0, 2)
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(mode, 2)
+    w.put(mode_ext, 2)
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(0, 2)
+    # side info stereo: 32 bytes
+    w.put(0, 9)
+    w.put(0, 3)
+    for _ch in range(2):
+        w.put(scfsi, 4)
+    for pair in (gr0_pair, gr1_pair):
+        for g in pair:
+            w.put(g.part2_3_length, 12)
+            w.put(g.big_values, 9)
+            w.put(g.global_gain, 8)
+            w.put(g.scalefac_compress, 4)
+            w.put(g.window_switching, 1)
+            if g.window_switching:
+                w.put(g.block_type, 2)
+                w.put(g.mixed_block_flag, 1)
+                for t in g.table_select[:2]:
+                    w.put(t, 5)
+                for s in g.subblock_gain:
+                    w.put(s, 3)
+            else:
+                for t in g.table_select:
+                    w.put(t, 5)
+                w.put(g.region0_count, 4)
+                w.put(g.region1_count, 3)
+            w.put(g.preflag, 1)
+            w.put(g.scalefac_scale, 1)
+            w.put(g.count1table_select, 1)
+    for pair in (gr0_pair, gr1_pair):
+        for g in pair:
+            w.put_bits(g.main_bits)
+            assert len(g.main_bits) == g.part2_3_length
+    return w.to_bytes(pad_to=417)
+
+
+def craft_stream_stereo(gr0_pair, mode=1, mode_ext=1, n_pre=2, n_post=3) -> bytes:
+    silent = craft_frame_stereo(
+        (GranuleSpec(), GranuleSpec()), mode=mode, mode_ext=mode_ext)
+    probe = craft_frame_stereo(gr0_pair, mode=mode, mode_ext=mode_ext)
+    return b"".join([silent] * n_pre + [probe] + [silent] * n_post)
