@@ -181,3 +181,58 @@ def craft_stream_stereo(gr0_pair, mode=1, mode_ext=1, n_pre=2, n_post=3) -> byte
         (GranuleSpec(), GranuleSpec()), mode=mode, mode_ext=mode_ext)
     probe = craft_frame_stereo(gr0_pair, mode=mode, mode_ext=mode_ext)
     return b"".join([silent] * n_pre + [probe] + [silent] * n_post)
+
+
+def craft_frame_lsf_stereo(gr_pair, mode=1, mode_ext=1, sr_idx=0,
+                           bitrate_idx=8) -> bytes:
+    """One MPEG-2 (LSF, 22.05k default) Layer III stereo frame:
+    1 granule, 8-bit main_data_begin, 9-bit scalefac_compress."""
+    w = BitWriter()
+    w.put(0x7FF, 11)
+    w.put(0b10, 2)    # MPEG-2
+    w.put(0b01, 2)    # Layer III
+    w.put(1, 1)
+    w.put(bitrate_idx, 4)   # idx 8 = 64 kbps LSF
+    w.put(sr_idx, 2)        # 0 = 22050
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(mode, 2)
+    w.put(mode_ext, 2)
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(0, 2)
+    # LSF stereo side info: 17 bytes
+    w.put(0, 8)   # main_data_begin
+    w.put(0, 2)   # private
+    for g in gr_pair:
+        w.put(g.part2_3_length, 12)
+        w.put(g.big_values, 9)
+        w.put(g.global_gain, 8)
+        w.put(g.scalefac_compress, 9)
+        w.put(g.window_switching, 1)
+        if g.window_switching:
+            w.put(g.block_type, 2)
+            w.put(g.mixed_block_flag, 1)
+            for t in g.table_select[:2]:
+                w.put(t, 5)
+            for s in g.subblock_gain:
+                w.put(s, 3)
+        else:
+            for t in g.table_select:
+                w.put(t, 5)
+            w.put(g.region0_count, 4)
+            w.put(g.region1_count, 3)
+        w.put(g.scalefac_scale, 1)
+        w.put(g.count1table_select, 1)
+    for g in gr_pair:
+        w.put_bits(g.main_bits)
+        assert len(g.main_bits) == g.part2_3_length
+    # LSF 22.05k @ 64kbps: 72*64000/22050 = 208.9 -> 208 bytes
+    return w.to_bytes(pad_to=72 * 64000 // 22050)
+
+
+def craft_stream_lsf_stereo(gr_pair, mode=1, mode_ext=1, n_pre=2, n_post=3) -> bytes:
+    silent = craft_frame_lsf_stereo((GranuleSpec(), GranuleSpec()),
+                                    mode=mode, mode_ext=mode_ext)
+    probe = craft_frame_lsf_stereo(gr_pair, mode=mode, mode_ext=mode_ext)
+    return b"".join([silent] * n_pre + [probe] + [silent] * n_post)
