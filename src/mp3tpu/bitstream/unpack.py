@@ -9,7 +9,7 @@ mode-dependent decision is resolved here on the host.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -6,7 +6,7 @@ the encoder delay/padding needed for gapless playback (SURVEY.md D1).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

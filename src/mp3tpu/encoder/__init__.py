@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..container.frames import BITRATES_V1_L3
-from .huffcode import CodedGranule, encode_granule
+from .huffcode import encode_granule
 from .mux import FrameSizer, build_frame, build_xing_frame, frame_capacity_bits
 from .psymodel import block_type_sequence, masking_thresholds
 from .quantize import inner_rate_loop, outer_distortion_loop

@@ -12,7 +12,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..bitstream.bitwriter import BitWriter
-from ..container.frames import BITRATES_V1_L3, SAMPLE_RATES, VERSION_MPEG1
 from .huffcode import CodedGranule
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..tables.sfb import LONG, SLEN1, SLEN2
+from ..tables.sfb import LONG
 from .huffcode import count_granule_bits, pick_scalefac_compress, scalefac_bits
 
 MAGIC = 0.4054   # x^(3/4) rounding offset (Annex C reference value)

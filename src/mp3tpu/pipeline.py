@@ -99,12 +99,12 @@ def decode_file(path_or_bytes, output: str = "int16", gapless: bool = True):
     return pcm, st.sample_rate
 
 
-def decode_files(paths, output: str = "int16"):
-    """Batched multi-stream decode; see player.scheduler for the streaming
-    masked-batch engine. This convenience API decodes each stream and
-    returns a list of (pcm, sample_rate)."""
+def decode_files(paths):
+    """Batched multi-stream decode (int16 PCM); see player.scheduler for
+    the streaming masked-batch engine. Returns a list of
+    (pcm, sample_rate) aligned with the inputs."""
     from .player.scheduler import decode_batch_streams
-    return decode_batch_streams(paths, output=output)
+    return decode_batch_streams(paths)
 
 
 def decode_symbols_chunked(st: SymbolTensors, chunk_granules: int = 128,

@@ -12,16 +12,16 @@ The decode cursor advances in fixed granule windows; device state
 from __future__ import annotations
 
 import io
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..bitstream.unpack import SymbolTensors
 from ..container import frames as fr
 from ..container.id3 import Id3Info, parse_id3v1, parse_id3v2
-from ..container.seek import PREROLL_FRAMES, SeekTable
+from ..container.seek import SeekTable
 from ..container.xing import StreamInfo
-from ..dsp.gapless import DECODER_DELAY, gapless_bounds
+from ..dsp.gapless import gapless_bounds
 from ..kernels import pipeline as kp
 from ..metrics import Metrics
 from .sink import CollectSink, Sink

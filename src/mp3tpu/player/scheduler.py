@@ -18,7 +18,7 @@ bucket); bucket by sample rate at a higher level for mixed workloads.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -179,8 +179,7 @@ class StreamScheduler:
         return total
 
 
-def decode_batch_streams(paths_or_bytes, output: str = "int16", n_slots: int = 64,
-                         win: int = 32):
+def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32):
     """Convenience batched decode: returns list of (pcm, sample_rate)
     aligned with the inputs (SURVEY.md §3.2)."""
     datas = []
