@@ -45,3 +45,26 @@ def test_lame_fixture_bit_accounting(name, kw):
     pytest.importorskip("lameref")
     st = unpack(fixtures.lame_fixture(name, **kw))
     _assert_exact_accounting(st)
+
+
+def test_vbri_header_parse():
+    """VBRI variant of the stream-info frame (A5): synthesized header."""
+    import struct
+    from mp3tpu.container.frames import parse_header
+    from mp3tpu.container.xing import parse_stream_info
+    # minimal MPEG-1 frame with a VBRI tag at header+36
+    hdr = struct.pack(">I", (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) |
+                      (1 << 16) | (9 << 12) | (0 << 10) | (0b11 << 6))
+    frame = bytearray(417)
+    frame[:4] = hdr
+    p = 4 + 32
+    frame[p:p + 4] = b"VBRI"
+    ents = 4
+    frame[p + 4:p + 26] = struct.pack(">HHHIIHHHH", 1, 0, 80, 417 * 10, 10,
+                                      ents, 1, 2, 2)
+    struct.pack_into(">" + "H" * ents, frame, p + 26, 417, 417, 417, 417)
+    h = parse_header(int.from_bytes(hdr, "big"))
+    info = parse_stream_info(bytes(frame), 0, h)
+    assert info.kind == "vbri"
+    assert info.n_frames == 10 and info.n_bytes == 4170
+    assert info.toc is not None and len(info.toc) == 100
