@@ -22,7 +22,8 @@ SR_IDX = {44100: 0, 48000: 1, 32000: 2}
 
 def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                gapless_tag: bool = True, short_blocks: bool = True,
-               joint_stereo: bool = True, noise_shaping: bool = False) -> bytes:
+               joint_stereo: bool = True, noise_shaping: bool = False,
+               device_transform: bool = False) -> bytes:
     """Encode float PCM [-1, 1], shape [n] or [n, ch], to MP3 bytes.
 
     MPEG-1 rates (44100/48000/32000); 1 or 2 channels. CBR at `bitrate`
@@ -31,6 +32,9 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     noise_shaping enables the outer distortion loop (per-band
     scalefactors driven by the psymodel's masking thresholds) — it
     trades plain SNR for masked-noise placement, so it is opt-in.
+    device_transform runs E1+E2 (analysis filterbank + MDCT) on the
+    TPU as one batched jitted call (SURVEY.md §3.4); the float64 numpy
+    transform is the default reference path.
     """
     if sample_rate not in SR_IDX:
         raise ValueError(f"unsupported sample rate {sample_rate} "
@@ -57,9 +61,15 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     bts = block_type_sequence(padded, sample_rate) if short_blocks \
         else np.zeros(G, np.int64)
 
-    # E1+E2 transform, per channel
-    xr = np.stack([granule_spectra(padded[:, c], bts, sample_rate)
-                   for c in range(nch)], axis=1)   # [G, nch, 576]
+    # E1+E2 transform: all channels in one device batch, or numpy f64
+    if device_transform:
+        from .device import granule_spectra_device_batch
+        xr = granule_spectra_device_batch(
+            padded.T.copy(), np.tile(bts, (nch, 1)), sample_rate)
+        xr = xr.transpose(1, 0, 2)                 # [G, nch, 576]
+    else:
+        xr = np.stack([granule_spectra(padded[:, c], bts, sample_rate)
+                       for c in range(nch)], axis=1)
 
     sizer = FrameSizer(sample_rate, bitrate * 1000)
     frames = []

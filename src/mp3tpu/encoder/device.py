@@ -1,0 +1,90 @@
+"""Device (TPU) encoder transform — E1+E2 as batched JAX (SURVEY.md §3.4:
+analysis filterbank + MDCT run on device; quantization loops and Huffman
+coding stay on host).
+
+Maps a whole batch of PCM onto spectra in one jitted call: the analysis
+polyphase bank is the same 16-tap FIR over 32-sample blocks as the host
+version (one constant matmul stack), the MDCT is a [36->18] windowed
+constant matmul per block type, alias/reorder are the decoder matrices'
+transposes. Matches the numpy transform to float32 accuracy (tested).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HIGHEST = jax.lax.Precision.HIGHEST
+SPF = 576
+
+
+@functools.lru_cache(maxsize=None)
+def _consts(sample_rate: int):
+    from ..tables import maps as tmaps
+    from . import filterbank as efb
+    A = efb.analysis_fir()                      # [16, 32, 32]
+    fmats = efb.mdct_matrices()                 # [4, 36, 18]
+    alias_f = efb.forward_alias_matrices()      # [3, 576, 576]
+    _bm, rm = tmaps.get_maps(sample_rate)
+    # inverse reorder as permutation matrices composed with alias
+    post = np.zeros((4, 576, 576))
+    for bt in range(4):
+        flavor = 1 if bt == 2 else 0
+        perm = rm[flavor]
+        Pinv = np.zeros((576, 576))
+        Pinv[np.arange(576), perm] = 1.0        # t[:, perm] = y
+        post[bt] = alias_f[flavor] @ Pinv
+    inv = np.ones((32, 18))
+    inv[1::2, 1::2] = -1.0
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    return f32(A), f32(fmats), f32(post), f32(inv)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(sample_rate: int):
+    A, fmats, post, inv = _consts(sample_rate)
+
+    @jax.jit
+    def run(pcm, bt_oh):
+        """pcm f32 [B, n] (n multiple of 576); bt_oh f32 [B, G, 4] one-hot
+        block types -> xr f32 [B, G, 576] transmitted-order spectra."""
+        B, n = pcm.shape
+        G = n // SPF
+        P = pcm.reshape(B, n // 32, 32)
+        T = P.shape[1]
+        Ppad = jnp.concatenate([jnp.zeros((B, 15, 32), jnp.float32), P], axis=1)
+        h = jnp.stack([Ppad[:, 15 - d: 15 - d + T] for d in range(16)],
+                      axis=2)                   # [B, T, 16, 32]
+        S = jnp.einsum("btdk,dkj->btj", h, A, precision=HIGHEST)  # [B, T, 32]
+        Sg = S.reshape(B, G, 18, 32).transpose(0, 1, 3, 2) * inv  # [B,G,32,18]
+        prev = jnp.concatenate([jnp.zeros((B, 1, 32, 18), jnp.float32),
+                                Sg[:, :-1]], axis=1)
+        wide = jnp.concatenate([prev, Sg], axis=3)                # [B,G,32,36]
+        X = jnp.einsum("bgsj,fjk,bgf->bgsk", wide, fmats, bt_oh,
+                       precision=HIGHEST)                         # [B,G,32,18]
+        nat = X.reshape(B, G, 576)
+        out = jnp.einsum("bgi,fij,bgf->bgj", nat, post, bt_oh,
+                         precision=HIGHEST)
+        return out
+
+    return run
+
+
+def granule_spectra_device(pcm: np.ndarray, block_types: np.ndarray,
+                           sample_rate: int) -> np.ndarray:
+    """Device counterpart of transform.granule_spectra for one channel;
+    also accepts [B, n] batches via granule_spectra_device_batch."""
+    out = granule_spectra_device_batch(pcm[None], block_types[None], sample_rate)
+    return out[0]
+
+
+def granule_spectra_device_batch(pcm: np.ndarray, block_types: np.ndarray,
+                                 sample_rate: int) -> np.ndarray:
+    B, n = pcm.shape
+    G = n // SPF
+    bt_oh = (block_types[..., None] == np.arange(4)).astype(np.float32)
+    xr = _jitted(sample_rate)(jnp.asarray(pcm[:, : G * SPF], jnp.float32),
+                              jnp.asarray(bt_oh))
+    return np.asarray(xr).astype(np.float64)
