@@ -28,9 +28,20 @@ def _enable_jit_cache():
             "MP3TPU_JIT_CACHE",
             _os.path.join(_os.path.expanduser("~"), ".cache", "mp3tpu_jax"))
         if cache and cache != "0":
-            _os.makedirs(cache, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            # CPU AOT entries are machine-feature-pinned (noisy warnings
+            # when reloaded on a different host), so cache TPU compiles
+            # only; checking the backend lazily avoids eager device init
+            def _maybe_enable(_cache=cache):
+                try:
+                    if jax.default_backend() == "cpu":
+                        return
+                    _os.makedirs(_cache, exist_ok=True)
+                    jax.config.update("jax_compilation_cache_dir", _cache)
+                    jax.config.update(
+                        "jax_persistent_cache_min_compile_time_secs", 0.5)
+                except Exception:
+                    pass
+            _maybe_enable()
     except Exception:
         pass
 
