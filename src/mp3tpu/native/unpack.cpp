@@ -162,16 +162,93 @@ struct HuffLut {
 
 static HuffLut g_luts[32];
 static HuffLut g_c1[2];
+
+// Sign-fused fast path: for non-escape tables, a single 12-bit peek
+// resolves code + sign bits for the common case (entry 0 -> fall back
+// to the exact 2-level LUT). Count1 quads fuse code + 4 signs the same
+// way (10-bit peek).
+struct FastLut {
+    // entry: bit31 valid | bits(5) << 24 | (sx+64) << 8 | (sy+64)
+    std::vector<uint32_t> tab;  // 4096
+};
+static FastLut g_fast[32];
+struct FastC1 {
+    // entry: bit31 valid | bits(4) << 24 | 4 x (v+1) 2-bit fields
+    std::vector<uint32_t> tab;  // 1024
+};
+static FastC1 g_fastc1[2];
 static bool g_init = false;
+
+static void build_fast(FastLut* f, const HuffSpec& s) {
+    if (s.linbits || s.n == 0) return;  // escape tables keep the slow path
+    f->tab.assign(4096, 0);
+    for (int i = 0; i < s.n; i++) {
+        int l = s.lens[i];
+        if (!l) continue;
+        int x = i / s.ylen, y = i % s.ylen;
+        for (int sxb = 0; sxb < (x ? 2 : 1); sxb++)
+            for (int syb = 0; syb < (y ? 2 : 1); syb++) {
+                int total = l + (x ? 1 : 0) + (y ? 1 : 0);
+                if (total > 12) continue;
+                uint32_t pat = s.codes[i];
+                if (x) pat = (pat << 1) | sxb;
+                if (y) pat = (pat << 1) | syb;
+                int sx = sxb ? -x : x, sy = syb ? -y : y;
+                uint32_t entry = 0x80000000u | (uint32_t(total) << 24) |
+                                 (uint32_t(uint8_t(sx + 64)) << 8) |
+                                 uint32_t(uint8_t(sy + 64));
+                uint32_t lo = pat << (12 - total);
+                for (uint32_t k = 0; k < (1u << (12 - total)); k++)
+                    f->tab[lo + k] = entry;
+            }
+    }
+}
+
+static void build_fastc1(FastC1* f, const uint8_t* lens, const uint32_t* codes) {
+    f->tab.assign(1024, 0);
+    for (int i = 0; i < 16; i++) {
+        int l = lens[i];
+        int nset = ((i >> 3) & 1) + ((i >> 2) & 1) + ((i >> 1) & 1) + (i & 1);
+        for (int sgn = 0; sgn < (1 << nset); sgn++) {
+            int total = l + nset;
+            if (total > 10) continue;
+            uint32_t pat = codes[i];
+            int vals[4];
+            int sbit = nset - 1;
+            for (int j = 0; j < 4; j++) {
+                int v = (i >> (3 - j)) & 1;
+                if (v) {
+                    int neg = (sgn >> sbit) & 1;
+                    sbit--;
+                    pat = (pat << 1) | neg;
+                    vals[j] = neg ? -1 : 1;
+                } else {
+                    vals[j] = 0;
+                }
+            }
+            uint32_t entry = 0x80000000u | (uint32_t(total) << 24);
+            for (int j = 0; j < 4; j++)
+                entry |= uint32_t(vals[j] + 1) << (2 * j);
+            uint32_t lo = pat << (10 - total);
+            for (uint32_t k = 0; k < (1u << (10 - total)); k++)
+                f->tab[lo + k] = entry;
+        }
+    }
+}
 
 static void ensure_init() {
     if (g_init) return;
     for (int t = 1; t < 32; t++) {
         const HuffSpec& s = HUFF_SPECS[t];
-        if (s.n) g_luts[t].build(s.lens, s.codes, s.n, s.ylen, s.linbits);
+        if (s.n) {
+            g_luts[t].build(s.lens, s.codes, s.n, s.ylen, s.linbits);
+            build_fast(&g_fast[t], s);
+        }
     }
     g_c1[0].build(COUNT1A_LENS, COUNT1A_CODES, 16, 16, 0);
     g_c1[1].build(COUNT1B_LENS, COUNT1B_CODES, 16, 16, 0);
+    build_fastc1(&g_fastc1[0], COUNT1A_LENS, COUNT1A_CODES);
+    build_fastc1(&g_fastc1[1], COUNT1B_LENS, COUNT1B_CODES);
     g_init = true;
 }
 
@@ -495,6 +572,17 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
         // table 0 = all-zero; ids 4/14 are unused in the spec — corrupt
         // streams selecting them decode as zeros
         if (tid == 0 || g_luts[tid].root.empty()) { pos += 2; continue; }
+        const FastLut& fl = g_fast[tid];
+        if (!fl.tab.empty()) {
+            uint32_t fe = fl.tab[br.peek(12)];
+            if (fe & 0x80000000u) {  // code+signs fused in one lookup
+                br.skip(int((fe >> 24) & 31));
+                out->spec[pos] = int(uint8_t(fe >> 8)) - 64;
+                out->spec[pos + 1] = int(uint8_t(fe)) - 64;
+                pos += 2;
+                continue;
+            }
+        }
         const HuffLut& lut = g_luts[tid];
         uint16_t e = lut.decode(br);
         int x = (e >> 4) & 15, y = e & 15;
@@ -507,7 +595,18 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
         pos += 2;
     }
     const HuffLut& c1 = g_c1[g.count1table_select];
+    const FastC1& fc1 = g_fastc1[g.count1table_select];
     while (br.pos < end_pos && pos <= 572) {
+        uint32_t fe = fc1.tab[br.peek(10)];
+        if (fe & 0x80000000u) {
+            br.skip(int((fe >> 24) & 15));
+            out->spec[pos + 0] = int((fe >> 0) & 3) - 1;
+            out->spec[pos + 1] = int((fe >> 2) & 3) - 1;
+            out->spec[pos + 2] = int((fe >> 4) & 3) - 1;
+            out->spec[pos + 3] = int((fe >> 6) & 3) - 1;
+            pos += 4;
+            continue;
+        }
         uint16_t e = c1.decode(br);
         int quad = e & 0xFF;
         for (int j = 0; j < 4; j++) {
