@@ -56,9 +56,12 @@ struct BitReader {  // MSB-first over a bounded buffer
     void skip(int n) { pos += n; }
 };
 
-// granule-bounded reader: bits beyond `limit_bits` read as zero
+// granule-bounded reader: bits beyond `limit_bits` read as zero.
+// Fixed-capacity buffer (part2_3_length is a 12-bit field, so a granule
+// spans at most 512 bytes + guard) — no per-granule heap traffic.
 struct GranuleBits {
-    std::vector<uint8_t> buf;  // zero-guarded copy
+    static const size_t CAP = 544;
+    uint8_t buf[CAP];
     size_t pos = 0;            // bits consumed within the granule
     size_t nbits = 0;
 
@@ -68,24 +71,25 @@ struct GranuleBits {
         size_t first = bit_off >> 3;
         size_t last = (bit_off + bits + 7) >> 3;
         int lead = int(bit_off - first * 8);
-        size_t need = last - first + 16;
-        buf.assign(need, 0);
+        size_t span = last - first;          // <= 513
+        size_t copied = 0;
         if (first < base_len) {
             size_t avail = base_len - first;
-            memcpy(buf.data(), base + first, avail < last - first ? avail : last - first);
+            copied = avail < span ? avail : span;
+            memcpy(buf, base + first, copied);
         }
+        // zero the (short) region after the copied data + 16-byte guard
+        memset(buf + copied, 0, (span - copied) + 16);
         // clear leading bits of first byte
         if (lead) buf[0] &= uint8_t(0xFFu >> lead);
-        // clear bits past the granule end
+        // clear bits past the granule end (at most the final data byte;
+        // everything beyond it is already zero)
         size_t endbit = lead + bits;
         size_t endbyte = endbit >> 3;
         int rem = int(endbit & 7);
-        if (endbyte < buf.size()) {
-            if (rem)
-                buf[endbyte] &= uint8_t(0xFFu << (8 - rem));
-            else if (endbyte < buf.size())
-                buf[endbyte] = 0;
-            for (size_t i = endbyte + 1; i < buf.size(); i++) buf[i] = 0;
+        if (endbyte < copied) {
+            buf[endbyte] &= uint8_t(rem ? (0xFFu << (8 - rem)) : 0);
+            memset(buf + endbyte + (rem ? 1 : 0), 0, copied - endbyte - (rem ? 1 : 0));
         }
         lead_ = lead;
     }
@@ -95,7 +99,7 @@ struct GranuleBits {
         size_t p = pos + lead_;
         size_t byte = p >> 3;
         int sh = int(p & 7);
-        uint64_t acc = be64(buf.data() + byte);
+        uint64_t acc = be64(buf + byte);
         return uint32_t((acc << sh) >> (64 - n));
     }
     uint32_t read(int n) {
