@@ -10,7 +10,8 @@ import numpy as np
 
 from ..container.frames import BITRATES_V1_L3
 from .huffcode import encode_granule
-from .mux import FrameSizer, build_frame, build_xing_frame, frame_capacity_bits
+from .mux import (FrameSizer, ReservoirMux, build_frame, build_xing_frame,
+                  frame_capacity_bits)
 from .psymodel import block_type_sequence, masking_thresholds
 from .quantize import inner_rate_loop, outer_distortion_loop
 from .transform import granule_spectra
@@ -23,7 +24,7 @@ SR_IDX = {44100: 0, 48000: 1, 32000: 2}
 def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                gapless_tag: bool = True, short_blocks: bool = True,
                joint_stereo: bool = True, noise_shaping: bool = False,
-               device_transform: bool = False) -> bytes:
+               device_transform: bool = False, reservoir: bool = True) -> bytes:
     """Encode float PCM [-1, 1], shape [n] or [n, ch], to MP3 bytes.
 
     MPEG-1 rates (44100/48000/32000); 1 or 2 channels. CBR at `bitrate`
@@ -35,6 +36,8 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     device_transform runs E1+E2 (analysis filterbank + MDCT) on the
     TPU as one batched jitted call (SURVEY.md §3.4); the float64 numpy
     transform is the default reference path.
+    reservoir enables bit-reservoir coding (granules borrow capacity
+    that quieter earlier granules left unused, ISO §2.4.1.7).
     """
     if sample_rate not in SR_IDX:
         raise ValueError(f"unsupported sample rate {sample_rate} "
@@ -72,12 +75,24 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                        for c in range(nch)], axis=1)
 
     sizer = FrameSizer(sample_rate, bitrate * 1000)
+    mux = ReservoirMux(nch, sr_idx, br_idx,
+                       FrameSizer(sample_rate, bitrate * 1000)) if reservoir else None
     frames = []
     n_frames = G // 2
     s2 = 1.0 / np.sqrt(2.0)
+    # per-granule energy for demand-weighted reservoir draws
+    g_energy = (xr ** 2).sum(axis=(1, 2)) + 1e-12
+    med_energy = float(np.median(g_energy))
     for f in range(n_frames):
         frame_bytes, padbit = sizer.next()
         budget = frame_capacity_bits(frame_bytes, nch) // (2 * nch) - 8
+        if mux is not None:
+            # loud/transient frames borrow from the reservoir
+            draw_total = min(mux.reservoir_bits, 3000)
+            f_energy = float(g_energy[f * 2: f * 2 + 2].sum())
+            loud = f_energy > 2.0 * med_energy or                 (bts[f * 2: f * 2 + 2] == 2).any()
+            budget += (draw_total if loud else draw_total // 8) // (2 * nch)
+            budget = min(budget, 3900)
         fx = xr[f * 2: f * 2 + 2].copy()          # [2, nch, 576]
         # per-frame mid/side decision: MS when the side channel is weak
         # (the decoder applies the 1/sqrt2 butterfly; its exact inverse
@@ -105,10 +120,13 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                     ix, gg = inner_rate_loop(fx[gr, c], budget, sample_rate, bt)
                     chs.append(encode_granule(ix, gg, sample_rate, bt))
             granules.append(chs)
-        frames.append(build_frame(granules, nch, sr_idx, br_idx,
-                                  frame_bytes, padbit, ms=ms))
+        if mux is not None:
+            mux.add_frame(granules, ms)
+        else:
+            frames.append(build_frame(granules, nch, sr_idx, br_idx,
+                                      frame_bytes, padbit, ms=ms))
 
-    out = b"".join(frames)
+    out = mux.finish() if mux is not None else b"".join(frames)
     if gapless_tag:
         xing_bytes = FrameSizer(sample_rate, bitrate * 1000).next()[0]
         xing = build_xing_frame(nch, sr_idx, br_idx, xing_bytes,

@@ -126,3 +126,68 @@ def build_xing_frame(nch: int, sr_idx: int, br_idx: int, frame_bytes: int,
     body += bytes(lame)
     assert len(body) <= frame_bytes
     return bytes(body) + b"\x00" * (frame_bytes - len(body))
+
+
+class ReservoirMux:
+    """Bit-reservoir frame assembly (SURVEY.md E6, ISO §2.4.1.7):
+    granule main data forms one logical bit stream; each frame's header
+    points back (main_data_begin <= 511 bytes) to where its granules
+    start, so loud granules can borrow capacity that quiet ones left
+    unused. Each frame's granule group starts byte-aligned (decoders
+    index the stream in bytes).
+    """
+
+    MAX_BACK = 400  # keep main_data_begin comfortably below the 511 cap
+
+    def __init__(self, nch: int, sr_idx: int, br_idx: int, sizer: "FrameSizer"):
+        self.nch = nch
+        self.sr_idx = sr_idx
+        self.br_idx = br_idx
+        self.sizer = sizer
+        self.stream = BitWriter()       # logical main-data stream
+        self.frames: list[tuple] = []   # (granules, ms, frame_bytes, pad, mdb)
+        self.placed_bytes = 0           # capacity of frames so far
+
+    @property
+    def reservoir_bits(self) -> int:
+        """unused capacity so far = borrowable bits for the next frame."""
+        return self.placed_bytes * 8 - len(self.stream)
+
+    def add_frame(self, granules, ms: bool) -> None:
+        """granules: [2][nch] CodedGranule (bits already encoded)."""
+        frame_bytes, pad = self.sizer.next()
+        cap_bits = frame_capacity_bits(frame_bytes, self.nch)
+        mdb = self.placed_bytes - len(self.stream) // 8
+        assert 0 <= mdb <= 511, mdb
+        for gr in range(2):
+            for ch in range(self.nch):
+                self.stream.put_bits(granules[gr][ch].bits)
+        # frame data groups start byte-aligned in the logical stream
+        while len(self.stream) % 8:
+            self.stream.put(0, 1)
+        self.placed_bytes += cap_bits // 8
+        assert len(self.stream) <= self.placed_bytes * 8, "reservoir overdraft"
+        self.frames.append((granules, ms, frame_bytes, pad, mdb))
+        # cap the back-pointer: dump stuffing when too much is unused
+        excess = self.placed_bytes - len(self.stream) // 8 - self.MAX_BACK
+        if excess > 0:
+            self.stream.put(0, excess * 8)
+
+    def finish(self) -> bytes:
+        data = self.stream.to_bytes()
+        out = []
+        pos = 0  # bytes of the logical stream consumed by physical frames
+        for granules, ms, frame_bytes, pad, mdb in self.frames:
+            w = _header_word(self.sr_idx, self.br_idx, pad, self.nch, ms)
+            side = _side_info(granules, self.nch)
+            # overwrite main_data_begin (first 9 bits of side info)
+            for i in range(9):
+                side.bits[i] = (mdb >> (8 - i)) & 1
+            w.put_bits(side)
+            hdr = w.to_bytes()
+            cap = frame_bytes - len(hdr)
+            chunk = data[pos: pos + cap]
+            chunk += b"\x00" * (cap - len(chunk))
+            out.append(hdr + chunk)
+            pos += cap
+        return b"".join(out)
