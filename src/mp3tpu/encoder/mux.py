@@ -1,11 +1,11 @@
 """Bitstream assembly (SURVEY.md E6) — ISO 11172-3 §2.4.1 syntax writer.
 
-CBR frames with the standard padding-slot accumulator; bit reservoir is
-intentionally disabled (main_data_begin = 0 in every frame): each
-granule is rate-looped to its in-frame budget, trading a little
-efficiency for random access and simpler muxing. First frame carries a
-Xing + LAME-format tag (frame count, byte count, seek TOC, encoder
-delay/padding for gapless decode).
+CBR frames with the standard padding-slot accumulator. Two muxing
+modes: ReservoirMux (default; granule data forms one logical stream
+with main_data_begin back-pointers so loud granules borrow capacity)
+and simple per-frame assembly (main_data_begin = 0, random-access
+friendly). First frame carries a Xing + LAME-format tag (frame count,
+byte count, seek TOC, encoder delay/padding for gapless decode).
 """
 from __future__ import annotations
 
