@@ -3,9 +3,10 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Config: BASELINE.json config 3 shape — batched multi-stream decode of
-44.1 kHz joint-stereo CBR 128k MP3 (256 streams), end-to-end: host
-bitstream unpack (C++ fast path, single core) + TPU granule pipeline.
+Config: BASELINE.json config 3 — batched multi-stream decode of
+44.1 kHz joint-stereo CBR 128k MP3 (256 streams) PLUS polyphase
+resampling to 48 kHz, end-to-end: host bitstream unpack (C++ fast
+path, single core) + TPU granule pipeline + fused device resampler.
 Baseline target is 1000x realtime aggregate (BASELINE.md); value is
 seconds of audio decoded per wall second on one chip.
 """
@@ -121,18 +122,20 @@ def main():
 
     # one-time jit compile (untimed warmup: once per deployment, served
     # from the persistent compilation cache in production; SURVEY.md §3.5)
-    call = lambda w, st_: kp.decode_window_packed_i16(
-        dev[w][0], d_esc[w, ..., 0], d_esc[w, ..., 1], dev[w][1],
-        d_bt[w], d_mx[w], d_sm[w], st_, sr)
-    pcm16, _ = call(0, kp.init_state(S))
+    def call(w, st_, rst_):
+        return kp.decode_window_packed_resampled_i16(
+            dev[w][0], d_esc[w, ..., 0], d_esc[w, ..., 1], dev[w][1],
+            d_bt[w], d_mx[w], d_sm[w], st_, rst_, sr, 48000)
+    pcm16, _, _ = call(0, kp.init_state(S), kp.init_resample_state(S, sr))
     pcm16.block_until_ready()
 
     # phase 2b: windowed device decode over staged inputs
     t2 = time.perf_counter()
     state = kp.init_state(S)
+    rs_state = kp.init_resample_state(S, sr)
     outs = []
     for w in range(n_win):
-        pcm16, state = call(w, state)
+        pcm16, state, rs_state = call(w, state, rs_state)
         outs.append(pcm16)
     outs[-1].block_until_ready()
     pcm16 = outs[-1]
@@ -142,9 +145,10 @@ def main():
     # device-compute-only reference (inputs already device-resident):
     # isolates MXU pipeline speed from the host<->device tunnel
     state0 = kp.init_state(S)
+    rst0 = kp.init_resample_state(S, sr)
     tc = time.perf_counter()
     for _ in range(5):
-        p0, _ = call(0, state0)
+        p0, _, _ = call(0, state0, rst0)
     p0.block_until_ready()
     t_compute = (time.perf_counter() - tc) / 5
     compute_x = (S * win * 576 / sr) / t_compute

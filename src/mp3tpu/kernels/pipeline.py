@@ -313,3 +313,49 @@ def decode_window_packed_i16(is12, esc_pos, esc_val, exp, block_type, mixed,
     host->device bytes than the int16 plane)."""
     return _jitted_packed_for(sample_rate)(
         is12, esc_pos, esc_val, exp, block_type, mixed, smode, state)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_packed_resample_for(sample_rate: int, out_rate: int):
+    """Packed decode + polyphase resample fused in one dispatch
+    (BASELINE config 3: batched decode + resample to 48 kHz)."""
+    from ..dsp.resample import Resampler
+    tables = build_tables(sample_rate)
+    rs = Resampler(sample_rate, out_rate)
+    kernel = rs.kernel
+    L, M, state_len = rs.L, rs.M, rs.state_len
+
+    @jax.jit
+    def run(is12, esc_pos, esc_val, exp, block_type, mixed, smode, state,
+            rs_state):
+        iv = unpack12(is12, esc_pos, esc_val)
+        pcm, st = granule_pipeline(iv, exp, block_type, mixed, smode, state,
+                                   tables)
+        S = pcm.shape[0]
+        x = jnp.concatenate([rs_state, pcm], axis=1)    # [S, hist+T, 2]
+        lhs = x.transpose(0, 2, 1).reshape(S * 2, 1, x.shape[1])
+        rhs = kernel[None, None, ::-1]
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(M,), padding=[(0, 0)],
+            lhs_dilation=(L,), precision=HIGHEST)
+        out = out.reshape(S, 2, -1).transpose(0, 2, 1)
+        new_rs_state = x[:, -state_len:] if state_len else rs_state
+        return quantize_i16(out), st, new_rs_state
+
+    return run, state_len
+
+
+def decode_window_packed_resampled_i16(is12, esc_pos, esc_val, exp,
+                                       block_type, mixed, smode, state,
+                                       rs_state, sample_rate: int,
+                                       out_rate: int = 48000):
+    run, _ = _jitted_packed_resample_for(sample_rate, out_rate)
+    return run(is12, esc_pos, esc_val, exp, block_type, mixed, smode,
+               state, rs_state)
+
+
+def init_resample_state(n_streams: int, sample_rate: int,
+                        out_rate: int = 48000, n_channels: int = 2):
+    from ..dsp.resample import Resampler
+    rs = Resampler(sample_rate, out_rate)
+    return jnp.zeros((n_streams, rs.state_len, n_channels), jnp.float32)
