@@ -80,3 +80,36 @@ def test_packed_overflow_falls_back():
     sm = np.zeros((G, 64), np.uint8)
     ok = unpack_native_into12(mp3, G, None, exp, bt, mx, sm, is12, esc)
     assert not ok
+
+
+@pytest.mark.skipif(not available(), reason="native unpacker unavailable")
+def test_fused_resample_matches_reference():
+    """decode+resample fused jit == decode then dsp.Resampler."""
+    pytest.importorskip("lameref")
+    from mp3tpu.dsp.resample import Resampler
+    mp3 = fixtures.lame_fixture("sweep", ch=2, bitrate=128, mode="jstereo")
+    st = unpack_native(mp3)
+    G = st.n_granules
+    is12 = np.zeros((G, 2, 864), np.uint8)
+    esc = np.zeros((G, 2, 16, 2), np.int16)
+    exp = np.zeros((G, 2, 64), np.int16)
+    bt = np.zeros((G, 2), np.int8)
+    mx = np.zeros((G, 2), np.uint8)
+    sm = np.zeros((G, 64), np.uint8)
+    assert unpack_native_into12(mp3, G, None, exp, bt, mx, sm, is12, esc)
+    W = 32
+    args = (jnp.asarray(is12[:W][None]),
+            jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 0])[None]),
+            jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 1])[None]),
+            jnp.asarray(exp[:W][None]), jnp.asarray(bt[:W][None]),
+            jnp.asarray(mx[:W][None].astype(bool)), jnp.asarray(sm[:W][None]))
+    fused, _, _ = kp.decode_window_packed_resampled_i16(
+        *args, kp.init_state(1), kp.init_resample_state(1, 44100), 44100, 48000)
+    pcm, _ = kp.decode_window_packed_i16(*args, kp.init_state(1), 44100)
+    rs = Resampler(44100, 48000)
+    ref, _ = rs(jnp.asarray(np.asarray(pcm)[0].astype(np.float32) / 32768.0))
+    ref16 = np.asarray(kp.quantize_i16(ref))
+    got = np.asarray(fused)[0]
+    n = min(len(got), len(ref16))
+    d = np.abs(got[:n].astype(np.int32) - ref16[:n].astype(np.int32))
+    assert d.max() <= 1  # fused path quantizes once; reference twice
