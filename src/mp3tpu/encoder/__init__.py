@@ -24,7 +24,8 @@ SR_IDX = {44100: 0, 48000: 1, 32000: 2}
 def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                gapless_tag: bool = True, short_blocks: bool = True,
                joint_stereo: bool = True, noise_shaping: bool = False,
-               device_transform: bool = False, reservoir: bool = True) -> bytes:
+               device_transform: bool = False, reservoir: bool = True,
+               vbr_quality: int | None = None) -> bytes:
     """Encode float PCM [-1, 1], shape [n] or [n, ch], to MP3 bytes.
 
     MPEG-1 rates (44100/48000/32000); 1 or 2 channels. CBR at `bitrate`
@@ -38,6 +39,10 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     transform is the default reference path.
     reservoir enables bit-reservoir coding (granules borrow capacity
     that quieter earlier granules left unused, ISO §2.4.1.7).
+    vbr_quality (0 best .. 9 smallest) switches to constant-quality VBR:
+    each granule is quantized at a fixed quality step and every frame
+    gets the smallest bitrate that fits; the Xing frame carries a real
+    byte TOC for seeking.
     """
     if sample_rate not in SR_IDX:
         raise ValueError(f"unsupported sample rate {sample_rate} "
@@ -74,6 +79,9 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
         xr = np.stack([granule_spectra(padded[:, c], bts, sample_rate)
                        for c in range(nch)], axis=1)
 
+    vbr = vbr_quality is not None
+    if vbr:
+        reservoir = True  # VBR uses the stream mux
     sizer = FrameSizer(sample_rate, bitrate * 1000)
     mux = ReservoirMux(nch, sr_idx, br_idx,
                        FrameSizer(sample_rate, bitrate * 1000)) if reservoir else None
@@ -83,6 +91,8 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     # per-granule energy for demand-weighted reservoir draws
     g_energy = (xr ** 2).sum(axis=(1, 2)) + 1e-12
     med_energy = float(np.median(g_energy))
+    from .huffcode import count_granule_bits
+    from .quantize import IX_MAX, quantize
     for f in range(n_frames):
         frame_bytes, padbit = sizer.next()
         budget = frame_capacity_bits(frame_bytes, nch) // (2 * nch) - 8
@@ -97,14 +107,63 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
         # per-frame mid/side decision: MS when the side channel is weak
         # (the decoder applies the 1/sqrt2 butterfly; its exact inverse
         # is applied here — the butterfly is orthogonal)
-        ms = False
+        ms = ms_flag = False
         if nch == 2 and joint_stereo:
             mid = (fx[:, 0] + fx[:, 1]) * s2
             side = (fx[:, 0] - fx[:, 1]) * s2
             e_s, e_m = (side ** 2).sum(), (mid ** 2).sum()
             if e_s < 0.5 * e_m:
-                ms = True
+                ms = ms_flag = True
                 fx[:, 0], fx[:, 1] = mid, side
+        if vbr:
+            # constant-quality quantization, then the smallest bitrate
+            # whose capacity (plus reservoir) fits this frame
+            chs_all = []
+            need = 0
+            for gr in range(2):
+                row = []
+                for c in range(nch):
+                    bt = int(bts[f * 2 + gr])
+                    x = fx[gr, c]
+                    amax = float(np.abs(x).max())
+                    gg = 210
+                    if amax > 0:
+                        while (amax * 2.0 ** (-(gg - 210) / 4.0)) ** 0.75 > IX_MAX:
+                            gg += 1
+                        while gg > 0 and (amax * 2.0 ** (-(gg - 1 - 210) / 4.0)) ** 0.75 <= IX_MAX:
+                            gg -= 1
+                    gg = min(gg + 12 + 3 * vbr_quality, 255)
+                    ix = quantize(x, gg)
+                    bits = count_granule_bits(ix, sample_rate, bt)
+                    need += min(bits, 4000)
+                    row.append((ix, gg, bt, bits))
+                chs_all.append(row)
+            chosen = 14
+            for bi in range(1, 15):
+                fb_try = (1152 // 8) * BITRATES_V1_L3[bi] * 1000 // sample_rate
+                cap = frame_capacity_bits(fb_try, nch)
+                if cap + min(mux.reservoir_bits, 2000) >= need + 64:
+                    chosen = bi
+                    break
+            fb_sel = (1152 // 8) * BITRATES_V1_L3[chosen] * 1000 // sample_rate
+            cap = frame_capacity_bits(fb_sel, nch)
+            granules = []
+            for gr in range(2):
+                out_row = []
+                for c in range(nch):
+                    ix, gg, bt, bits = chs_all[gr][c]
+                    if bits > 4000 or need > cap + mux.reservoir_bits:
+                        # re-fit to the per-granule share of the max frame
+                        ix, gg = inner_rate_loop(
+                            fx[gr, c], cap // (2 * nch) - 8, sample_rate, bt)
+                    out_row.append(encode_granule(ix, gg, sample_rate, bt))
+                granules.append(out_row)
+            ms = False
+            if nch == 2 and joint_stereo:
+                pass  # fx already MS-transformed above when chosen
+            mux.add_frame(granules, ms_flag, br_idx=chosen,
+                          frame_bytes=fb_sel, pad=0)
+            continue
         granules = []
         for gr in range(2):
             chs = []
@@ -129,10 +188,19 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     out = mux.finish() if mux is not None else b"".join(frames)
     if gapless_tag:
         xing_bytes = FrameSizer(sample_rate, bitrate * 1000).next()[0]
+        toc = None
+        if vbr and mux is not None:
+            sizes = np.asarray([fr[2] for fr in mux.frames], np.float64)
+            cum = np.concatenate([[0.0], np.cumsum(sizes)])
+            total = max(cum[-1], 1.0)
+            marks = (np.arange(100) / 100.0) * len(sizes)
+            toc = bytes(np.clip(
+                np.interp(marks, np.arange(len(cum)), cum) / total * 256.0,
+                0, 255).astype(np.uint8))
         xing = build_xing_frame(nch, sr_idx, br_idx, xing_bytes,
                                 n_frames=n_frames,
                                 n_bytes=len(out) + xing_bytes,
                                 encoder_delay=ENCODER_DELAY,
-                                encoder_padding=enc_padding)
+                                encoder_padding=enc_padding, toc=toc)
         out = xing + out
     return out

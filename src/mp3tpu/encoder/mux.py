@@ -105,7 +105,7 @@ def build_frame(granules, nch: int, sr_idx: int, br_idx: int,
 
 def build_xing_frame(nch: int, sr_idx: int, br_idx: int, frame_bytes: int,
                      n_frames: int, n_bytes: int, encoder_delay: int,
-                     encoder_padding: int) -> bytes:
+                     encoder_padding: int, toc: bytes | None = None) -> bytes:
     """Metadata-only first frame: Xing flags+frames+bytes+TOC+quality,
     then a LAME-format tag carrying delay/padding (gapless)."""
     empty = [[CodedGranule() for _ in range(nch)] for _ in range(2)]
@@ -116,7 +116,8 @@ def build_xing_frame(nch: int, sr_idx: int, br_idx: int, frame_bytes: int,
     body += (0xF).to_bytes(4, "big")           # frames|bytes|toc|quality
     body += n_frames.to_bytes(4, "big")
     body += n_bytes.to_bytes(4, "big")
-    body += bytes((np.arange(100) * 256 // 100).astype(np.uint8))  # linear TOC (CBR)
+    body += (toc if toc is not None
+             else bytes((np.arange(100) * 256 // 100).astype(np.uint8)))
     body += (100).to_bytes(4, "big")
     lame = bytearray(b"LAME3.100")              # tag magic + version field
     lame += b"\x00" * 12                        # revision/quality/peak/gain fields
@@ -142,10 +143,10 @@ class ReservoirMux:
     def __init__(self, nch: int, sr_idx: int, br_idx: int, sizer: "FrameSizer"):
         self.nch = nch
         self.sr_idx = sr_idx
-        self.br_idx = br_idx
+        self.br_idx = br_idx            # default (CBR) bitrate index
         self.sizer = sizer
         self.stream = BitWriter()       # logical main-data stream
-        self.frames: list[tuple] = []   # (granules, ms, frame_bytes, pad, mdb)
+        self.frames: list[tuple] = []   # (granules, ms, frame_bytes, pad, mdb, br_idx)
         self.placed_bytes = 0           # capacity of frames so far
 
     @property
@@ -153,9 +154,14 @@ class ReservoirMux:
         """unused capacity so far = borrowable bits for the next frame."""
         return self.placed_bytes * 8 - len(self.stream)
 
-    def add_frame(self, granules, ms: bool) -> None:
-        """granules: [2][nch] CodedGranule (bits already encoded)."""
-        frame_bytes, pad = self.sizer.next()
+    def add_frame(self, granules, ms: bool, br_idx: int | None = None,
+                  frame_bytes: int | None = None, pad: int = 0) -> None:
+        """granules: [2][nch] CodedGranule (bits already encoded).
+        br_idx/frame_bytes override the CBR sizer for VBR frames."""
+        if frame_bytes is None:
+            frame_bytes, pad = self.sizer.next()
+        if br_idx is None:
+            br_idx = self.br_idx
         cap_bits = frame_capacity_bits(frame_bytes, self.nch)
         mdb = self.placed_bytes - len(self.stream) // 8
         assert 0 <= mdb <= 511, mdb
@@ -167,7 +173,7 @@ class ReservoirMux:
             self.stream.put(0, 1)
         self.placed_bytes += cap_bits // 8
         assert len(self.stream) <= self.placed_bytes * 8, "reservoir overdraft"
-        self.frames.append((granules, ms, frame_bytes, pad, mdb))
+        self.frames.append((granules, ms, frame_bytes, pad, mdb, br_idx))
         # cap the back-pointer: dump stuffing when too much is unused
         excess = self.placed_bytes - len(self.stream) // 8 - self.MAX_BACK
         if excess > 0:
@@ -177,8 +183,8 @@ class ReservoirMux:
         data = self.stream.to_bytes()
         out = []
         pos = 0  # bytes of the logical stream consumed by physical frames
-        for granules, ms, frame_bytes, pad, mdb in self.frames:
-            w = _header_word(self.sr_idx, self.br_idx, pad, self.nch, ms)
+        for granules, ms, frame_bytes, pad, mdb, br_idx in self.frames:
+            w = _header_word(self.sr_idx, br_idx, pad, self.nch, ms)
             side = _side_info(granules, self.nch)
             # overwrite main_data_begin (first 9 bits of side info)
             for i in range(9):
