@@ -48,4 +48,4 @@ def _enable_jit_cache():
 
 _enable_jit_cache()
 
-from .api import decode, decode_batch, encode, play  # noqa: F401
+from .api import decode, decode_batch, encode, init, play  # noqa: F401

@@ -1,5 +1,41 @@
-"""Public API (SURVEY.md L5). Full implementations land with the kernels."""
+"""Public API (SURVEY.md L5)."""
 from __future__ import annotations
+
+_INITIALIZED = False
+
+
+def init(config=None, sample_rates=(44100,), n_streams: int = 1,
+         distributed_coordinator: str | None = None,
+         num_processes: int | None = None, process_id: int | None = None):
+    """Framework bring-up (SURVEY.md §3.5): resolve config, initialize
+    multi-host jax.distributed when requested, generate + device_put the
+    constant tables, and warm-trace the decode pipeline at the configured
+    batch shape so the first real decode hits a compiled program (the
+    cold-start underrun that made the reference player need restarts
+    is exactly a first-buffer compile stall).
+
+    Returns the resolved Config.
+    """
+    global _INITIALIZED
+    from .config import Config, resolve
+    from .parallel.distributed import init_distributed
+    cfg = config if config is not None else resolve()
+    init_distributed(distributed_coordinator, num_processes, process_id)
+    import jax.numpy as jnp
+    import numpy as np
+    from .kernels import pipeline as kp
+    for sr in sample_rates:
+        kp.build_tables(sr)
+        W = cfg.decode.window_granules
+        S = max(n_streams, 1)
+        zeros = lambda shape, dt: jnp.asarray(np.zeros(shape, dt))
+        pcm, _ = kp.decode_window_i16(
+            zeros((S, W, 2, 576), np.int16), zeros((S, W, 2, 64), np.int16),
+            zeros((S, W, 2), np.int8), zeros((S, W, 2), bool),
+            zeros((S, W, 64), np.uint8), kp.init_state(S), sr)
+        pcm.block_until_ready()
+    _INITIALIZED = True
+    return cfg
 
 
 def decode(path_or_bytes, **kw):
