@@ -40,7 +40,7 @@ def _header_word(sr_idx: int, br_idx: int, padding: int, nch: int,
 def _side_info(granules, nch: int) -> BitWriter:
     """granules: [2][nch] CodedGranule."""
     w = BitWriter()
-    w.put(0, 9)                       # main_data_begin (reservoir off)
+    w.put(0, 9)                       # main_data_begin (ReservoirMux patches this)
     w.put(0, 5 if nch == 1 else 3)    # private bits
     for _ch in range(nch):
         w.put(0, 4)                   # scfsi (no sharing)
