@@ -1,0 +1,74 @@
+"""Scheduler/ring-buffer stress (SURVEY.md §5.2): tiny buffers, many
+streams, concurrent consumer — no deadlock, no data corruption, and
+underruns only when the consumer outpaces production."""
+import threading
+
+import numpy as np
+import pytest
+
+from mp3tpu.pipeline import decode_file
+from mp3tpu.player import RingBuffer, StreamScheduler
+from mp3tpu.player.sink import Sink
+
+import fixtures
+
+
+class RingSink(Sink):
+    def __init__(self, ring):
+        self.ring = ring
+        self.pushed = 0
+
+    def push(self, pcm):
+        # spin until space (producer-side backpressure)
+        off = 0
+        while off < len(pcm):
+            n = self.ring.push(pcm[off:])
+            off += n
+            if n == 0:
+                threading.Event().wait(0.001)
+
+
+def test_scheduler_into_tiny_rings_with_consumers():
+    pytest.importorskip("lameref")
+    mp3 = fixtures.lame_fixture("sweep", ch=2, bitrate=128, mode="jstereo")
+    ref, _ = decode_file(mp3, gapless=False)
+
+    n_streams = 6
+    rings = [RingBuffer(4096, 2) for _ in range(n_streams)]
+    sinks = [RingSink(r) for r in rings]
+    outs = [[] for _ in range(n_streams)]
+    done = threading.Event()
+
+    def consumer(i):
+        while True:
+            chunk = rings[i].pop(512)
+            nz = len(chunk)
+            outs[i].append(chunk)
+            if done.is_set() and rings[i].fill == 0:
+                break
+
+    threads = [threading.Thread(target=consumer, args=(i,), daemon=True)
+               for i in range(n_streams)]
+    for t in threads:
+        t.start()
+
+    sched = StreamScheduler(n_slots=3, win=16, sample_rate=44100)
+    for i in range(n_streams):
+        sched.submit(mp3, sink=sinks[i], stream_id=i, apply_gapless=False)
+    sched.run()
+    done.set()
+    for t in threads:
+        t.join(timeout=30)
+        assert not t.is_alive(), "consumer deadlocked"
+
+    for i in range(n_streams):
+        got = np.concatenate(outs[i])
+        # drop the zero-padding pops the consumer made while starved
+        # (pop returns zero-filled frames on underrun by design): compare
+        # the nonzero payload stream against the reference prefix
+        flat = got[(got != 0).any(axis=1)]
+        refnz = ref[(ref != 0).any(axis=1)]
+        n = min(len(flat), len(refnz))
+        assert n > 30000
+        assert np.array_equal(flat[:n], refnz[:n])
+    assert sched.metrics.streams_finished == n_streams
