@@ -1,0 +1,113 @@
+"""Supplementary benchmark: one JSON line per BASELINE.json eval config.
+
+(bench.py remains the driver-facing headline metric = config 3.)
+
+  1 Layer-III CBR 128k 44.1k stereo single-file decode to int16
+  2 VBR joint-stereo decode (Xing headers, MS blocks)
+  3 Batched 256-stream decode + polyphase resample to 48 kHz
+  4 Player pipeline: ID3 parse, seek, gapless trim, volume/EQ DSP
+  5 Encode path: analysis filterbank + MDCT + psymodel + Huffman coding
+
+Run: python bench_configs.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+
+import numpy as np
+
+
+def _signal(seconds, sr=44100):
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    k = np.log(15000.0 / 40.0)
+    ph = 2 * np.pi * 40.0 * (np.exp(t / t[-1] * k) - 1) * t[-1] / k
+    rng = np.random.default_rng(7)
+    sig = 0.35 * np.sin(ph) + 0.15 * np.sin(2.1 * ph) + 0.02 * rng.standard_normal(n)
+    return np.stack([sig, 0.8 * sig + 0.05 * np.sin(3.3 * ph)], 1)
+
+
+def report(name, audio_s, wall_s, extra=None):
+    line = {"config": name, "audio_seconds": round(audio_s, 1),
+            "wall_seconds": round(wall_s, 3),
+            "x_realtime": round(audio_s / wall_s, 1)}
+    if extra:
+        line.update(extra)
+    print(json.dumps(line))
+
+
+def main():
+    import lameref
+    from mp3tpu.pipeline import decode_file
+    from mp3tpu.player import Player
+
+    pcm10 = _signal(10.0)
+    cbr = lameref.encode(np.clip(pcm10, -0.99, 0.99), 44100,
+                         bitrate=128, mode="jstereo")
+    vbr = lameref.encode(np.clip(pcm10, -0.99, 0.99), 44100,
+                         vbr=True, mode="jstereo", force_ms=True)
+
+    # configs 1/2: single-file decode via the single-dispatch
+    # sequence-parallel path (2-granule-halo chunks, SURVEY.md P3) —
+    # one device call instead of per-window round-trips
+    from mp3tpu.kernels.pipeline import quantize_i16
+    from mp3tpu.pipeline import decode_symbols_chunked, load_symbols
+    import jax.numpy as jnp
+
+    def single(data):
+        st, info, _ = load_symbols(data)
+        pcm = decode_symbols_chunked(st, chunk_granules=32)
+        out = np.asarray(quantize_i16(jnp.asarray(pcm)))
+        return out, st.sample_rate
+
+    single(cbr)  # warm compile
+    t0 = time.perf_counter()
+    out, sr = single(cbr)
+    report("1_single_file_cbr_decode", len(out) / sr, time.perf_counter() - t0)
+
+    single(vbr)
+    t0 = time.perf_counter()
+    out, sr = single(vbr)
+    report("2_vbr_joint_stereo_decode", len(out) / sr, time.perf_counter() - t0)
+
+    # config 3: delegated to bench.py (the headline metric)
+    print(json.dumps({"config": "3_batched_256_resample48k",
+                      "see": "bench.py (headline metric)"}))
+
+    # config 4: player pipeline — ID3+seek+gapless+gain+EQ chain.
+    # Session run twice; the second run reports steady state (first-run
+    # jit compiles go to the persistent cache in production).
+    def player_session():
+        p = Player(cbr, gain_db=-3.0,
+                   eq_gains_db=[0, 0, 1, 2, 0, -2, 0, 1, 0, 0])
+        t0 = time.perf_counter()
+        p.seek(2.0)
+        emitted = p.play()
+        return emitted, time.perf_counter() - t0, p.metrics.seeks
+    player_session()
+    emitted, wall, seeks = player_session()
+    report("4_player_seek_gapless_dsp", emitted / 44100, wall,
+           {"seeks": seeks})
+
+    # config 5: encode path (analysis+MDCT+psymodel+rate loop+Huffman+mux)
+    from mp3tpu.encoder import encode_pcm
+    sig = pcm10[: 44100 * 2]
+    encode_pcm(sig[: 44100 // 2], 44100)  # warm jit-free paths
+    t0 = time.perf_counter()
+    mp3 = encode_pcm(sig, 44100, bitrate=128)
+    wall = time.perf_counter() - t0
+    report("5_encode_path", len(sig) / 44100, wall,
+           {"bytes": len(mp3), "device_transform": False})
+    t0 = time.perf_counter()
+    mp3 = encode_pcm(sig, 44100, bitrate=128, device_transform=True)
+    wall = time.perf_counter() - t0
+    report("5_encode_path_device_E1E2", len(sig) / 44100, wall,
+           {"bytes": len(mp3)})
+
+
+if __name__ == "__main__":
+    main()

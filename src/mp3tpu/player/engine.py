@@ -29,6 +29,31 @@ from .sink import CollectSink, Sink
 WINDOW_GRANULES = 32  # must match pipeline.WINDOW for bit-identity
 
 
+def _emit_dsp(x, gain, eq_state, kernel):
+    """Jitted gain -> EQ(FIR) -> int16 chain. Module-level (shared jit
+    cache across Player instances); the EQ kernel is a traced argument,
+    so one compile covers any gain/EQ setting at a given shape. A
+    length-1 kernel means "no EQ"."""
+    import jax
+    import jax.numpy as jnp
+    x = x * gain
+    if kernel.shape[-1] > 1:
+        xx = jnp.concatenate([eq_state, x], axis=0)
+        lhs = xx.T[:, None, :]
+        rhs = kernel[None, None, ::-1]
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,), padding=[(0, 0)],
+            precision=jax.lax.Precision.HIGHEST)
+        x = out[:, 0, :].T
+        new_state = xx[-(kernel.shape[-1] - 1):]
+    else:
+        new_state = eq_state
+    return kp.quantize_i16(x), new_state
+
+
+_emit_dsp_jit = None
+
+
 @dataclass
 class Track:
     """Parsed container + unpacked symbols for one stream."""
@@ -89,6 +114,8 @@ class Player:
         else:
             self._start, self._end = 0, st.n_granules * self.spf
         self._pos = self._start       # absolute decoded-sample position
+        self._pending: list = []      # PCM awaiting block-aligned emission
+        self._pending_n = 0
         self._state = None
         self._state_granule = None    # granule the device state is valid for
         self.stopped = False
@@ -153,15 +180,48 @@ class Player:
             self._decode_window_idx(w0)  # discard pre-roll PCM
         self.metrics.seeks += 1
 
+    EMIT_BLOCK = WINDOW_GRANULES * 576  # fixed DSP-emit shape (jit reuse)
+
     def _emit(self, pcm: np.ndarray):
+        """Queue PCM and emit in fixed-size blocks so the jitted DSP
+        chain compiles for exactly one shape (plus one tail shape per
+        track end) — shape diversity is expensive on remote-compile
+        backends. The tail is flushed when playback reaches the end."""
+        self._pending.append(pcm)
+        self._pending_n += len(pcm)
+        while self._pending_n >= self.EMIT_BLOCK:
+            buf = np.concatenate(self._pending) if len(self._pending) > 1                 else self._pending[0]
+            block, rest = buf[: self.EMIT_BLOCK], buf[self.EMIT_BLOCK:]
+            self._pending = [rest] if len(rest) else []
+            self._pending_n = len(rest)
+            self._emit_block(block)
+
+    def _flush_pending(self):
+        if self._pending_n:
+            buf = np.concatenate(self._pending) if len(self._pending) > 1                 else self._pending[0]
+            self._pending = []
+            self._pending_n = 0
+            self._emit_block(buf)
+
+    def _emit_block(self, pcm: np.ndarray):
+        import jax
         import jax.numpy as jnp
-        x = jnp.asarray(pcm)
-        if self.gain_db:
-            from ..dsp.gain import apply_gain
-            x = apply_gain(x, self.gain_db)
+        global _emit_dsp_jit
+        if _emit_dsp_jit is None:
+            _emit_dsp_jit = jax.jit(_emit_dsp)
+        gain = jnp.float32(10.0 ** (self.gain_db / 20.0))
         if self._eq is not None:
-            x, self._eq_state = self._eq(x, self._eq_state)
-        i16 = np.asarray(kp.quantize_i16(x))
+            if self._eq_state is None:
+                self._eq_state = self._eq.init_state(pcm.shape[1])
+            kernel = self._eq.h
+            eq_state = self._eq_state
+        else:
+            kernel = jnp.ones((1,), jnp.float32)
+            eq_state = jnp.zeros((0, pcm.shape[1]), jnp.float32)
+        i16, new_eq_state = _emit_dsp_jit(jnp.asarray(pcm), gain, eq_state, kernel)
+        if self._eq is not None:
+            self._eq_state = new_eq_state
+        i16 = np.asarray(i16)
         self.sink.push(i16)
         self.metrics.samples_out += len(i16)
 
@@ -185,6 +245,8 @@ class Player:
                 self._emit(pcm[lo:hi])
                 emitted += hi - lo
             self._pos = min((w + 1) * wspan, end)
+        # deliver everything the caller asked for before returning
+        self._flush_pending()
         return emitted
 
     def seek(self, seconds: float):
@@ -193,6 +255,10 @@ class Player:
         is rebuilt by a full-window pre-roll)."""
         sample = self._start + int(round(seconds * self.track.sample_rate))
         self._pos = max(self._start, min(sample, self._end))
+        # playback is discontinuous: drop queued PCM, reset the EQ tail
+        self._pending = []
+        self._pending_n = 0
+        self._eq_state = None
 
     def loop(self, a: float, b: float, times: int = 1):
         """Repeat-listen the segment [a, b) seconds `times` times —
