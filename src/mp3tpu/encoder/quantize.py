@@ -17,10 +17,17 @@ MAGIC = 0.4054   # x^(3/4) rounding offset (Annex C reference value)
 IX_MAX = 8206    # largest representable |ix| (escape 15 + 2^13 - 1)
 
 
-def quantize(xr: np.ndarray, global_gain: int) -> np.ndarray:
-    """xr [576] float -> ix [576] int32 with step 2^((gg-210)/4)."""
-    y = np.abs(xr) * 2.0 ** (-(global_gain - 210) / 4.0)
-    ix = np.floor(y ** 0.75 + MAGIC).astype(np.int64)
+def quantize(xr: np.ndarray, global_gain: int,
+             p34: np.ndarray | None = None) -> np.ndarray:
+    """xr [576] float -> ix [576] int32 with step 2^((gg-210)/4).
+
+    p34 optionally carries the precomputed |xr|^0.75 (the power law is
+    hoisted out of the rate loop: (|xr|*s)^0.75 == |xr|^0.75 * s^0.75).
+    """
+    if p34 is None:
+        p34 = np.abs(xr) ** 0.75
+    ix = np.floor(p34 * 2.0 ** (-0.75 * (global_gain - 210) / 4.0) + MAGIC
+                  ).astype(np.int64)
     return (np.sign(xr) * ix).astype(np.int32)
 
 
@@ -30,6 +37,7 @@ def inner_rate_loop(xr: np.ndarray, budget_bits: int, sample_rate: int,
 
     Returns (ix, global_gain). Monotone in gg, so bisect."""
     lo, hi = 0, 255
+    p34 = np.abs(xr) ** 0.75
     # quick lower bound: max |ix| must be <= IX_MAX
     amax = np.abs(xr).max()
     if amax > 0:
@@ -38,7 +46,7 @@ def inner_rate_loop(xr: np.ndarray, budget_bits: int, sample_rate: int,
     best = None
     while lo <= hi:
         mid = (lo + hi) // 2
-        ix = quantize(xr, mid)
+        ix = quantize(xr, mid, p34)
         if np.abs(ix).max() > IX_MAX:
             lo = mid + 1
             continue
