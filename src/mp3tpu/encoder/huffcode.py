@@ -27,33 +27,42 @@ def _len_lut(tid: int) -> tuple[np.ndarray, int, int]:
     return np.asarray(lens, np.int32).reshape(xl, yl), xl, linbits
 
 
+def _count_pair_bits_cached(a, b, mx, nsigns, tid: int) -> int:
+    """count_pair_bits with precomputed |x|,|y| arrays (the rate loop
+    evaluates many candidate tables over the same pairs)."""
+    lut, xl, linbits = _len_lut(tid)
+    if xl < 16 and mx >= xl:
+        return 1 << 30
+    if xl == 16 and mx - 15 >= (1 << linbits):
+        return 1 << 30
+    if xl < 16:
+        bits = int(lut[a, b].sum())
+    else:
+        bits = int(lut[np.minimum(a, 15), np.minimum(b, 15)].sum())
+        bits += linbits * int((a >= 15).sum() + (b >= 15).sum())
+    return bits + nsigns
+
+
 def count_pair_bits(ix: np.ndarray, tid: int) -> int:
     """Total bits to code pairs ix[[n,2]] with table tid (incl. signs,
     linbits); returns a huge number if the table cannot represent them."""
     if tid == 0:
         return 0 if not ix.any() else 1 << 30
-    lut, xl, linbits = _len_lut(tid)
     a = np.abs(ix[:, 0])
     b = np.abs(ix[:, 1])
     mx = max(int(a.max(initial=0)), int(b.max(initial=0)))
-    if xl < 16 and mx >= xl:
-        return 1 << 30
-    if xl == 16 and mx - 15 >= (1 << linbits):
-        return 1 << 30
-    ac = np.minimum(a, xl - 1)
-    bc = np.minimum(b, xl - 1)
-    bits = lut[ac, bc].sum()
-    bits += (a > 0).sum() + (b > 0).sum()
-    if xl == 16:
-        bits += linbits * ((a >= 15).sum() + (b >= 15).sum())
-    return int(bits)
+    nsigns = int((a > 0).sum() + (b > 0).sum())
+    return _count_pair_bits_cached(a, b, mx, nsigns, tid)
 
 
 def best_table(ix_pairs: np.ndarray) -> tuple[int, int]:
     """(table id, bits) minimizing coded size for the given pairs."""
     if not ix_pairs.size or not ix_pairs.any():
         return 0, 0
-    mx = int(np.abs(ix_pairs).max())
+    a = np.abs(ix_pairs[:, 0])
+    b = np.abs(ix_pairs[:, 1])
+    mx = max(int(a.max(initial=0)), int(b.max(initial=0)))
+    nsigns = int((a > 0).sum() + (b > 0).sum())
     cands = [t for t in _PLAIN_TABLES if mx < _len_lut(t)[1]] if mx < 16 else []
     if mx >= 15:
         need = max(mx - 15, 0)
@@ -64,7 +73,7 @@ def best_table(ix_pairs: np.ndarray) -> tuple[int, int]:
                     break
     best = (0, 1 << 30)
     for t in cands:
-        bits = count_pair_bits(ix_pairs, t)
+        bits = _count_pair_bits_cached(a, b, mx, nsigns, t)
         if bits < best[1]:
             best = (t, bits)
     return best
