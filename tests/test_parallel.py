@@ -55,6 +55,39 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def test_graft_dryrun_self_provisions():
+    """Driver scenario: the process is bound to a 1-device platform and
+    dryrun_multichip(8) must provision the virtual CPU mesh itself
+    (VERDICT round-1 item 1)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")) +
+        " --xla_force_host_platform_device_count=1").strip()
+    env.pop("MP3TPU_DRYRUN_NO_REEXEC", None)
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_platform_name', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(4)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK: 4 devices" in out.stdout, out.stdout
+
+
 def test_graft_entry_compiles():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
