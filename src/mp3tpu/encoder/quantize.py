@@ -22,7 +22,10 @@ def quantize(xr: np.ndarray, global_gain: int,
     """xr [576] float -> ix [576] int32 with step 2^((gg-210)/4).
 
     p34 optionally carries the precomputed |xr|^0.75 (the power law is
-    hoisted out of the rate loop: (|xr|*s)^0.75 == |xr|^0.75 * s^0.75).
+    hoisted out of the rate loop: (|xr|*s)^0.75 == |xr|^0.75 * s^0.75 in
+    the reals; in float64 the two evaluations can differ in the last ulp
+    and flip floor() at a quantization boundary, so hoisted vs unhoisted
+    output is equivalent-rate valid MP3, not guaranteed bit-identical).
     """
     if p34 is None:
         p34 = np.abs(xr) ** 0.75

@@ -29,14 +29,24 @@ from .sink import CollectSink, Sink
 WINDOW_GRANULES = 32  # must match pipeline.WINDOW for bit-identity
 
 
-def _emit_dsp(x, gain, eq_state, kernel):
+GAIN_RAMP = 256  # samples of linear amplitude ramp on a gain change (D3)
+
+
+def _emit_dsp(x, gain0, gain1, eq_state, kernel):
     """Jitted gain -> EQ(FIR) -> int16 chain. Module-level (shared jit
-    cache across Player instances); the EQ kernel is a traced argument,
-    so one compile covers any gain/EQ setting at a given shape. A
-    length-1 kernel means "no EQ"."""
+    cache across Player instances); gains and the EQ kernel are traced
+    arguments, so one compile covers any gain/EQ setting at a given
+    shape. A length-1 kernel means "no EQ". Gain changes ramp linearly
+    over GAIN_RAMP samples (zipper-free, dsp/gain.py semantics); with
+    gain0 == gain1 the ramp is exactly constant, so steady-state output
+    is bit-identical to a plain scalar multiply."""
     import jax
     import jax.numpy as jnp
-    x = x * gain
+    r = min(GAIN_RAMP, x.shape[0])
+    ramp = jnp.concatenate([
+        jnp.linspace(gain0, gain1, r, dtype=jnp.float32),
+        jnp.full((x.shape[0] - r,), gain1, jnp.float32)])
+    x = x * ramp[:, None]
     if kernel.shape[-1] > 1:
         xx = jnp.concatenate([eq_state, x], axis=0)
         lhs = xx.T[:, None, :]
@@ -98,6 +108,7 @@ class Player:
         self.sink = sink or CollectSink()
         self.metrics = Metrics()
         self.gain_db = gain_db
+        self._applied_gain_db = gain_db  # last gain the DSP chain emitted at
         self._eq = None
         self._eq_state = None
         if eq_gains_db is not None:
@@ -209,7 +220,8 @@ class Player:
         global _emit_dsp_jit
         if _emit_dsp_jit is None:
             _emit_dsp_jit = jax.jit(_emit_dsp)
-        gain = jnp.float32(10.0 ** (self.gain_db / 20.0))
+        gain0 = jnp.float32(10.0 ** (self._applied_gain_db / 20.0))
+        gain1 = jnp.float32(10.0 ** (self.gain_db / 20.0))
         if self._eq is not None:
             if self._eq_state is None:
                 self._eq_state = self._eq.init_state(pcm.shape[1])
@@ -218,7 +230,9 @@ class Player:
         else:
             kernel = jnp.ones((1,), jnp.float32)
             eq_state = jnp.zeros((0, pcm.shape[1]), jnp.float32)
-        i16, new_eq_state = _emit_dsp_jit(jnp.asarray(pcm), gain, eq_state, kernel)
+        i16, new_eq_state = _emit_dsp_jit(
+            jnp.asarray(pcm), gain0, gain1, eq_state, kernel)
+        self._applied_gain_db = self.gain_db
         if self._eq is not None:
             self._eq_state = new_eq_state
         i16 = np.asarray(i16)
@@ -228,8 +242,11 @@ class Player:
     # -------------------------------------------------------------- api
     def play(self, until_sample: int | None = None, max_samples: int | None = None):
         """Decode from the current position to `until_sample` (absolute,
-        default end), pushing PCM to the sink."""
+        default end), pushing PCM to the sink. `max_samples` bounds how
+        many samples this call emits."""
         end = self._end if until_sample is None else min(until_sample, self._end)
+        if max_samples is not None:
+            end = min(end, self._pos + max_samples)
         wspan = WINDOW_GRANULES * self.spf
         emitted = 0
         self.stopped = False
@@ -299,4 +316,12 @@ class Player:
                        "hist": jnp.asarray(z["hist"])}
         if z["eq_state"].size and self._eq is not None:
             self._eq_state = jnp.asarray(z["eq_state"])
+        else:
+            # the snapshot carried no EQ tail: a stale one from playback
+            # since the snapshot would corrupt the continuation
+            self._eq_state = None
+        # restore is discontinuous, like seek(): drop queued PCM
+        self._pending = []
+        self._pending_n = 0
         self.gain_db = float(z["gain_db"])
+        self._applied_gain_db = self.gain_db

@@ -67,7 +67,10 @@ def test_reservoir_underflow_mutes():
     idx = fr.scan_frames(np.frombuffer(mp3, np.uint8))
     cut = bytes(mp3[int(idx.offsets[20]):])
     st = unpack(cut)
-    assert (st.errors & ERR_RESERVOIR).any() or st.huff_slack.any() or True
+    assert (st.errors & ERR_RESERVOIR).any()
+    # the flagged granules carry no spectrum (muted, not garbage)
+    bad = (st.errors & ERR_RESERVOIR) != 0
+    assert (st.is_[bad] == 0).all()
     pcm, _ = decode_file(cut, gapless=False)
     assert len(pcm) > 10000
 

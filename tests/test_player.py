@@ -63,6 +63,66 @@ def test_snapshot_restore(mp3):
     assert np.array_equal(tail1, tail2)
 
 
+def test_play_max_samples(mp3):
+    p = Player(mp3, apply_gapless=False)
+    emitted = p.play(max_samples=10000)
+    assert emitted == 10000
+    assert len(p.sink.pcm) == 10000
+    ref, _ = decode_file(mp3, gapless=False)
+    assert np.array_equal(p.sink.pcm, ref[:10000])
+    # playback resumes exactly where it stopped
+    p.play(max_samples=5000)
+    assert np.array_equal(p.sink.pcm, ref[:15000])
+
+
+def test_gain_change_ramps(mp3):
+    """A mid-playback gain change must ramp, not step (D3 zipper-noise
+    contract): the first emitted block after the change starts at the
+    old gain and reaches the new one within GAIN_RAMP samples."""
+    from mp3tpu.player.engine import GAIN_RAMP
+    ref, _ = decode_file(mp3, gapless=False, output="float32")
+    refi, _ = decode_file(mp3, gapless=False)
+    p = Player(mp3, apply_gapless=False)
+    n0 = 36864  # two emit blocks
+    p.play(max_samples=n0)
+    p.gain_db = -12.0
+    p.play(max_samples=n0)
+    got = p.sink.pcm.astype(np.float32) / 32768.0
+    g1 = 10.0 ** (-12.0 / 20.0)
+    # before the change: unity gain, bit-exact int16
+    assert np.array_equal(p.sink.pcm[:n0], refi[:n0])
+    # well after the ramp: steady at the new gain (1 LSB tolerance)
+    steady = slice(n0 + 4 * GAIN_RAMP, 2 * n0)
+    d = np.abs(got[steady] - ref[steady] * g1)
+    assert d.max() <= 1.5 / 32768
+    # inside the ramp: gain is strictly between old and new on average
+    ramp_zone = got[n0:n0 + GAIN_RAMP // 2]
+    ref_zone = ref[n0:n0 + GAIN_RAMP // 2]
+    mask = np.abs(ref_zone) > 0.05
+    if mask.any():
+        ratio = np.abs(ramp_zone[mask]) / np.abs(ref_zone[mask])
+        assert ratio.mean() > g1 + 0.05  # not an instant step to g1
+        assert ratio.mean() < 1.0 - 0.05  # but already below unity
+
+
+def test_restore_clears_stale_eq_tail(mp3):
+    """Restoring a pre-EQ snapshot into a player that has since played
+    with EQ must clear the stale FIR tail (ADVICE round-1)."""
+    eq = [6.0, 3.0, 0.0, -3.0, -6.0, 0.0, 3.0, 0.0, -2.0, 1.0]
+    p1 = Player(mp3, apply_gapless=False, eq_gains_db=eq)
+    blob = p1.snapshot()  # taken before any EQ processing
+    p1.play(until_sample=40000)
+    tail1 = np.copy(p1.sink.pcm)
+
+    p1.restore(blob)
+    assert p1._eq_state is None
+    p2 = Player(mp3, apply_gapless=False, eq_gains_db=eq)
+    p2.restore(blob)
+    p2.play(until_sample=40000)
+    assert np.array_equal(tail1, p2.sink.pcm[-len(tail1):] if len(
+        p2.sink.pcm) > len(tail1) else p2.sink.pcm)
+
+
 def test_metadata_and_duration(mp3):
     p = Player(mp3)
     assert p.track.sample_rate == 44100
