@@ -99,12 +99,14 @@ def decode_file(path_or_bytes, output: str = "int16", gapless: bool = True):
     return pcm, st.sample_rate
 
 
-def decode_files(paths):
+def decode_files(paths, gapless: bool = True):
     """Batched multi-stream decode (int16 PCM); see player.scheduler for
     the streaming masked-batch engine. Returns a list of
-    (pcm, sample_rate) aligned with the inputs."""
+    (pcm, sample_rate) aligned with the inputs. Applies the same LAME
+    gapless trim as decode_file, so batch and single paths agree on
+    output lengths."""
     from .player.scheduler import decode_batch_streams
-    return decode_batch_streams(paths)
+    return decode_batch_streams(paths, gapless=gapless)
 
 
 def decode_symbols_chunked(st: SymbolTensors, chunk_granules: int = 128,

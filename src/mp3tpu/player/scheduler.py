@@ -40,6 +40,23 @@ class _Slot:
     stream_id: object = None
 
 
+def gapless_bounds_of(data: bytes, n_granules: int) -> tuple[int, int | None]:
+    """(start_skip, end_sample) from the stream's LAME tag, or (0, None)."""
+    from ..container import frames as fr
+    from ..container.xing import parse_stream_info
+    from ..dsp.gapless import gapless_bounds
+    try:
+        idx = fr.scan_frames(np.frombuffer(data, np.uint8))
+        info = parse_stream_info(bytes(data), int(idx.offsets[0]),
+                                 idx.headers[0])
+        if info.gapless:
+            return gapless_bounds(n_granules * 576, info.encoder_delay,
+                                  info.encoder_padding)
+    except Exception:
+        pass
+    return 0, None
+
+
 class StreamScheduler:
     """Masked-batch streaming decode engine over one device."""
 
@@ -52,11 +69,17 @@ class StreamScheduler:
         self.queue: list[tuple[object, SymbolTensors, Sink, int, int | None]] = []
         self.state = kp.init_state(n_slots)
         self.metrics = Metrics()
+        self.trace: list[tuple[str, int]] = []  # ("dispatch"/"route", seq)
+        self._seq = 0
 
     # ------------------------------------------------------------ intake
     def submit(self, data_or_symbols, sink: Sink | None = None,
-               stream_id=None, apply_gapless: bool = True):
-        """Queue one stream (mp3 bytes or pre-unpacked SymbolTensors)."""
+               stream_id=None, apply_gapless: bool = True,
+               bounds: tuple[int, int | None] | None = None):
+        """Queue one stream (mp3 bytes or pre-unpacked SymbolTensors).
+        `bounds` overrides the gapless (start_skip, end_sample) — used
+        when the caller already parsed the container (e.g. the batch
+        decode path, which pre-unpacks to bucket by sample rate)."""
         if isinstance(data_or_symbols, SymbolTensors):
             st = data_or_symbols
         else:
@@ -66,20 +89,12 @@ class StreamScheduler:
             raise ValueError(
                 f"scheduler is bucketed at {self.sample_rate} Hz, stream is "
                 f"{st.sample_rate} Hz — use one scheduler per sample rate")
-        start_skip, end = 0, None
-        if apply_gapless and not isinstance(data_or_symbols, SymbolTensors):
-            from ..container import frames as fr
-            from ..container.xing import parse_stream_info
-            from ..dsp.gapless import gapless_bounds
-            try:
-                idx = fr.scan_frames(np.frombuffer(data_or_symbols, np.uint8))
-                info = parse_stream_info(bytes(data_or_symbols),
-                                         int(idx.offsets[0]), idx.headers[0])
-                if info.gapless:
-                    start_skip, end = gapless_bounds(
-                        st.n_granules * 576, info.encoder_delay, info.encoder_padding)
-            except Exception:
-                pass
+        if bounds is not None:
+            start_skip, end = bounds
+        elif apply_gapless and not isinstance(data_or_symbols, SymbolTensors):
+            start_skip, end = gapless_bounds_of(data_or_symbols, st.n_granules)
+        else:
+            start_skip, end = 0, None
         self.queue.append((stream_id, st, sink or CollectSink(),
                            start_skip, end))
         self._refill()
@@ -104,18 +119,28 @@ class StreamScheduler:
         return sum(s.active for s in self.slots)
 
     # -------------------------------------------------------------- step
-    def step(self) -> int:
-        """One batched device step; returns samples emitted (all slots)."""
+    # P4 pipeline parallelism (SURVEY.md §2.4 P4): each step is split
+    # into a host phase (_pack_dispatch: pack the window, launch the
+    # device call asynchronously, advance cursors/refill — all host
+    # decisions are data-independent of the decoded PCM) and a blocking
+    # phase (_materialize_route: wait for the PCM and route it to
+    # sinks). run() keeps one dispatch in flight, so window w+1's host
+    # packing executes while the device decodes window w.
+
+    def _pack_dispatch(self):
+        """Pack + asynchronously dispatch one window. Returns a routing
+        plan (device array + per-slot slices) or None when idle."""
         import jax.numpy as jnp
         S, W = self.S, self.win
+        self._refill()
         if self.n_active == 0:
-            return 0
+            return None
         is_ = np.zeros((S, W, 2, 576), np.int16)
         exp = np.zeros((S, W, 2, 64), np.int16)
         bt = np.zeros((S, W, 2), np.int8)
         mx = np.zeros((S, W, 2), bool)
         sm = np.zeros((S, W, 64), np.uint8)
-        counts = np.zeros(S, np.int32)
+        entries = []  # (slot_idx, sink, channels, n, lo, hi)
         with self.metrics.span("host"):
             for i, slot in enumerate(self.slots):
                 if not slot.active:
@@ -130,58 +155,77 @@ class StreamScheduler:
                 bt[i, :n] = st.block_type[sl]
                 mx[i, :n] = st.mixed[sl]
                 sm[i, :n] = st.smode[sl]
-                counts[i] = n
-        with self.metrics.span("device"):
-            # P4 pipelining: the device call is dispatched asynchronously;
-            # materialization happens after the host has packed/routed,
-            # so host bit-unpack overlaps device compute across steps
-            pcm16_dev, self.state = kp.decode_window_i16(
-                jnp.asarray(is_), jnp.asarray(exp), jnp.asarray(bt),
-                jnp.asarray(mx), jnp.asarray(sm), self.state, self.sample_rate)
-            pcm16 = np.asarray(pcm16_dev)
-        emitted = 0
-        for i, slot in enumerate(self.slots):
-            if not slot.active or counts[i] == 0:
-                continue
-            st = slot.symbols
-            n = int(counts[i])
-            out = pcm16[i, : n * 576, : st.channels]
-            pos0 = slot.cursor * 576
-            lo = max(slot.start_skip - pos0, 0)
-            hi = len(out)
-            if slot.end_sample is not None:
-                hi = min(hi, slot.end_sample - pos0)
-            if hi > lo:
-                slot.sink.push(out[lo:hi])
-                slot.total_emitted += hi - lo
-                emitted += hi - lo
-            slot.cursor += n
-            self.metrics.granules_decoded += n
-            done = slot.cursor >= st.n_granules or (
-                slot.end_sample is not None and pos0 + hi >= slot.end_sample)
-            if done:
-                slot.active = False
-                self.metrics.streams_active -= 1
-                self.metrics.streams_finished += 1
-        self.metrics.samples_out += emitted
+                # emission bounds are known at pack time (gapless trim
+                # depends on the cursor, never on decoded data)
+                pos0 = slot.cursor * 576
+                lo = max(slot.start_skip - pos0, 0)
+                hi = n * 576
+                if slot.end_sample is not None:
+                    hi = min(hi, slot.end_sample - pos0)
+                entries.append((i, slot.sink, st.channels, n, lo, hi))
+                slot.cursor += n
+                slot.total_emitted += max(hi - lo, 0)
+                self.metrics.granules_decoded += n
+                done = slot.cursor >= st.n_granules or (
+                    slot.end_sample is not None
+                    and pos0 + hi >= slot.end_sample)
+                if done:
+                    slot.active = False
+                    self.metrics.streams_active -= 1
+                    self.metrics.streams_finished += 1
+        # async dispatch: returns immediately with uncommitted arrays;
+        # the refill below enqueues state-column resets AFTER this call's
+        # reads (functional arrays — the dispatched call holds the old
+        # buffers), so correctness does not depend on timing
+        pcm16_dev, self.state = kp.decode_window_i16(
+            jnp.asarray(is_), jnp.asarray(exp), jnp.asarray(bt),
+            jnp.asarray(mx), jnp.asarray(sm), self.state, self.sample_rate)
+        seq = self._seq
+        self._seq += 1
+        self.trace.append(("dispatch", seq))
         self._refill()
+        return {"pcm": pcm16_dev, "entries": entries, "seq": seq}
+
+    def _materialize_route(self, plan) -> int:
+        """Block on the dispatched window's PCM and route it to sinks."""
+        with self.metrics.span("device"):
+            pcm16 = np.asarray(plan["pcm"])  # blocks until device done
+        self.trace.append(("route", plan["seq"]))
+        emitted = 0
+        for i, sink, channels, n, lo, hi in plan["entries"]:
+            out = pcm16[i, : n * 576, :channels]
+            if hi > lo:
+                sink.push(out[lo:hi])
+                emitted += hi - lo
+        self.metrics.samples_out += emitted
         return emitted
 
+    def step(self) -> int:
+        """One batched device step; returns samples emitted (all slots)."""
+        plan = self._pack_dispatch()
+        return 0 if plan is None else self._materialize_route(plan)
+
     def run(self, max_steps: int | None = None) -> int:
-        """Step until all queued streams are drained."""
+        """Step until all queued streams drain, keeping one device call
+        in flight so host packing overlaps device compute (P4)."""
         total = 0
         steps = 0
-        while self.n_active or self.queue:
-            total += self.step()
+        pending = self._pack_dispatch()
+        while pending is not None:
             steps += 1
-            if max_steps is not None and steps >= max_steps:
-                break
+            nxt = None
+            if max_steps is None or steps < max_steps:
+                nxt = self._pack_dispatch()  # overlaps pending's compute
+            total += self._materialize_route(pending)
+            pending = nxt
         return total
 
 
-def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32):
+def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32,
+                         gapless: bool = True):
     """Convenience batched decode: returns list of (pcm, sample_rate)
-    aligned with the inputs (SURVEY.md §3.2)."""
+    aligned with the inputs (SURVEY.md §3.2). Honors each stream's LAME
+    gapless tag like single-file decode does (same trim, same lengths)."""
     datas = []
     for p in paths_or_bytes:
         if isinstance(p, (bytes, bytearray)):
@@ -199,8 +243,10 @@ def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32):
         sinks = {}
         for i in idxs:
             sinks[i] = CollectSink()
+            bounds = (gapless_bounds_of(datas[i], symbols[i].n_granules)
+                      if gapless else (0, None))
             sched.submit(symbols[i], sink=sinks[i], stream_id=i,
-                         apply_gapless=False)
+                         bounds=bounds)
         sched.run()
         for i in idxs:
             out[i] = (sinks[i].pcm, rate)

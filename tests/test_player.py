@@ -136,13 +136,50 @@ def test_scheduler_batch_equals_single(mp3):
     pytest.importorskip("lameref")
     mp3b = fixtures.lame_fixture("transients", ch=2, bitrate=128, mode="jstereo")
     singles = [decode_file(m, gapless=False)[0] for m in (mp3, mp3b, mp3)]
-    batch = decode_batch_streams([mp3, mp3b, mp3])
+    batch = decode_batch_streams([mp3, mp3b, mp3], gapless=False)
     for (pcm, sr), ref in zip(batch, singles):
         n = min(len(pcm), len(ref))
         assert n > 50000
         d = np.abs(pcm[:n].astype(np.int32) - ref[:n].astype(np.int32))
         assert d.max() <= 1
         assert (d == 0).mean() > 0.99
+
+
+def test_batch_decode_gapless_matches_single(mp3):
+    """decode_files must honor the LAME gapless tag exactly like
+    decode_file: same trimmed output, same lengths (VERDICT round-1
+    item 7)."""
+    pytest.importorskip("lameref")
+    from mp3tpu.pipeline import decode_files
+    mp3b = fixtures.lame_fixture("transients", ch=2, bitrate=128,
+                                 mode="jstereo")
+    singles = [decode_file(m)[0] for m in (mp3, mp3b)]
+    batch = decode_files([mp3, mp3b])
+    for (pcm, sr), ref in zip(batch, singles):
+        assert len(pcm) == len(ref), (len(pcm), len(ref))
+        d = np.abs(pcm.astype(np.int32) - ref.astype(np.int32))
+        assert d.max() <= 1 and (d == 0).mean() > 0.99
+
+
+def test_scheduler_pipelines_dispatch_before_route(mp3):
+    """P4: run() must dispatch window w+1 before materializing window w
+    — the host pack of the next step overlaps the device compute of the
+    current one (VERDICT round-1 item 3)."""
+    sched = StreamScheduler(n_slots=2, win=8, sample_rate=44100)
+    snk = CollectSink()
+    sched.submit(mp3, sink=snk, stream_id=0, apply_gapless=False)
+    sched.run()
+    tr = sched.trace
+    assert len(tr) >= 6  # multi-window run
+    pos = {ev: i for i, ev in enumerate(tr)}
+    n_windows = sum(1 for kind, _ in tr if kind == "dispatch")
+    for w in range(n_windows - 1):
+        assert pos[("dispatch", w + 1)] < pos[("route", w)], tr
+    # and the pipelined decode is still correct
+    ref, _ = decode_file(mp3, gapless=False)
+    n = min(len(snk.pcm), len(ref))
+    d = np.abs(snk.pcm[:n].astype(np.int32) - ref[:n].astype(np.int32))
+    assert n > 50000 and d.max() <= 1 and (d == 0).mean() > 0.99
 
 
 def test_scheduler_elastic_refill(mp3):
