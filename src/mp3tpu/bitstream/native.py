@@ -39,7 +39,8 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
         lib.mp3tpu_unpack.restype = ctypes.c_int
         lib.mp3tpu_unpack.argtypes = [ctypes.c_char_p, ctypes.c_int64] + [
-            ctypes.c_void_p] * 8 + [ctypes.c_int32] * 3 + [ctypes.c_void_p] * 2
+            ctypes.c_void_p] * 8 + [ctypes.c_int32] * 3 + [
+            ctypes.c_void_p] * 2 + [ctypes.c_int32]
         _lib = lib
     except Exception:
         _lib = None
@@ -68,7 +69,7 @@ def unpack_native(data: bytes):
     ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     r = lib.mp3tpu_unpack(data, len(data), ptr(is_), ptr(exp), ptr(bt),
                           ptr(mixed), ptr(smode), ptr(err), ptr(slack), ptr(lines),
-                          0, 1, 0, None, None)
+                          0, 1, 0, None, None, 12)
     if r != G:
         return None
     return SymbolTensors(
@@ -103,17 +104,21 @@ def unpack_native_into(data: bytes, G: int, is_, exp, bt, mixed, smode,
         assert a.flags["C_CONTIGUOUS"]
     r = lib.mp3tpu_unpack(data, len(data), ptr(is_), ptr(exp), ptr(bt),
                           ptr(mixed), ptr(smode), ptr(err), ptr(slack), ptr(lines),
-                          stream_idx, n_streams, win, None, None)
+                          stream_idx, n_streams, win, None, None, 12)
     return r == g
 
 
 def unpack_native_into12(data: bytes, G: int, is_, exp, bt, mixed, smode,
                          is12, esc, stream_idx: int = 0, n_streams: int = 1,
-                         win: int = 0) -> bool:
-    """Like unpack_native_into but additionally emits the 12-bit packed
-    spectrum plane + escape channel (transfer-optimized device input).
+                         win: int = 0, plane_bits: int = 12) -> bool:
+    """Like unpack_native_into but additionally emits the packed spectrum
+    plane + escape channel (transfer-optimized device input).
+
+    plane_bits=12: is12 is uint8 [..., 864], |values|<=2047 inline.
+    plane_bits=8:  is12 is int8 [..., 576], |values|<=127 inline (1.5x
+    fewer staged bytes; escapes are rare below ~192 kbps).
     Returns False on >16 escapes per granule-channel (caller falls back
-    to the int16 plane)."""
+    to the int16 plane or the wider packed plane)."""
     lib = _load()
     if lib is None:
         return False
@@ -129,5 +134,6 @@ def unpack_native_into12(data: bytes, G: int, is_, exp, bt, mixed, smode,
         assert a is None or a.flags["C_CONTIGUOUS"]
     r = lib.mp3tpu_unpack(data, len(data), ptr(is_), ptr(exp), ptr(bt),
                           ptr(mixed), ptr(smode), ptr(err), ptr(slack), ptr(lines),
-                          stream_idx, n_streams, win, ptr(is12), ptr(esc))
+                          stream_idx, n_streams, win, ptr(is12), ptr(esc),
+                          plane_bits)
     return r == g

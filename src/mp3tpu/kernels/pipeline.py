@@ -286,6 +286,10 @@ def unpack12(is12, esc_pos, esc_val):
     b = ((u[..., 1] & 0xF) << 8) | u[..., 2]
     v = jnp.stack([a, b], axis=-1).reshape(is12.shape[:-1] + (576,))
     v = v - 4096 * (v >= 2048)
+    return _apply_escapes(v, esc_pos, esc_val)
+
+
+def _apply_escapes(v, esc_pos, esc_val):
     lines = jnp.arange(576)
     for e in range(esc_pos.shape[-1]):
         p = esc_pos[..., e:e + 1].astype(jnp.int32)
@@ -294,13 +298,22 @@ def unpack12(is12, esc_pos, esc_val):
     return v
 
 
+def unpack8(is8, esc_pos, esc_val):
+    """Device-side decode of the 8-bit signed spectrum plane.
+
+    is8: int8 [..., 576] (|values| <= 127 inline); esc_pos/esc_val as in
+    unpack12 for the rare larger values. Returns int32 [..., 576]."""
+    return _apply_escapes(is8.astype(jnp.int32), esc_pos, esc_val)
+
+
 @functools.lru_cache(maxsize=None)
-def _jitted_packed_for(sample_rate: int):
+def _jitted_packed_for(sample_rate: int, plane_bits: int = 12):
     tables = build_tables(sample_rate)
+    unpack_plane = unpack12 if plane_bits == 12 else unpack8
 
     @jax.jit
     def run(is12, esc_pos, esc_val, exp, block_type, mixed, smode, state):
-        iv = unpack12(is12, esc_pos, esc_val)
+        iv = unpack_plane(is12, esc_pos, esc_val)
         pcm, st = granule_pipeline(iv, exp, block_type, mixed, smode, state, tables)
         return quantize_i16(pcm), st
 
@@ -308,37 +321,48 @@ def _jitted_packed_for(sample_rate: int):
 
 
 def decode_window_packed_i16(is12, esc_pos, esc_val, exp, block_type, mixed,
-                             smode, state, sample_rate: int):
-    """jit entry consuming the 12-bit packed spectrum plane (2.1x fewer
-    host->device bytes than the int16 plane)."""
-    return _jitted_packed_for(sample_rate)(
+                             smode, state, sample_rate: int,
+                             plane_bits: int = 12):
+    """jit entry consuming the packed spectrum plane (12-bit: 2.1x fewer
+    host->device bytes than the int16 plane; 8-bit: 3.2x fewer)."""
+    return _jitted_packed_for(sample_rate, plane_bits)(
         is12, esc_pos, esc_val, exp, block_type, mixed, smode, state)
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_packed_resample_for(sample_rate: int, out_rate: int):
+def _jitted_packed_resample_for(sample_rate: int, out_rate: int,
+                                plane_bits: int = 12):
     """Packed decode + polyphase resample fused in one dispatch
     (BASELINE config 3: batched decode + resample to 48 kHz)."""
     from ..dsp.resample import Resampler
     tables = build_tables(sample_rate)
     rs = Resampler(sample_rate, out_rate)
-    kernel = rs.kernel
     L, M, state_len = rs.L, rs.M, rs.state_len
+    n_taps, width, block_w = rs.n_taps, rs.block_width, rs.block_w
+    unpack_plane = unpack12 if plane_bits == 12 else unpack8
 
     @jax.jit
     def run(is12, esc_pos, esc_val, exp, block_type, mixed, smode, state,
             rs_state):
-        iv = unpack12(is12, esc_pos, esc_val)
+        iv = unpack_plane(is12, esc_pos, esc_val)
         pcm, st = granule_pipeline(iv, exp, block_type, mixed, smode, state,
                                    tables)
         S = pcm.shape[0]
         x = jnp.concatenate([rs_state, pcm], axis=1)    # [S, hist+T, 2]
-        lhs = x.transpose(0, 2, 1).reshape(S * 2, 1, x.shape[1])
-        rhs = kernel[None, None, ::-1]
+        N = x.shape[1]
+        # block-Toeplitz polyphase (see dsp.resample.Resampler): M inputs
+        # (+context) -> L outputs via one [L, width] constant matrix —
+        # a plain strided conv, ~20x faster than the input-dilated form
+        out_len = ((N - 1) * L + 1 - n_taps) // M + 1
+        nblk = -(-out_len // L)
+        npad = (nblk - 1) * M + width
+        xp = jnp.pad(x, ((0, 0), (0, max(0, npad - N)), (0, 0)))
+        lhs = xp.transpose(0, 2, 1).reshape(S * 2, 1, npad)
         out = jax.lax.conv_general_dilated(
-            lhs, rhs, window_strides=(M,), padding=[(0, 0)],
-            lhs_dilation=(L,), precision=HIGHEST)
-        out = out.reshape(S, 2, -1).transpose(0, 2, 1)
+            lhs, block_w[:, None, :], window_strides=(M,), padding=[(0, 0)],
+            precision=HIGHEST)                          # [S*2, L, nblk]
+        out = out.transpose(0, 2, 1).reshape(S * 2, nblk * L)[:, :out_len]
+        out = out.reshape(S, 2, out_len).transpose(0, 2, 1)
         new_rs_state = x[:, -state_len:] if state_len else rs_state
         return quantize_i16(out), st, new_rs_state
 
@@ -348,10 +372,45 @@ def _jitted_packed_resample_for(sample_rate: int, out_rate: int):
 def decode_window_packed_resampled_i16(is12, esc_pos, esc_val, exp,
                                        block_type, mixed, smode, state,
                                        rs_state, sample_rate: int,
-                                       out_rate: int = 48000):
-    run, _ = _jitted_packed_resample_for(sample_rate, out_rate)
+                                       out_rate: int = 48000,
+                                       plane_bits: int = 12):
+    run, _ = _jitted_packed_resample_for(sample_rate, out_rate, plane_bits)
     return run(is12, esc_pos, esc_val, exp, block_type, mixed, smode,
                state, rs_state)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_grouped_window_for(sample_rate: int, out_rate: int,
+                               n_groups: int, plane_bits: int = 12):
+    """Grouped variant of the packed+resampled window decode: the batch
+    arrives as n_groups stream-group tensors [n_win, S/g, ...] (staged
+    to HBM group-by-group, overlapped with host unpack — P4), and the
+    window index w is a traced scalar so one compile covers all windows.
+    The group concat + window slice run on device; no extra H2D."""
+    inner, _ = _jitted_packed_resample_for(sample_rate, out_rate, plane_bits)
+
+    @jax.jit
+    def run(w, is12_gs, exp_gs, esc_gs, bt_gs, mx_gs, sm_gs, state, rs_state):
+        sel = lambda a: jax.lax.dynamic_index_in_dim(a, w, 0, keepdims=False)
+        cat = lambda gs: jnp.concatenate([sel(a) for a in gs], axis=0)
+        is12, exp, esc = cat(is12_gs), cat(exp_gs), cat(esc_gs)
+        return inner(is12, esc[..., 0], esc[..., 1], exp, cat(bt_gs),
+                     cat(mx_gs), cat(sm_gs), state, rs_state)
+
+    return run
+
+
+def decode_window_grouped_resampled_i16(w, is12_groups, exp_groups,
+                                        esc_groups, bt_groups, mx_groups,
+                                        sm_groups, state, rs_state,
+                                        sample_rate: int,
+                                        out_rate: int = 48000,
+                                        plane_bits: int = 12):
+    run = _jitted_grouped_window_for(sample_rate, out_rate,
+                                     len(is12_groups), plane_bits)
+    return run(jnp.int32(w), tuple(is12_groups), tuple(exp_groups),
+               tuple(esc_groups), tuple(bt_groups), tuple(mx_groups),
+               tuple(sm_groups), state, rs_state)
 
 
 def init_resample_state(n_streams: int, sample_rate: int,

@@ -12,7 +12,7 @@ extern "C" {
 int mp3tpu_probe(const uint8_t* data, int64_t len, int32_t* meta);
 int mp3tpu_unpack(const uint8_t* data, int64_t len, int16_t*, int16_t*,
                   int8_t*, uint8_t*, uint8_t*, int16_t*, int32_t*, int32_t*,
-                  int32_t, int32_t, int32_t, uint8_t*, int16_t*);
+                  int32_t, int32_t, int32_t, uint8_t*, int16_t*, int32_t);
 }
 
 static uint64_t rng_state = 0x9E3779B97F4A7C15ull;
@@ -37,7 +37,7 @@ static void run_one(const std::vector<uint8_t>& buf) {
     std::vector<int16_t> esc(size_t(g) * 2 * 32);
     mp3tpu_unpack(buf.data(), int64_t(buf.size()), is.data(), exps.data(),
                   bt.data(), mixed.data(), smode.data(), err.data(),
-                  slack.data(), lines.data(), 0, 1, 0, is12.data(), esc.data());
+                  slack.data(), lines.data(), 0, 1, 0, is12.data(), esc.data(), 12);
 }
 
 int main(int argc, char** argv) {

@@ -7,7 +7,7 @@ extern "C" {
 int mp3tpu_probe(const uint8_t* data, int64_t len, int32_t* meta);
 int mp3tpu_unpack(const uint8_t* data, int64_t len, int16_t*, int16_t*,
                   int8_t*, uint8_t*, uint8_t*, int16_t*, int32_t*, int32_t*,
-                  int32_t, int32_t, int32_t, uint8_t*, int16_t*);
+                  int32_t, int32_t, int32_t, uint8_t*, int16_t*, int32_t);
 }
 int main(int argc, char** argv) {
     int iters = argc > 1 ? atoi(argv[1]) : 50;
@@ -28,7 +28,7 @@ int main(int argc, char** argv) {
         mp3tpu_unpack(buf.data(), (int64_t)buf.size(), nullptr, exps.data(),
                       bt.data(), mixed.data(), smode.data(), err.data(),
                       slack.data(), lines.data(), 0, 1, 0,
-                      is12.data(), esc.data());
+                      is12.data(), esc.data(), 12);
     printf("done %d\n", g);
     return 0;
 }

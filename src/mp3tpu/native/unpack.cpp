@@ -59,6 +59,9 @@ struct BitReader {  // MSB-first over a bounded buffer
 // granule-bounded reader: bits beyond `limit_bits` read as zero.
 // Fixed-capacity buffer (part2_3_length is a 12-bit field, so a granule
 // spans at most 512 bytes + guard) — no per-granule heap traffic.
+// peek() is a single unaligned 8-byte load + bswap; measured faster
+// here than a cached-accumulator reader (the load port is not the
+// bottleneck and the accumulator adds a serial dependency chain).
 struct GranuleBits {
     static const size_t CAP = 544;
     uint8_t buf[CAP];
@@ -539,14 +542,18 @@ struct BandMaps {
 // -------------------------------------------------------------- spectrum
 
 struct DecodeResult {
-    int32_t spec[580];
+    // int16 is exact: |value| <= 15 + 2^13 - 1 = 8206 (escape maximum)
+    int16_t spec[580];
     int lines_used;
     bool overrun = false;
+    bool has_escape = false;  // any |value| > 2047 (12-bit plane escape)
+    bool has_big = false;     // any |value| > 127 (8-bit plane escape)
     int32_t slack;
 };
 
 static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
                             int part3, DecodeResult* out) {
+    (void)lsf;  // region boundaries are sr-table-driven for both variants
     memset(out->spec, 0, sizeof(out->spec));
     out->overrun = false;
     size_t end_pos = br.pos + part3;
@@ -568,36 +575,58 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
     if (r2 > bv2) r2 = bv2;
 
     int pos = 0;
-    while (pos < bv2) {
-        // corrupt streams: big_values may claim more symbols than
-        // part2_3_length holds — stop at the granule bit boundary
-        if (br.pos >= end_pos) { out->overrun = true; break; }
-        int tid = pos < r1 ? g.table_select[0] : (pos < r2 ? g.table_select[1] : g.table_select[2]);
+    // three region sub-loops with the table lookup hoisted (the
+    // per-symbol work is just LUT index + store)
+    const int region_lim[3] = {r1, r2, bv2};
+    const int region_tid[3] = {g.table_select[0], g.table_select[1],
+                               g.table_select[2]};
+    for (int reg = 0; reg < 3 && pos < bv2; reg++) {
+        int lim = region_lim[reg];
+        if (lim <= pos) continue;
+        int tid = region_tid[reg];
         // table 0 = all-zero; ids 4/14 are unused in the spec — corrupt
-        // streams selecting them decode as zeros
-        if (tid == 0 || g_luts[tid].root.empty()) { pos += 2; continue; }
-        const FastLut& fl = g_fast[tid];
-        if (!fl.tab.empty()) {
-            uint32_t fe = fl.tab[br.peek(12)];
-            if (fe & 0x80000000u) {  // code+signs fused in one lookup
-                br.skip(int((fe >> 24) & 31));
-                out->spec[pos] = int(uint8_t(fe >> 8)) - 64;
-                out->spec[pos + 1] = int(uint8_t(fe)) - 64;
-                pos += 2;
-                continue;
-            }
+        // streams selecting them decode as zeros (and consume no bits;
+        // the per-pair end check still applies, matching the Python
+        // unpacker's overrun flagging bit-for-bit)
+        if (tid == 0 || g_luts[tid].root.empty()) {
+            if (br.pos >= end_pos) { out->overrun = true; goto bigvalues_done; }
+            pos = lim;
+            continue;
         }
         const HuffLut& lut = g_luts[tid];
-        uint16_t e = lut.decode(br);
-        int x = (e >> 4) & 15, y = e & 15;
-        if (x == 15 && lut.linbits) x += br.read(lut.linbits);
-        if (x && br.read1()) x = -x;
-        if (y == 15 && lut.linbits) y += br.read(lut.linbits);
-        if (y && br.read1()) y = -y;
-        out->spec[pos] = x;
-        out->spec[pos + 1] = y;
-        pos += 2;
+        const uint32_t* ftab =
+            g_fast[tid].tab.empty() ? nullptr : g_fast[tid].tab.data();
+        while (pos < lim) {
+            // corrupt streams: big_values may claim more symbols than
+            // part2_3_length holds — stop at the granule bit boundary
+            if (br.pos >= end_pos) { out->overrun = true; goto bigvalues_done; }
+            if (ftab) {
+                uint32_t fe = ftab[br.peek(12)];
+                if (fe & 0x80000000u) {  // code+signs fused in one lookup
+                    br.skip(int((fe >> 24) & 31));
+                    out->spec[pos] = int(uint8_t(fe >> 8)) - 64;
+                    out->spec[pos + 1] = int(uint8_t(fe)) - 64;
+                    pos += 2;
+                    continue;
+                }
+            }
+            uint16_t e = lut.decode(br);
+            int x = (e >> 4) & 15, y = e & 15;
+            if (x == 15 && lut.linbits) x += br.read(lut.linbits);
+            if (x && br.read1()) x = -x;
+            if (y == 15 && lut.linbits) y += br.read(lut.linbits);
+            if (y && br.read1()) y = -y;
+            if (x > 127 || x < -127 || y > 127 || y < -127) {
+                out->has_big = true;
+                if (x > 2047 || x < -2047 || y > 2047 || y < -2047)
+                    out->has_escape = true;
+            }
+            out->spec[pos] = int16_t(x);
+            out->spec[pos + 1] = int16_t(y);
+            pos += 2;
+        }
     }
+bigvalues_done:;
     const HuffLut& c1 = g_c1[g.count1table_select];
     const FastC1& fc1 = g_fastc1[g.count1table_select];
     while (br.pos < end_pos && pos <= 572) {
@@ -759,7 +788,7 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                   int32_t* slack_out,   // [G,2]
                   int32_t* lines_out,   // [G,2]
                   int32_t stream_idx, int32_t n_streams, int32_t win,
-                  uint8_t* is12_out, int16_t* esc_out) {
+                  uint8_t* is12_out, int16_t* esc_out, int32_t plane_bits) {
     ensure_init();
     Scan sc;
     if (!scan_frames(data, size_t(len), &sc)) return -1;
@@ -840,34 +869,73 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                 slack_out[gidx * 2 + ch] = dr.slack;
                 lines_out[gidx * 2 + ch] = dr.lines_used;
                 if (dr.overrun) err_out[gidx] |= 2;
+                // spec[i >= lines_used] is all-zero: copy/pack only the
+                // live prefix, memset the tail (at 128 kbps the rzero
+                // tail is typically ~half the 576 lines)
+                int lines = dr.lines_used;
                 int16_t* dst = is_out ? is_out + (gr_row * 2 + ch) * 576
                                       : local_spec[ch];
-                for (int i = 0; i < 576; i++) {
-                    int v = dr.spec[i];
-                    dst[i] = int16_t(v > 32767 ? 32767 : (v < -32768 ? -32768 : v));
-                }
-                if (is12_out) {
+                memcpy(dst, dr.spec, size_t(lines) * 2);
+                memset(dst + lines, 0, size_t(576 - lines) * 2);
+                if (is12_out && plane_bits == 8) {
+                    // 8-bit signed plane (576 B/gc): values in [-127,127]
+                    // stored directly, larger carried in the escape
+                    // sideband — 1.5x fewer staged bytes than 12-bit
+                    int8_t* p8 = reinterpret_cast<int8_t*>(is12_out)
+                                 + (gr_row * 2 + ch) * 576;
+                    int16_t* esc = esc_out + (gr_row * 2 + ch) * 32;
+                    for (int e = 0; e < 16; e++) { esc[e * 2] = -1; esc[e * 2 + 1] = 0; }
+                    if (!dr.has_big) {  // common case: straight narrowing
+                        for (int i = 0; i < lines; i++) p8[i] = int8_t(dst[i]);
+                    } else {
+                        int ne = 0;
+                        for (int i = 0; i < lines; i++) {
+                            int v = dst[i];
+                            if (v > 127 || v < -127) {
+                                if (ne >= 16) return -2;
+                                esc[ne * 2] = int16_t(i);
+                                esc[ne * 2 + 1] = int16_t(v);
+                                ne++;
+                                v = v > 0 ? 127 : -127;
+                            }
+                            p8[i] = int8_t(v);
+                        }
+                    }
+                    memset(p8 + lines, 0, size_t(576 - lines));
+                } else if (is12_out) {
                     uint8_t* p12 = is12_out + (gr_row * 2 + ch) * 864;
                     int16_t* esc = esc_out + (gr_row * 2 + ch) * 32;
                     for (int e = 0; e < 16; e++) { esc[e * 2] = -1; esc[e * 2 + 1] = 0; }
-                    int ne = 0;
-                    for (int i = 0; i < 576; i += 2) {
-                        int a = dst[i], b = dst[i + 1];
-                        if (a > 2047 || a < -2047) {
-                            if (ne >= 16) return -2;
-                            esc[ne * 2] = int16_t(i); esc[ne * 2 + 1] = int16_t(a);
-                            ne++; a = a > 0 ? 2047 : -2047;
+                    int pairs = (lines + 1) >> 1;
+                    if (!dr.has_escape) {  // common case: branch-free pack
+                        for (int i = 0; i < pairs * 2; i += 2) {
+                            uint32_t ua = uint32_t(dst[i] & 0xFFF);
+                            uint32_t ub = uint32_t(dst[i + 1] & 0xFFF);
+                            p12[i / 2 * 3 + 0] = uint8_t(ua >> 4);
+                            p12[i / 2 * 3 + 1] = uint8_t(((ua & 0xF) << 4) | (ub >> 8));
+                            p12[i / 2 * 3 + 2] = uint8_t(ub & 0xFF);
                         }
-                        if (b > 2047 || b < -2047) {
-                            if (ne >= 16) return -2;
-                            esc[ne * 2] = int16_t(i + 1); esc[ne * 2 + 1] = int16_t(b);
-                            ne++; b = b > 0 ? 2047 : -2047;
+                    } else {
+                        int ne = 0;
+                        for (int i = 0; i < pairs * 2; i += 2) {
+                            int a = dst[i], b = dst[i + 1];
+                            if (a > 2047 || a < -2047) {
+                                if (ne >= 16) return -2;
+                                esc[ne * 2] = int16_t(i); esc[ne * 2 + 1] = int16_t(a);
+                                ne++; a = a > 0 ? 2047 : -2047;
+                            }
+                            if (b > 2047 || b < -2047) {
+                                if (ne >= 16) return -2;
+                                esc[ne * 2] = int16_t(i + 1); esc[ne * 2 + 1] = int16_t(b);
+                                ne++; b = b > 0 ? 2047 : -2047;
+                            }
+                            uint32_t ua = uint32_t(a & 0xFFF), ub = uint32_t(b & 0xFFF);
+                            p12[i / 2 * 3 + 0] = uint8_t(ua >> 4);
+                            p12[i / 2 * 3 + 1] = uint8_t(((ua & 0xF) << 4) | (ub >> 8));
+                            p12[i / 2 * 3 + 2] = uint8_t(ub & 0xFF);
                         }
-                        uint32_t ua = uint32_t(a & 0xFFF), ub = uint32_t(b & 0xFFF);
-                        p12[i / 2 * 3 + 0] = uint8_t(ua >> 4);
-                        p12[i / 2 * 3 + 1] = uint8_t(((ua & 0xF) << 4) | (ub >> 8));
-                        p12[i / 2 * 3 + 2] = uint8_t(ub & 0xFF);
                     }
+                    memset(p12 + pairs * 3, 0, size_t(864 - pairs * 3));
                 }
                 // band exponents
                 int16_t* eo = exp_out + (gr_row * 2 + ch) * 64;
@@ -886,7 +954,8 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                 bool nzb[64] = {false};
                 const int16_t* spec1 = is_out ? is_out + (gr_row * 2 + 1) * 576
                                               : local_spec[1];
-                for (int i = 0; i < 576; i++)
+                int lines1 = lines_out[gidx * 2 + 1];  // zero beyond
+                for (int i = 0; i < lines1; i++)
                     if (spec1[i]) nzb[bmaps.map[fl][i]] = true;
                 stereo_modes(h, sf_pair[1], nzb, lsf, smode_out + gr_row * 64);
             }

@@ -62,6 +62,62 @@ def test_packed_decode_matches_int16():
     assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_unpack8_device_roundtrip():
+    """int8 plane -> device unpack8 == original, incl. escapes."""
+    rng = np.random.default_rng(1)
+    v = rng.integers(-127, 128, (4, 2, 576)).astype(np.int32)
+    v[1, 1, 3] = 766    # escapes (>127)
+    v[1, 1, 7] = -8206
+    clamped = np.clip(v, -127, 127).astype(np.int8)
+    esc_pos = np.full((4, 2, 16), -1, np.int16)
+    esc_val = np.zeros((4, 2, 16), np.int16)
+    esc_pos[1, 1, 0], esc_val[1, 1, 0] = 3, 766
+    esc_pos[1, 1, 1], esc_val[1, 1, 1] = 7, -8206
+    out = np.asarray(kp.unpack8(jnp.asarray(clamped), jnp.asarray(esc_pos),
+                                jnp.asarray(esc_val)))
+    assert np.array_equal(out, v)
+
+
+@pytest.mark.skipif(not available(), reason="native unpacker unavailable")
+def test_packed8_decode_matches_int16():
+    """The 8-bit plane + sideband decodes bit-identically to the int16
+    plane on content that exercises the escape path (values > 127)."""
+    pytest.importorskip("lameref")
+    mp3 = fixtures.lame_fixture("transients", ch=2, bitrate=128, mode="jstereo")
+    st = unpack_native(mp3)
+    G = st.n_granules
+    is8 = np.zeros((G, 2, 576), np.int8)
+    esc = np.zeros((G, 2, 16, 2), np.int16)
+    exp = np.zeros((G, 2, 64), np.int16)
+    bt = np.zeros((G, 2), np.int8)
+    mx = np.zeros((G, 2), np.uint8)
+    sm = np.zeros((G, 64), np.uint8)
+    ok = unpack_native_into12(mp3, G, None, exp, bt, mx, sm, is8, esc,
+                              plane_bits=8)
+    assert ok
+    # the sideband is real on this fixture (values above 127 exist)
+    if int((np.abs(st.is_) > 127).sum()) > 0:
+        assert int((esc[..., 0] >= 0).sum()) > 0
+    # reconstruction == exact int16 plane
+    rec = np.asarray(kp.unpack8(
+        jnp.asarray(is8), jnp.asarray(np.ascontiguousarray(esc[..., 0])),
+        jnp.asarray(np.ascontiguousarray(esc[..., 1]))))
+    assert np.array_equal(rec, st.is_.astype(np.int32))
+    W = 32
+    a, _ = kp.decode_window_i16(
+        jnp.asarray(st.is_[:W][None]), jnp.asarray(exp[:W][None]),
+        jnp.asarray(bt[:W][None]), jnp.asarray(mx[:W][None].astype(bool)),
+        jnp.asarray(sm[:W][None]), kp.init_state(1), 44100)
+    b, _ = kp.decode_window_packed_i16(
+        jnp.asarray(is8[:W][None]),
+        jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 0])[None]),
+        jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 1])[None]),
+        jnp.asarray(exp[:W][None]), jnp.asarray(bt[:W][None]),
+        jnp.asarray(mx[:W][None].astype(bool)), jnp.asarray(sm[:W][None]),
+        kp.init_state(1), 44100, plane_bits=8)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.skipif(not available(), reason="native unpacker unavailable")
 def test_packed_overflow_falls_back():
     """>16 escapes per granule-channel (hi-rate content) must be refused
