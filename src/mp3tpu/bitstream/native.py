@@ -41,6 +41,12 @@ def _load():
         lib.mp3tpu_unpack.argtypes = [ctypes.c_char_p, ctypes.c_int64] + [
             ctypes.c_void_p] * 8 + [ctypes.c_int32] * 3 + [
             ctypes.c_void_p] * 2 + [ctypes.c_int32]
+        lib.mp3tpu_unpack_window.restype = ctypes.c_int
+        lib.mp3tpu_unpack_window.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64] + [ctypes.c_int32] * 2 +
+            [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32] +
+            [ctypes.c_void_p] * 8 + [ctypes.c_int32] * 3 +
+            [ctypes.c_void_p] * 2 + [ctypes.c_int32])
         _lib = lib
     except Exception:
         _lib = None
@@ -137,3 +143,63 @@ def unpack_native_into12(data: bytes, G: int, is_, exp, bt, mixed, smode,
                           stream_idx, n_streams, win, ptr(is12), ptr(esc),
                           plane_bits)
     return r == g
+
+
+RES_STATE_CAP = 4096
+
+
+class NativeWindowState:
+    """Carried reservoir state for the C++ windowed unpacker."""
+
+    def __init__(self):
+        self.buf = np.zeros(RES_STATE_CAP, np.uint8)
+        self.len = ctypes.c_int32(0)
+
+    def seed_bytes(self, chunk: bytes) -> None:
+        """Append raw main-data bytes (seek pre-roll), keeping the tail."""
+        cur = bytes(self.buf[: self.len.value].tobytes()) + chunk
+        keep = cur[-1024:]
+        self.buf[: len(keep)] = np.frombuffer(keep, np.uint8)
+        self.len.value = len(keep)
+
+    def reset(self):
+        self.len.value = 0
+
+
+def unpack_native_window(data: bytes, f0: int, f1: int,
+                         state: NativeWindowState):
+    """C++ windowed unpack of frames [f0, f1) -> SymbolTensors (local
+    rows) with the reservoir carried in `state`, or None if the native
+    library is unavailable. Bit-identical to the same rows of
+    unpack()/unpack_native() (tested)."""
+    from .unpack import SymbolTensors
+    lib = _load()
+    if lib is None:
+        return None
+    meta = (ctypes.c_int32 * 4)()
+    g_total = lib.mp3tpu_probe(data, len(data), meta)
+    if g_total <= 0:
+        return None
+    nfr = f1 - f0
+    ngr = g_total // int(meta[3])  # granules per frame (2 MPEG-1, 1 LSF)
+    G = nfr * ngr
+    is_ = np.zeros((G, 2, 576), np.int16)
+    exp = np.zeros((G, 2, 64), np.int16)
+    bt = np.zeros((G, 2), np.int8)
+    mixed = np.zeros((G, 2), np.uint8)
+    smode = np.zeros((G, 64), np.uint8)
+    err = np.zeros(G, np.int16)
+    slack = np.zeros((G, 2), np.int32)
+    lines = np.zeros((G, 2), np.int32)
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    r = lib.mp3tpu_unpack_window(
+        data, len(data), f0, f1,
+        ptr(state.buf), ctypes.byref(state.len), RES_STATE_CAP,
+        ptr(is_), ptr(exp), ptr(bt), ptr(mixed), ptr(smode),
+        ptr(err), ptr(slack), ptr(lines), 0, 1, 0, None, None, 12)
+    if r != G:
+        return None
+    return SymbolTensors(
+        is_=is_, exp=exp, block_type=bt, mixed=mixed.astype(bool), smode=smode,
+        errors=err, huff_slack=slack, lines_used=lines,
+        sample_rate=int(meta[0]), channels=int(meta[1]), version=int(meta[2]))

@@ -74,7 +74,7 @@ def _cmd_info(args):
     print(json.dumps({
         "sample_rate": t.sample_rate, "channels": t.channels,
         "version": {3: "MPEG-1", 2: "MPEG-2", 0: "MPEG-2.5"}.get(
-            t.symbols.version, "?"),
+            t.source.version, "?"),
         "frames": int(t.index.n_frames),
         "duration_s": round(t.seek_table.duration, 3),
         "vbr_tag": t.stream_info.kind,
@@ -82,7 +82,7 @@ def _cmd_info(args):
         "encoder_delay": t.stream_info.encoder_delay,
         "encoder_padding": t.stream_info.encoder_padding,
         "id3": t.id3.frames, "id3v1": t.id3v1,
-        "decode_errors": int((t.symbols.errors != 0).sum()),
+        "decode_errors": int((t.source.whole().errors != 0).sum()),
     }, default=str))
 
 

@@ -778,20 +778,23 @@ int mp3tpu_probe(const uint8_t* data, int64_t len, int32_t* meta) {
 // packed plane and carried exactly in an escape channel esc_out
 // [G,2,16,2] = (line, value), line -1 = empty. Returns -2 if any
 // granule-channel has more than 16 escapes (caller falls back to int16).
-int mp3tpu_unpack(const uint8_t* data, int64_t len,
-                  int16_t* is_out,      // [G,2,576]
-                  int16_t* exp_out,     // [G,2,64]
-                  int8_t* bt_out,       // [G,2]
-                  uint8_t* mixed_out,   // [G,2]
-                  uint8_t* smode_out,   // [G,64]
-                  int16_t* err_out,     // [G]
-                  int32_t* slack_out,   // [G,2]
-                  int32_t* lines_out,   // [G,2]
-                  int32_t stream_idx, int32_t n_streams, int32_t win,
-                  uint8_t* is12_out, int16_t* esc_out, int32_t plane_bits) {
-    ensure_init();
-    Scan sc;
-    if (!scan_frames(data, size_t(len), &sc)) return -1;
+// Core frame-range unpacker. The bit reservoir is the ONLY state that
+// crosses frames (scfsi sharing is frame-local), so it is externalized:
+// callers stream a file window-by-window by carrying `reservoir`
+// between calls (SURVEY.md §3.3 unpack_window / §5.7 seekpoint chunks).
+// Output rows: with win==0, arrays hold [f1-f0 frames * ngr, ...] local
+// rows (g_base subtracted); with win>0, absolute window-major batch
+// rows [n_win, n_streams, win, ...] (zero-copy batch assembly).
+static int unpack_range(const uint8_t* data, const Scan& sc,
+                        int f0, int f1, int g_base,
+                        std::vector<uint8_t>& reservoir,
+                        int16_t* is_out, int16_t* exp_out, int8_t* bt_out,
+                        uint8_t* mixed_out, uint8_t* smode_out,
+                        int16_t* err_out, int32_t* slack_out,
+                        int32_t* lines_out,
+                        int32_t stream_idx, int32_t n_streams, int32_t win,
+                        uint8_t* is12_out, int16_t* esc_out,
+                        int32_t plane_bits) {
     const Header& h0 = sc.headers[0];
     bool lsf = h0.lsf;
     int sr9 = h0.sr_idx9;
@@ -800,21 +803,18 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
     BandMaps bmaps;
     bmaps.build(sr9);
 
-    std::vector<uint8_t> reservoir;
-    reservoir.reserve(size_t(len));
     Scf prev_sf[2];
     bool have_prev[2] = {false, false};
     GranuleBits br;  // reused across granules
     int16_t local_spec[2][576];  // int16 plane when is_out == nullptr
 
-    int G = int(sc.offsets.size()) * ngr;
     auto row = [&](int g) -> size_t {  // window-major batch row index
-        if (win <= 0) return size_t(g);
+        if (win <= 0) return size_t(g - g_base);
         return size_t(g / win) * size_t(n_streams) * win +
                size_t(stream_idx) * win + size_t(g % win);
     };
 
-    for (size_t fi = 0; fi < sc.offsets.size(); fi++) {
+    for (size_t fi = size_t(f0); fi < size_t(f1); fi++) {
         size_t off = sc.offsets[fi];
         const Header& h = sc.headers[fi];
         size_t si_start = off + 4 + (h.crc ? 2 : 0);
@@ -834,10 +834,11 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
 
         for (int gr = 0; gr < ngr; gr++) {
             int gidx = int(fi) * ngr + gr;
-            if (!crc_ok) err_out[gidx] |= 4;
+            int gl = gidx - g_base;  // local row for err/slack/lines
+            if (!crc_ok) err_out[gl] |= 4;
             size_t gr_row = row(gidx);
             if (underflow) {
-                err_out[gidx] |= 1;
+                err_out[gl] |= 1;
                 for (int ch = 0; ch < nch; ch++) {
                     const GranSI& g = si.gr[gr][ch];
                     bt_out[gr_row * 2 + ch] = int8_t(g.block_type);
@@ -863,12 +864,12 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                     if (gr == 0) { prev_sf[ch] = sf; have_prev[ch] = true; }
                 }
                 int part3 = g.part2_3_length - sf.part2_bits;
-                if (part3 < 0) { err_out[gidx] |= 8; continue; }
+                if (part3 < 0) { err_out[gl] |= 8; continue; }
                 DecodeResult dr;
                 decode_spectrum(br, g, sr9, lsf, part3, &dr);
-                slack_out[gidx * 2 + ch] = dr.slack;
-                lines_out[gidx * 2 + ch] = dr.lines_used;
-                if (dr.overrun) err_out[gidx] |= 2;
+                slack_out[gl * 2 + ch] = dr.slack;
+                lines_out[gl * 2 + ch] = dr.lines_used;
+                if (dr.overrun) err_out[gl] |= 2;
                 // spec[i >= lines_used] is all-zero: copy/pack only the
                 // live prefix, memset the tail (at 128 kbps the rzero
                 // tail is typically ~half the 576 lines)
@@ -954,7 +955,7 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                 bool nzb[64] = {false};
                 const int16_t* spec1 = is_out ? is_out + (gr_row * 2 + 1) * 576
                                               : local_spec[1];
-                int lines1 = lines_out[gidx * 2 + 1];  // zero beyond
+                int lines1 = lines_out[gl * 2 + 1];  // zero beyond
                 for (int i = 0; i < lines1; i++)
                     if (spec1[i]) nzb[bmaps.map[fl][i]] = true;
                 stereo_modes(h, sf_pair[1], nzb, lsf, smode_out + gr_row * 64);
@@ -967,7 +968,67 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
             if (bitpos >= cut * 8) { /* bitpos no longer used this frame */ }
         }
     }
-    return G;
+    return (f1 - f0) * sc.headers[0].ngr;
+}
+
+int mp3tpu_unpack(const uint8_t* data, int64_t len,
+                  int16_t* is_out,      // [G,2,576]
+                  int16_t* exp_out,     // [G,2,64]
+                  int8_t* bt_out,       // [G,2]
+                  uint8_t* mixed_out,   // [G,2]
+                  uint8_t* smode_out,   // [G,64]
+                  int16_t* err_out,     // [G]
+                  int32_t* slack_out,   // [G,2]
+                  int32_t* lines_out,   // [G,2]
+                  int32_t stream_idx, int32_t n_streams, int32_t win,
+                  uint8_t* is12_out, int16_t* esc_out, int32_t plane_bits) {
+    ensure_init();
+    Scan sc;
+    if (!scan_frames(data, size_t(len), &sc)) return -1;
+    std::vector<uint8_t> reservoir;
+    reservoir.reserve(size_t(len) < 65536 ? size_t(len) : 65536);
+    return unpack_range(data, sc, 0, int(sc.offsets.size()), 0, reservoir,
+                        is_out, exp_out, bt_out, mixed_out, smode_out,
+                        err_out, slack_out, lines_out,
+                        stream_idx, n_streams, win, is12_out, esc_out,
+                        plane_bits);
+}
+
+// Windowed incremental unpack (SURVEY.md §3.3): decode frames [f0, f1)
+// with the bit reservoir carried in a caller-owned state buffer
+// (res_state/res_len, capacity res_cap >= 1024). Pass res_len=0 at
+// stream start, or a reservoir pre-seeded with preceding frames' main
+// data for a mid-stream (seek) start. Output arrays hold (f1-f0)*ngr
+// local rows when win==0, or absolute window-major batch rows when
+// win>0. Returns the granule count decoded, or <0 on error.
+int mp3tpu_unpack_window(const uint8_t* data, int64_t len,
+                         int32_t f0, int32_t f1,
+                         uint8_t* res_state, int32_t* res_len,
+                         int32_t res_cap,
+                         int16_t* is_out, int16_t* exp_out, int8_t* bt_out,
+                         uint8_t* mixed_out, uint8_t* smode_out,
+                         int16_t* err_out, int32_t* slack_out,
+                         int32_t* lines_out,
+                         int32_t stream_idx, int32_t n_streams, int32_t win,
+                         uint8_t* is12_out, int16_t* esc_out,
+                         int32_t plane_bits) {
+    ensure_init();
+    Scan sc;
+    if (!scan_frames(data, size_t(len), &sc)) return -1;
+    if (f0 < 0 || f1 > int(sc.offsets.size()) || f0 > f1) return -1;
+    std::vector<uint8_t> reservoir(res_state, res_state + *res_len);
+    int r = unpack_range(data, sc, f0, f1, f0 * sc.headers[0].ngr, reservoir,
+                         is_out, exp_out, bt_out, mixed_out, smode_out,
+                         err_out, slack_out, lines_out,
+                         stream_idx, n_streams, win, is12_out, esc_out,
+                         plane_bits);
+    if (r < 0) return r;
+    // carry the reservoir tail (main_data_begin reaches back <= 511 B)
+    size_t keep = reservoir.size() > 1024 ? 1024 : reservoir.size();
+    if (int32_t(keep) > res_cap) keep = size_t(res_cap);
+    memcpy(res_state, reservoir.data() + reservoir.size() - keep, keep);
+    *res_len = int32_t(keep);
+    return r;
 }
 
 }  // extern "C"

@@ -80,6 +80,27 @@ def load_symbols(data: bytes):
     return st, info, index
 
 
+def load_source(data: bytes):
+    """Container parse + STREAMING symbol source: (SymbolSource,
+    StreamInfo, FrameIndex). Unlike load_symbols, no audio is unpacked
+    up front — the player's refill loop pulls granule windows on demand
+    (first-audio latency and host memory O(window); SURVEY.md §3.3)."""
+    from .bitstream.source import SymbolSource
+    id3 = parse_id3v2(data)
+    body = data[id3.size:] if id3.size else data
+    buf = np.frombuffer(body, np.uint8)
+    index = fr.scan_frames(buf)
+    info = parse_stream_info(body, int(index.offsets[0]), index.headers[0])
+    skip = 1 if is_metadata_frame(info) else 0
+    src = SymbolSource(body, index=index, skip_frames=skip)
+    if skip:
+        index = fr.FrameIndex(
+            offsets=index.offsets[1:], headers=index.headers[1:],
+            junk_bytes=index.junk_bytes, sample_rate=index.sample_rate,
+            channels=index.channels, version=index.version)
+    return src, info, index
+
+
 def decode_file(path_or_bytes, output: str = "int16", gapless: bool = True):
     """decode(path) -> (pcm, sample_rate) [SURVEY.md §3.1].
 

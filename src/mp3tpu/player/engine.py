@@ -66,8 +66,12 @@ _emit_dsp_jit = None
 
 @dataclass
 class Track:
-    """Parsed container + unpacked symbols for one stream."""
-    symbols: SymbolTensors
+    """Parsed container + streaming symbol source for one stream.
+
+    The source unpacks granule windows on demand (O(window) first-audio
+    latency and host memory — SURVEY.md §3.3 refill loop; VERDICT
+    round-1 item 4), instead of unpacking the whole file at open."""
+    source: object  # SymbolSource (duck-typed with SymbolTensors)
     index: fr.FrameIndex
     id3: Id3Info
     id3v1: dict
@@ -77,15 +81,15 @@ class Track:
 
     @property
     def sample_rate(self) -> int:
-        return self.symbols.sample_rate
+        return self.source.sample_rate
 
     @property
     def channels(self) -> int:
-        return self.symbols.channels
+        return self.source.channels
 
 
 def open_track(path_or_bytes) -> Track:
-    from ..pipeline import load_symbols
+    from ..pipeline import load_source
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
@@ -93,8 +97,8 @@ def open_track(path_or_bytes) -> Track:
             data = f.read()
     id3 = parse_id3v2(data)
     id3v1 = parse_id3v1(data)
-    symbols, info, index = load_symbols(data)
-    return Track(symbols=symbols, index=index, id3=id3, id3v1=id3v1,
+    source, info, index = load_source(data)
+    return Track(source=source, index=index, id3=id3, id3v1=id3v1,
                  stream_info=info, seek_table=SeekTable(index, info),
                  first_audio_frame=0)
 
@@ -114,7 +118,7 @@ class Player:
         if eq_gains_db is not None:
             from ..dsp.eq import GraphicEQ
             self._eq = GraphicEQ(eq_gains_db, self.track.sample_rate)
-        st = self.track.symbols
+        st = self.track.source
         self.ngr_per_frame = 1 if st.version != fr.VERSION_MPEG1 else 2
         self.spf = 576  # samples per granule
         info = self.track.stream_info
@@ -154,17 +158,19 @@ class Player:
     # stable for identical executables+shapes; SURVEY.md §7.5).
     def _decode_window_idx(self, w: int) -> np.ndarray:
         """Decode window w; device state must sit at w*32. Returns PCM of
-        the window's real granules and advances state to (w+1)*32."""
+        the window's real granules and advances state to (w+1)*32. Host
+        symbols for the window are pulled from the streaming source here
+        (the §3.3 refill step)."""
         import jax.numpy as jnp
-        st = self.track.symbols
+        src = self.track.source
         W = WINDOW_GRANULES
         g0 = w * W
         assert self._state is not None and self._state_granule == g0
-        n = min(W, st.n_granules - g0)
-        sl = slice(g0, g0 + n)
+        n = min(W, src.n_granules - g0)
+        with self.metrics.span("host"):
+            st = src.granules(g0, g0 + n)
 
         def prep(a):
-            a = a[sl]
             if n != W:  # zero-pad the final partial window
                 width = ((0, W - n),) + tuple((0, 0) for _ in a.shape[1:])
                 a = np.pad(a, width)

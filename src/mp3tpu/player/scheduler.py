@@ -30,7 +30,7 @@ from .sink import CollectSink, Sink
 
 @dataclass
 class _Slot:
-    symbols: SymbolTensors | None = None
+    symbols: object = None  # SymbolSource or SymbolTensors
     cursor: int = 0                      # next granule to decode
     sink: Sink | None = None
     total_emitted: int = 0
@@ -83,8 +83,12 @@ class StreamScheduler:
         if isinstance(data_or_symbols, SymbolTensors):
             st = data_or_symbols
         else:
+            # streaming source: container parse only — granule windows
+            # are unpacked per step in _pack_dispatch (the §3.3 refill
+            # loop; submit latency and host memory are O(window))
+            from ..pipeline import load_source
             with self.metrics.span("host"):
-                st = unpack_fast(data_or_symbols)
+                st, _info, _index = load_source(bytes(data_or_symbols))
         if st.sample_rate != self.sample_rate:
             raise ValueError(
                 f"scheduler is bucketed at {self.sample_rate} Hz, stream is "
@@ -149,12 +153,15 @@ class StreamScheduler:
                 n = min(W, st.n_granules - slot.cursor)
                 if n <= 0:
                     continue
-                sl = slice(slot.cursor, slot.cursor + n)
-                is_[i, :n] = st.is_[sl]
-                exp[i, :n] = st.exp[sl]
-                bt[i, :n] = st.block_type[sl]
-                mx[i, :n] = st.mixed[sl]
-                sm[i, :n] = st.smode[sl]
+                # windowed refill: SymbolSource unpacks [cursor, cursor+n)
+                # here (overlapping the in-flight device step — P4);
+                # pre-unpacked SymbolTensors return a view
+                ck = st.granules(slot.cursor, slot.cursor + n)
+                is_[i, :n] = ck.is_
+                exp[i, :n] = ck.exp
+                bt[i, :n] = ck.block_type
+                mx[i, :n] = ck.mixed
+                sm[i, :n] = ck.smode
                 # emission bounds are known at pack time (gapless trim
                 # depends on the cursor, never on decoded data)
                 pos0 = slot.cursor * 576

@@ -123,6 +123,19 @@ def test_restore_clears_stale_eq_tail(mp3):
         p2.sink.pcm) > len(tail1) else p2.sink.pcm)
 
 
+def test_player_first_audio_is_o_window(mp3):
+    """Opening a track must NOT unpack the whole file: the first emitted
+    window costs O(window) host unpack (VERDICT round-1 item 4)."""
+    p = Player(mp3, apply_gapless=False)
+    src = p.track.source
+    assert src.granules_unpacked == 0  # open() did no audio unpack
+    p.play(max_samples=1000)
+    total = src.n_granules
+    from mp3tpu.player.engine import WINDOW_GRANULES
+    assert total > 4 * WINDOW_GRANULES  # fixture long enough to matter
+    assert src.granules_unpacked <= 2 * WINDOW_GRANULES
+
+
 def test_metadata_and_duration(mp3):
     p = Player(mp3)
     assert p.track.sample_rate == 44100
