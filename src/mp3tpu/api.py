@@ -17,9 +17,10 @@ def init(config=None, sample_rates=(44100,), n_streams: int = 1,
     Returns the resolved Config.
     """
     global _INITIALIZED
-    from .config import Config, resolve
+    from .config import Config, resolve, set_active
     from .parallel.distributed import init_distributed
     cfg = config if config is not None else resolve()
+    set_active(cfg)  # decode/player/scheduler defaults now come from cfg
     init_distributed(distributed_coordinator, num_processes, process_id)
     import jax.numpy as jnp
     import numpy as np

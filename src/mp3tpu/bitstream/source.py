@@ -26,8 +26,9 @@ class SymbolSource:
         self._data = bytes(data)
         self._py = WindowedUnpacker(self._data, index)
         self._skip = skip_frames  # leading metadata (Xing) frames
+        from .unpack import use_native
         self._native_state = (native.NativeWindowState()
-                              if native.available() else None)
+                              if use_native() else None)
         self._native_cursor = 0
         self.sample_rate = self._py.sr
         self.channels = self._py.nch
@@ -97,3 +98,46 @@ class SymbolSource:
     def whole(self) -> SymbolTensors:
         """Materialize the full stream (batch paths)."""
         return self.granules(0, self.n_granules)
+
+
+def unpack_parallel(data: bytes, index: fr.FrameIndex | None = None,
+                    chunk_granules: int = 1024,
+                    max_workers: int = 4) -> SymbolTensors:
+    """Host-parallel unpack of ONE long file (SURVEY.md §5.7 host side).
+
+    The bit reservoir makes unpacking sequential within a stream, but
+    only over a <=511-byte lookback — so a long file is chunked at
+    frame boundaries, each chunk's reservoir is seeded EXACTLY from the
+    preceding frames' main data (SymbolSource._seek_frame walks back
+    until the back-pointer resolves; stronger than the Xing-TOC
+    "2-frame pre-roll" heuristic since the FrameIndex is already in
+    hand), and chunks unpack concurrently in a thread pool — the C++
+    unpacker releases the GIL, so this scales with cores. Output is
+    bit-identical to a serial whole-file unpack (tested).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = np.frombuffer(data, np.uint8)
+    if index is None:
+        index = fr.scan_frames(buf)
+    probe = SymbolSource(data, index=index)
+    G = probe.n_granules
+    step = max(probe.ngr, (chunk_granules // probe.ngr) * probe.ngr)
+    ranges = [(g, min(g + step, G)) for g in range(0, G, step)]
+    if len(ranges) <= 1:
+        return probe.whole()
+
+    def work(r):
+        src = SymbolSource(data, index=index)
+        return src.granules(*r)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        parts = list(ex.map(work, ranges))
+    first = parts[0]
+    cat = lambda f: np.concatenate([getattr(p, f) for p in parts])
+    return SymbolTensors(
+        is_=cat("is_"), exp=cat("exp"), block_type=cat("block_type"),
+        mixed=cat("mixed"), smode=cat("smode"), errors=cat("errors"),
+        huff_slack=cat("huff_slack"), lines_used=cat("lines_used"),
+        sample_rate=first.sample_rate, channels=first.channels,
+        version=first.version)

@@ -312,9 +312,16 @@ def unpack(data: bytes, index: fr.FrameIndex | None = None) -> SymbolTensors:
     return u.unpack_frames(u.n_frames)
 
 
-def unpack_fast(data: bytes) -> SymbolTensors:
-    """Unpack via the C++ fast path when available (bit-identical to
-    unpack(); see tests/test_native_unpack.py), else pure Python."""
+def use_native() -> bool:
+    """C++ fast path enabled? (active Config, SURVEY.md §5.6)."""
     from . import native
-    st = native.unpack_native(data) if native.available() else None
+    from ..config import get_active
+    return get_active().decode.use_native and native.available()
+
+
+def unpack_fast(data: bytes) -> SymbolTensors:
+    """Unpack via the C++ fast path when enabled+available (bit-identical
+    to unpack(); see tests/test_native_unpack.py), else pure Python."""
+    from . import native
+    st = native.unpack_native(data) if use_native() else None
     return st if st is not None else unpack(data)

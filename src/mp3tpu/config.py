@@ -58,6 +58,22 @@ class Config:
     log_config: bool = False
 
 
+# The process-wide active config: set once by mp3tpu.init() (or
+# set_active), read by decode/player/scheduler entry points as the
+# default for parameters the caller didn't pass explicitly.
+_ACTIVE = Config()
+
+
+def get_active() -> Config:
+    return _ACTIVE
+
+
+def set_active(cfg: Config) -> Config:
+    global _ACTIVE
+    _ACTIVE = cfg
+    return cfg
+
+
 def _coerce(val: str, typ):
     if typ is bool:
         return val.lower() in ("1", "true", "yes", "on")

@@ -27,29 +27,32 @@ def _read(path_or_bytes) -> bytes:
         return f.read()
 
 
-def decode_symbols_device(st: SymbolTensors, state=None) -> np.ndarray:
+def decode_symbols_device(st: SymbolTensors, state=None,
+                          window: int = WINDOW) -> np.ndarray:
     """Run the TPU pipeline over all granules of one stream.
 
     Returns float32 PCM [n, channels].
     """
+    from .utils.profiling import annotate
     G = st.n_granules
     if state is None:
         state = kp.init_state(1)
     out = []
-    for start in range(0, G, WINDOW):
-        g = min(WINDOW, G - start)
+    for start in range(0, G, window):
+        g = min(window, G - start)
         sl = slice(start, start + g)
 
         def prep(a):
             a = a[sl]
-            if g != WINDOW:  # zero-pad the final partial window
-                width = ((0, WINDOW - g),) + tuple((0, 0) for _ in a.shape[1:])
+            if g != window:  # zero-pad the final partial window
+                width = ((0, window - g),) + tuple((0, 0) for _ in a.shape[1:])
                 a = np.pad(a, width)
             return jnp.asarray(a[None])  # add S axis
 
-        pcm, state = kp.decode_window(
-            prep(st.is_), prep(st.exp), prep(st.block_type), prep(st.mixed),
-            prep(st.smode), state, st.sample_rate)
+        with annotate(f"mp3tpu.decode_window[{start}:{start + g}]"):
+            pcm, state = kp.decode_window(
+                prep(st.is_), prep(st.exp), prep(st.block_type), prep(st.mixed),
+                prep(st.smode), state, st.sample_rate)
         out.append(np.asarray(pcm[0, : g * 576]))
     pcm = np.concatenate(out, axis=0)
     return pcm[:, : st.channels]
@@ -101,16 +104,26 @@ def load_source(data: bytes):
     return src, info, index
 
 
-def decode_file(path_or_bytes, output: str = "int16", gapless: bool = True):
+def decode_file(path_or_bytes, output: str | None = None,
+                gapless: bool | None = None):
     """decode(path) -> (pcm, sample_rate) [SURVEY.md §3.1].
 
     output: "int16" (default, spec-rounded) or "float32".
     gapless: trim encoder delay/padding per the LAME tag when present,
     so decode(encode(x)) is sample-aligned with x.
+    Unset parameters fall back to the active Config (mp3tpu.init —
+    SURVEY.md §5.6); device windows run under §5.1 trace annotations
+    (MP3TPU_TRACE_DIR wraps them in a jax.profiler trace).
     """
+    from .config import get_active
+    from .utils.profiling import device_trace
+    cfg = get_active().decode
+    output = cfg.output if output is None else output
+    gapless = cfg.gapless if gapless is None else gapless
     data = _read(path_or_bytes)
     st, info, _index = load_symbols(data)
-    pcm = decode_symbols_device(st)
+    with device_trace():
+        pcm = decode_symbols_device(st, window=cfg.window_granules)
     if gapless and info.gapless:
         from .dsp.gapless import gapless_bounds
         a, b = gapless_bounds(len(pcm), info.encoder_delay, info.encoder_padding)

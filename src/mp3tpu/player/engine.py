@@ -107,7 +107,20 @@ class Player:
     """Single-stream playback session."""
 
     def __init__(self, path_or_bytes, sink: Sink | None = None,
-                 gain_db: float = 0.0, eq_gains_db=None, apply_gapless: bool = True):
+                 gain_db: float | None = None, eq_gains_db=None,
+                 apply_gapless: bool = True):
+        from ..config import get_active
+        cfg = get_active()
+        if cfg.decode.window_granules != WINDOW_GRANULES:
+            # the shared 32-granule partition IS the bit-exactness
+            # contract between play/seek/decode (CLAUDE.md invariant)
+            raise ValueError(
+                "Player requires decode.window_granules == "
+                f"{WINDOW_GRANULES} (got {cfg.decode.window_granules})")
+        if gain_db is None:
+            gain_db = cfg.player.gain_db
+        if eq_gains_db is None and cfg.player.eq_gains_db:
+            eq_gains_db = list(cfg.player.eq_gains_db)
         self.track = open_track(path_or_bytes)
         self.sink = sink or CollectSink()
         self.metrics = Metrics()
@@ -176,9 +189,11 @@ class Player:
                 a = np.pad(a, width)
             return jnp.asarray(a[None])
 
-        pcm, self._state = kp.decode_window(
-            prep(st.is_), prep(st.exp), prep(st.block_type), prep(st.mixed),
-            prep(st.smode), self._state, st.sample_rate)
+        from ..utils.profiling import annotate
+        with annotate(f"mp3tpu.player_window[{w}]"):
+            pcm, self._state = kp.decode_window(
+                prep(st.is_), prep(st.exp), prep(st.block_type),
+                prep(st.mixed), prep(st.smode), self._state, st.sample_rate)
         self._state_granule = g0 + W
         self.metrics.granules_decoded += n
         return np.asarray(pcm[0, : n * 576, : st.channels])

@@ -60,14 +60,16 @@ def gapless_bounds_of(data: bytes, n_granules: int) -> tuple[int, int | None]:
 class StreamScheduler:
     """Masked-batch streaming decode engine over one device."""
 
-    def __init__(self, n_slots: int = 64, win: int = 16,
+    def __init__(self, n_slots: int | None = None, win: int | None = None,
                  sample_rate: int = 44100):
-        self.S = n_slots
-        self.win = win
+        from ..config import get_active
+        cfg = get_active().scheduler
+        self.S = cfg.n_slots if n_slots is None else n_slots
+        self.win = cfg.window_granules if win is None else win
         self.sample_rate = sample_rate
-        self.slots = [_Slot() for _ in range(n_slots)]
+        self.slots = [_Slot() for _ in range(self.S)]
         self.queue: list[tuple[object, SymbolTensors, Sink, int, int | None]] = []
-        self.state = kp.init_state(n_slots)
+        self.state = kp.init_state(self.S)
         self.metrics = Metrics()
         self.trace: list[tuple[str, int]] = []  # ("dispatch"/"route", seq)
         self._seq = 0
@@ -233,6 +235,7 @@ def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32,
     """Convenience batched decode: returns list of (pcm, sample_rate)
     aligned with the inputs (SURVEY.md §3.2). Honors each stream's LAME
     gapless tag like single-file decode does (same trim, same lengths)."""
+    from ..pipeline import load_source
     datas = []
     for p in paths_or_bytes:
         if isinstance(p, (bytes, bytearray)):
@@ -240,7 +243,10 @@ def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32,
         else:
             with open(p, "rb") as f:
                 datas.append(f.read())
-    symbols = [unpack_fast(d) for d in datas]
+    # load_source skips ID3 regions and a leading Xing/Info metadata
+    # frame, exactly like single-file decode — then materializes the
+    # stream (batch throughput path wants whole-file symbols)
+    symbols = [load_source(d)[0].whole() for d in datas]
     rates = {st.sample_rate for st in symbols}
     out: list = [None] * len(datas)
     for rate in sorted(rates):

@@ -68,3 +68,22 @@ def test_vbri_header_parse():
     assert info.kind == "vbri"
     assert info.n_frames == 10 and info.n_bytes == 4170
     assert info.toc is not None and len(info.toc) == 100
+
+
+def test_parallel_long_file_unpack_equals_serial():
+    """SURVEY.md §5.7 host side: one long VBR file chunked at
+    reservoir-safe frame boundaries and unpacked by a thread pool must
+    be bit-identical to the serial whole-file unpack."""
+    pytest.importorskip("lameref")
+    import numpy as np
+    import fixtures
+    from mp3tpu.bitstream.source import unpack_parallel
+    from mp3tpu.bitstream.unpack import unpack
+    mp3 = fixtures.lame_fixture("sweep", ch=2, vbr=True, mode="jstereo",
+                                seconds=8.0)
+    ref = unpack(mp3)
+    got = unpack_parallel(mp3, chunk_granules=64, max_workers=4)
+    for f in ("is_", "exp", "block_type", "mixed", "smode", "errors",
+              "huff_slack", "lines_used"):
+        assert np.array_equal(getattr(got, f), getattr(ref, f)), f
+    assert got.n_granules == ref.n_granules

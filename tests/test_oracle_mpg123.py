@@ -9,8 +9,8 @@ import os
 import numpy as np
 import pytest
 
-from mp3tpu.bitstream.unpack import unpack
 from mp3tpu.oracle.decoder import decode_symbols
+from mp3tpu.pipeline import load_symbols
 
 import fixtures
 
@@ -20,7 +20,15 @@ TOL = 5e-6  # float32 output rounding + accumulation headroom
 def _compare(mp3: bytes):
     import mpg123ref
     ref, _rate = mpg123ref.decode(mp3)
-    mine = decode_symbols(unpack(mp3))
+    # mpg123 skips a leading Xing/Info metadata frame AND applies the
+    # LAME-tag gapless trim — mirror both so the streams align
+    st, info, _ = load_symbols(mp3)
+    mine = decode_symbols(st)
+    if info.gapless:
+        from mp3tpu.dsp.gapless import gapless_bounds
+        a, b = gapless_bounds(len(mine), info.encoder_delay,
+                              info.encoder_padding)
+        mine = mine[a:b]
     n = min(len(ref), len(mine))
     assert n > 0
     d = np.abs(ref[:n] - mine[:n])

@@ -200,7 +200,7 @@ def test_scheduler_elastic_refill(mp3):
     sched = StreamScheduler(n_slots=2, win=16, sample_rate=44100)
     sinks = [CollectSink() for _ in range(5)]
     for i, snk in enumerate(sinks):
-        sched.submit(mp3, sink=snk, stream_id=i)
+        sched.submit(mp3, sink=snk, stream_id=i, apply_gapless=False)
     sched.run()
     ref, _ = decode_file(mp3, gapless=False)
     for snk in sinks:

@@ -72,6 +72,20 @@ def encode(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
         assert m >= 0, f"lame encode error {m}"
         out2 = ctypes.create_string_buffer(65536)
         m2 = lib.lame_encode_flush(gf, out2, len(out2))
-        return out.raw[:m] + out2.raw[:m2]
+        data = out.raw[:m] + out2.raw[:m2]
+        if write_vbr_tag:
+            # backfill the Xing/Info+LAME tag frame (gapless delay/padding
+            # + seek TOC); the streaming API emits only a placeholder
+            try:
+                lib.lame_get_lametag_frame.restype = ctypes.c_size_t
+                lib.lame_get_lametag_frame.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+                tag = ctypes.create_string_buffer(8192)
+                tn = lib.lame_get_lametag_frame(gf, tag, len(tag))
+                if 0 < tn <= len(data):
+                    data = tag.raw[:tn] + data[tn:]
+            except AttributeError:
+                pass
+        return data
     finally:
         lib.lame_close(gf)
