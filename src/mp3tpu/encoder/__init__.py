@@ -12,18 +12,33 @@ from ..container.frames import BITRATES_V1_L3
 from .huffcode import encode_granule
 from .mux import (FrameSizer, ReservoirMux, build_frame, build_xing_frame,
                   frame_capacity_bits)
-from .psymodel import block_type_sequence, masking_thresholds
-from .quantize import inner_rate_loop, outer_distortion_loop
+from .psymodel import block_type_sequence, get_model
+from .quantize import (inner_rate_loop, outer_distortion_loop,
+                       outer_distortion_loop_short)
 from .transform import granule_spectra
 
 SPF = 576
 ENCODER_DELAY = 528   # analysis+MDCT chain delay minus the decoder's 529
 SR_IDX = {44100: 0, 48000: 1, 32000: 2}
 
+from functools import lru_cache
+
+from ..tables.sfb import LONG
+
+# reduceat edges for long-band energies (22 segments, last runs to 576)
+LONG_EDGES = {sr: LONG[sr][:22] for sr in LONG}
+
+
+@lru_cache(maxsize=None)
+def _short_flat_map(sample_rate: int) -> np.ndarray:
+    """transmitted line -> window*13 + short_sfb (band_map slot - 22)."""
+    from ..tables import maps as tmaps
+    return (tmaps.band_map(sample_rate, tmaps.FLAVOR_SHORT) - 22).astype(np.int64)
+
 
 def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                gapless_tag: bool = True, short_blocks: bool = True,
-               joint_stereo: bool = True, noise_shaping: bool = False,
+               joint_stereo: bool = True, noise_shaping: bool = True,
                device_transform: bool = False, reservoir: bool = True,
                vbr_quality: int | None = None) -> bytes:
     """Encode float PCM [-1, 1], shape [n] or [n, ch], to MP3 bytes.
@@ -31,9 +46,12 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     MPEG-1 rates (44100/48000/32000); 1 or 2 channels. CBR at `bitrate`
     kbps; mid/side joint stereo is chosen per frame when the side
     channel is weak; the first frame is a Xing/LAME metadata frame.
-    noise_shaping enables the outer distortion loop (per-band
-    scalefactors driven by the psymodel's masking thresholds) — it
-    trades plain SNR for masked-noise placement, so it is opt-in.
+    noise_shaping (default on) enables the outer distortion loop:
+    per-band scalefactors driven by the psychoacoustic model 2's
+    masking thresholds (1024-pt FFT unpredictability tonality, bark
+    spreading, pre-echo control — see psymodel.py), for both long and
+    short blocks. It trades plain SNR for masked-noise placement;
+    disable it for maximum plain-SNR encodes.
     device_transform runs E1+E2 (analysis filterbank + MDCT) on the
     TPU as one batched jitted call (SURVEY.md §3.4); the float64 numpy
     transform is the default reference path.
@@ -78,6 +96,13 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     else:
         xr = np.stack([granule_spectra(padded[:, c], bts, sample_rate)
                        for c in range(nch)], axis=1)
+
+    # psychoacoustic model 2: per-channel threshold/energy ratios
+    # (FFT-domain, dimensionless — applied to MDCT band energies below)
+    psy = None
+    if noise_shaping and vbr_quality is None:
+        model = get_model(sample_rate)
+        psy = [model.analyze(padded[:, c], bts) for c in range(nch)]
 
     vbr = vbr_quality is not None
     if vbr:
@@ -167,16 +192,39 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
         granules = []
         for gr in range(2):
             chs = []
+            g_idx = f * 2 + gr
             for c in range(nch):
-                bt = int(bts[f * 2 + gr])
-                if bt == 0 and noise_shaping:
-                    xmin = masking_thresholds(fx[gr, c], sample_rate)
-                    ix, gg, long_sf = outer_distortion_loop(
-                        fx[gr, c], xmin, budget, sample_rate)
-                    chs.append(encode_granule(ix, gg, sample_rate, bt,
-                                              long_sf=long_sf))
+                bt = int(bts[g_idx])
+                x = fx[gr, c]
+                if psy is not None and bt in (0, 2):
+                    # threshold/energy ratio per band; under mid/side the
+                    # conservative elementwise min of both channels' masking
+                    # applies to both mid and side
+                    if bt == 0:
+                        r = psy[c].ratio_l[g_idx]
+                        if ms:
+                            r = np.minimum(psy[0].ratio_l[g_idx],
+                                           psy[1].ratio_l[g_idx])
+                        en = np.add.reduceat(x * x, LONG_EDGES[sample_rate])
+                        ix, gg, long_sf = outer_distortion_loop(
+                            x, r * en[:21], budget, sample_rate)
+                        chs.append(encode_granule(ix, gg, sample_rate, bt,
+                                                  long_sf=long_sf))
+                    else:
+                        r = psy[c].ratio_s[g_idx]
+                        if ms:
+                            r = np.minimum(psy[0].ratio_s[g_idx],
+                                           psy[1].ratio_s[g_idx])
+                        flat = _short_flat_map(sample_rate)
+                        en = np.bincount(flat, weights=x * x,
+                                         minlength=39).reshape(3, 13)
+                        ix, gg, short_sf, sbg = outer_distortion_loop_short(
+                            x, r * en[:, :12], budget, sample_rate)
+                        chs.append(encode_granule(
+                            ix, gg, sample_rate, bt, short_sf=short_sf,
+                            subblock_gain=tuple(int(s) for s in sbg)))
                 else:
-                    ix, gg = inner_rate_loop(fx[gr, c], budget, sample_rate, bt)
+                    ix, gg = inner_rate_loop(x, budget, sample_rate, bt)
                     chs.append(encode_granule(ix, gg, sample_rate, bt))
             granules.append(chs)
         if mux is not None:

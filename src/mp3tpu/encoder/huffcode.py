@@ -183,14 +183,42 @@ def scalefac_bits(sfc: int) -> int:
     return 11 * int(SLEN1[sfc]) + 10 * int(SLEN2[sfc])
 
 
+def pick_scalefac_compress_short(short_sf: np.ndarray) -> int:
+    """Smallest-cost scalefac_compress for short-block scalefactors
+    short_sf [3 windows, 12 bands]: slen1 covers sfb 0-5, slen2 covers
+    sfb 6-11, each transmitted for all 3 windows [§2.4.2.7]."""
+    need1 = int(short_sf[:, :6].max(initial=0)).bit_length()
+    need2 = int(short_sf[:, 6:12].max(initial=0)).bit_length()
+    best, cost = 0, 1 << 30
+    for i in range(16):
+        s1, s2 = int(SLEN1[i]), int(SLEN2[i])
+        if s1 >= need1 and s2 >= need2:
+            c = 18 * (s1 + s2)
+            if c < cost:
+                best, cost = i, c
+    return best
+
+
+def scalefac_bits_short(sfc: int) -> int:
+    return 18 * (int(SLEN1[sfc]) + int(SLEN2[sfc]))
+
+# largest transmittable short scalefactor per band (slen1 max 4 bits for
+# sfb 0-5, slen2 max 3 bits for sfb 6-11)
+SHORT_SF_CAP = np.array([15] * 6 + [7] * 6, np.int32)
+
+
 def encode_granule(ix: np.ndarray, gg: int, sample_rate: int,
                    block_type: int = 0,
-                   long_sf: np.ndarray | None = None) -> CodedGranule:
+                   long_sf: np.ndarray | None = None,
+                   short_sf: np.ndarray | None = None,
+                   subblock_gain: tuple = (0, 0, 0)) -> CodedGranule:
     """Entropy-code one granule-channel's quantized spectrum (long or
-    window-switched block). long_sf: optional transmitted long-block
-    scalefactors (from the outer distortion loop)."""
+    window-switched block). long_sf / short_sf [3,12]: optional
+    transmitted scalefactors (from the outer distortion loop);
+    subblock_gain: per-window gain for short blocks."""
     g = CodedGranule(global_gain=gg, block_type=block_type,
-                     window_switching=1 if block_type else 0)
+                     window_switching=1 if block_type else 0,
+                     subblock_gain=tuple(int(s) for s in subblock_gain))
     bv, c1n = split_spectrum(ix)
     g.big_values = bv
     bv2 = bv * 2
@@ -202,6 +230,16 @@ def encode_granule(ix: np.ndarray, gg: int, sample_rate: int,
             w.put(int(long_sf[b]), s1)
         for b in range(11, 21):
             w.put(int(long_sf[b]), s2)
+    if short_sf is not None and block_type == 2 and short_sf.any():
+        # non-mixed short order: sfb-major, window-minor [§2.4.2.7]
+        g.scalefac_compress = pick_scalefac_compress_short(short_sf)
+        s1, s2 = int(SLEN1[g.scalefac_compress]), int(SLEN2[g.scalefac_compress])
+        for b in range(6):
+            for win in range(3):
+                w.put(int(short_sf[win, b]), s1)
+        for b in range(6, 12):
+            for win in range(3):
+                w.put(int(short_sf[win, b]), s2)
     if g.window_switching:
         # fixed split [§2.4.2.7]
         r1 = min(3 * 12 if block_type == 2 else int(LONG[sample_rate][8]), bv2)
@@ -244,7 +282,7 @@ def encode_granule(ix: np.ndarray, gg: int, sample_rate: int,
                 if v:
                     w.put(1 if v < 0 else 0, 1)
     g.bits = w
-    g.part2_3_length = len(w)  # scalefactor part2 is 0 bits (compress=0)
+    g.part2_3_length = len(w)  # includes part2 (scalefactors), if any
     return g
 
 

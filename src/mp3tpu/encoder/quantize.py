@@ -35,11 +35,13 @@ def quantize(xr: np.ndarray, global_gain: int,
 
 
 def inner_rate_loop(xr: np.ndarray, budget_bits: int, sample_rate: int,
-                    block_type: int = 0) -> tuple[np.ndarray, int]:
+                    block_type: int = 0, lo: int = 0) -> tuple[np.ndarray, int]:
     """Find the smallest global_gain whose coded size fits budget_bits.
 
-    Returns (ix, global_gain). Monotone in gg, so bisect."""
-    lo, hi = 0, 255
+    Returns (ix, global_gain). Monotone in gg, so bisect. `lo` is an
+    optional known lower bound (the outer loop only ever amplifies, so
+    the previous iteration's gg bounds this one from below)."""
+    hi = 255
     p34 = np.abs(xr) ** 0.75
     # quick lower bound: max |ix| must be <= IX_MAX
     amax = np.abs(xr).max()
@@ -78,12 +80,14 @@ def outer_distortion_loop(xr: np.ndarray, xmin: np.ndarray, budget_bits: int,
     sf_cap = np.array([15] * 11 + [7] * 10, np.int32)  # slen1/slen2 maxima
     amp = np.ones(576)
     best = None
+    gg_lo = 0
     for _ in range(max_iters):
         sfc = pick_scalefac_compress(sf)
         budget = budget_bits - scalefac_bits(sfc)
         if budget < 0:
             break
-        ix, gg = inner_rate_loop(xr * amp, budget, sample_rate, 0)
+        ix, gg = inner_rate_loop(xr * amp, budget, sample_rate, 0, lo=gg_lo)
+        gg_lo = gg
         deq = (np.abs(ix).astype(np.float64) ** (4.0 / 3.0)) *             2.0 ** ((gg - 210) / 4.0) / amp
         err = (np.abs(xr) - deq) ** 2
         dist = np.array([err[bands[b]:bands[b + 1]].sum() for b in range(21)])
@@ -97,4 +101,62 @@ def outer_distortion_loop(xr: np.ndarray, xmin: np.ndarray, budget_bits: int,
     if best is None:
         ix, gg = inner_rate_loop(xr, budget_bits, sample_rate, 0)
         return ix, gg, np.zeros(21, np.int32)
+    return best
+
+
+def outer_distortion_loop_short(xr: np.ndarray, xmin: np.ndarray,
+                                budget_bits: int, sample_rate: int,
+                                max_iters: int = 12):
+    """Outer loop for short (window-switched) blocks [Annex C.1.5.4]:
+    per-(window, band) scalefactors in sqrt(2) steps; when a window's
+    scalefactors hit the slen cap, escalate subblock_gain (one step =
+    4x amplification = 4 scalefactor steps) and fold the scalefactors
+    back down.
+
+    xr: transmitted-order spectrum [576]; xmin: allowed noise energy
+    per (window, band) [3, 12]. Returns (ix, gg, short_sf[3,12], sbg[3]).
+    """
+    from ..tables import maps as tmaps
+    from .huffcode import (SHORT_SF_CAP, pick_scalefac_compress_short,
+                           scalefac_bits_short)
+    bm = tmaps.band_map(sample_rate, tmaps.FLAVOR_SHORT)
+    wline = (bm - 22) // 13          # window of each transmitted line
+    sline = (bm - 22) % 13           # short sfb of each line
+    flat = wline * 13 + sline        # (window, band) slot per line, 0..38
+    sf = np.zeros((3, 12), np.int32)
+    sbg = np.zeros(3, np.int32)
+    best = None
+    gg_lo = 0
+    for _ in range(max_iters):
+        sfc = pick_scalefac_compress_short(sf)
+        budget = budget_bits - scalefac_bits_short(sfc)
+        if budget < 0:
+            break
+        # encoder amplification = exact inverse of the decoder's
+        # 2^(-(8*sbg + 2*sf)/4) quarter-step exponent (scalefac_scale=0)
+        q = 8 * sbg[:, None] + 2 * np.concatenate(
+            [sf, np.zeros((3, 1), np.int32)], axis=1)      # [3, 13]
+        amp = 2.0 ** (q[wline, sline] / 4.0)               # [576]
+        ix, gg = inner_rate_loop(xr * amp, budget, sample_rate, 2, lo=gg_lo)
+        gg_lo = gg
+        deq = (np.abs(ix).astype(np.float64) ** (4.0 / 3.0)) * \
+            2.0 ** ((gg - 210) / 4.0) / amp
+        err = (np.abs(xr) - deq) ** 2
+        dist = np.bincount(flat, weights=err, minlength=39).reshape(3, 13)
+        best = (ix, gg, sf.copy(), sbg.copy())
+        over = dist[:, :12] > xmin
+        headroom = (sf < SHORT_SF_CAP) | (sbg[:, None] < 7)
+        over &= headroom
+        if not over.any():
+            break
+        sf[over] += 1
+        for w in range(3):
+            if (sf[w] > SHORT_SF_CAP).any():
+                if sbg[w] < 7:
+                    sbg[w] += 1
+                    sf[w] = np.maximum(sf[w] - 4, 0)
+                sf[w] = np.minimum(sf[w], SHORT_SF_CAP)
+    if best is None:
+        ix, gg = inner_rate_loop(xr, budget_bits, sample_rate, 2)
+        return ix, gg, np.zeros((3, 12), np.int32), np.zeros(3, np.int32)
     return best

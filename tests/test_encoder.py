@@ -105,6 +105,68 @@ def test_masking_thresholds_shape():
     assert xmin[0] > xmin[-1]  # energy concentrated in low bands
 
 
+def test_psymodel2_tonality():
+    """PM2 (SURVEY.md E3): the FFT unpredictability measure must call a
+    steady sine tonal (high tb -> large TMN offset) and white noise
+    noisy (low tb) in the tone's partitions."""
+    from mp3tpu.encoder.psymodel import get_model
+    m = get_model(SR)
+    n = 576 * 20
+    t = np.arange(n) / SR
+    tone = 0.5 * np.sin(2 * np.pi * 1000 * t)
+    noise = 0.2 * np.random.default_rng(1).standard_normal(n)
+    bts = np.zeros(20, np.int64)
+    tb_tone = m.analyze(tone, bts).tonality
+    tb_noise = m.analyze(noise, bts).tonality
+    # partitions around 1 kHz (bin 23 of 1024-pt FFT at 44.1k)
+    p1k = int(m.part_l[int(round(1000 * 1024 / SR))])
+    assert tb_tone[5:, p1k].mean() > 0.9, tb_tone[5:, p1k].mean()
+    assert tb_noise[5:, p1k].mean() < 0.5, tb_noise[5:, p1k].mean()
+
+
+def test_psymodel2_pre_echo_control():
+    """A sudden attack after silence may not raise the masking threshold
+    beyond RPELEV1 x the previous (quiet) granule's threshold — the
+    guard that keeps quantization noise from smearing ahead of attacks."""
+    from mp3tpu.encoder.psymodel import RPELEV1, get_model
+    m = get_model(SR)
+    n = 576 * 12
+    sig = np.zeros(n)
+    g_atk = 8
+    sig[g_atk * 576:] = 0.8 * np.sin(
+        2 * np.pi * 2000 * np.arange(n - g_atk * 576) / SR)
+    out = m.analyze(sig, np.zeros(12, np.int64))
+    nb = out.nb_l
+    assert (nb[g_atk] <= RPELEV1 * nb[g_atk - 1] * (1 + 1e-9)).all()
+    # in the tone's partition: silence allows ~ATH, the settled tone far
+    # more — so the attack granule (limited by the quiet past) sits well
+    # below the settled threshold
+    p2k = int(m.part_l[int(round(2000 * 1024 / SR))])
+    assert nb[g_atk - 1, p2k] < 1e-3 * nb[g_atk + 3, p2k]
+    assert nb[g_atk, p2k] < 1e-2 * nb[g_atk + 3, p2k]
+
+
+def test_short_block_noise_shaping():
+    """Short (window-switched) granules must transmit per-window
+    scalefactors under the default noise shaping, keep exact bit
+    accounting, and decode to the exact length."""
+    sig = _transients(SR)
+    mp3 = encode_pcm(sig, SR, bitrate=128)
+    st = unpack(mp3)
+    short = st.block_type[:, 0] == 2
+    assert short.any()
+    # short band-slot exponents vary within the granule -> real
+    # scalefactors made it into the stream
+    sl = st.exp[:, 0, 22:61]
+    assert (sl[short].std(axis=1) > 0).all()
+    full = st.lines_used >= 573
+    bad = (st.huff_slack != 0) & ~full
+    assert int(bad[:, : st.channels].sum()) == 0
+    assert int((st.errors != 0).sum()) == 0
+    pcm, _ = decode_file(mp3, output="float32")
+    assert len(pcm) == len(sig)
+
+
 def test_outer_loop_scalefactors_roundtrip():
     """Noise shaping emits real per-band scalefactors; the stream must
     stay conformant (decoded by our own decoder AND spec-accounted)."""
