@@ -380,6 +380,27 @@ def decode_window_packed_resampled_i16(is12, esc_pos, esc_val, exp,
 
 
 @functools.lru_cache(maxsize=None)
+def _jitted_regroup_for(n_groups: int):
+    @jax.jit
+    def run(is12_gs, exp_gs, esc_gs, bt_gs, mx_gs, sm_gs):
+        cat = lambda gs: jnp.concatenate(gs, axis=1)
+        return (cat(is12_gs), cat(exp_gs), cat(esc_gs), cat(bt_gs),
+                cat(mx_gs), cat(sm_gs))
+    return run
+
+
+def regroup_device(is12_gs, exp_gs, esc_gs, bt_gs, mx_gs, sm_gs):
+    """Concatenate staged stream-group tensors [n_win, S/g, ...] into
+    whole-batch tensors [n_win, S, ...] in one device pass, so the
+    per-window decode step carries no n_groups-way concat in its hot
+    loop (fine staging granularity is a tunnel constraint, not a shape
+    the compute should pay for)."""
+    run = _jitted_regroup_for(len(is12_gs))
+    return run(tuple(is12_gs), tuple(exp_gs), tuple(esc_gs), tuple(bt_gs),
+               tuple(mx_gs), tuple(sm_gs))
+
+
+@functools.lru_cache(maxsize=None)
 def _jitted_grouped_window_for(sample_rate: int, out_rate: int,
                                n_groups: int, plane_bits: int = 12):
     """Grouped variant of the packed+resampled window decode: the batch
@@ -395,7 +416,7 @@ def _jitted_grouped_window_for(sample_rate: int, out_rate: int,
         cat = lambda gs: jnp.concatenate([sel(a) for a in gs], axis=0)
         is12, exp, esc = cat(is12_gs), cat(exp_gs), cat(esc_gs)
         return inner(is12, esc[..., 0], esc[..., 1], exp, cat(bt_gs),
-                     cat(mx_gs), cat(sm_gs), state, rs_state)
+                     cat(mx_gs).astype(jnp.bool_), cat(sm_gs), state, rs_state)
 
     return run
 
