@@ -22,10 +22,12 @@ Pipeline structure (SURVEY.md §2.4 P4, measured on this tunnel):
     tunnel: transfers <=2 MB sustain ~0.8 GB/s, chunks >=4 MB collapse
     ~6x under sustained volume (relay flow-control).
   * All staging happens BEFORE the first compiled program runs: on this
-    tunnel H2D is fast only pre-program (CLAUDE.md), so the decode loop
-    consumes device-resident group tensors, concatenated on device
-    inside the jitted step (kernels.decode_window_grouped_resampled_i16).
-  * win=32 granules per device step: measured sweet spot (win=64
+    tunnel H2D is fast only pre-program (CLAUDE.md). After staging, one
+    jitted regroup pass concatenates the groups in HBM, then ONE
+    lax.scan dispatch decodes all windows and resamples the whole
+    stream (kernels.decode_all_windows_flat_resampled_i16) — the
+    windowed resample phase never resets (streaming-exact).
+  * win=32 granules per scan step: measured sweet spot (win=64
     compiles to a 50x slower program on this backend).
 """
 import json
@@ -160,33 +162,28 @@ def main():
     # one-time jit compile (untimed warmup: once per deployment, served
     # from the persistent compilation cache in production; SURVEY.md §3.5)
     def regroup():
-        r = kp.regroup_device(dev["is12"], dev["exp"], dev["esc"],
-                              dev["bt"], dev["mx"], dev["smode"])
-        return {k: [a] for k, a in
-                zip(("is12", "exp", "esc", "bt", "mx", "smode"), r)}
+        return kp.regroup_device(dev["is12"], dev["exp"], dev["esc"],
+                                 dev["bt"], dev["mx"], dev["smode"])
 
-    def call(d, w, st_, rst_):
-        return kp.decode_window_grouped_resampled_i16(
-            w, d["is12"], d["exp"], d["esc"], d["bt"], d["mx"],
-            d["smode"], st_, rst_, sr, 48000, plane_bits=plane_bits)
+    def call(d, st_, rst_):
+        # ONE dispatch: lax.scan over all windows + one whole-stream
+        # resample (streaming-exact: resample phase never resets)
+        return kp.decode_all_windows_flat_resampled_i16(
+            *d, st_, rst_, sr, 48000, plane_bits=plane_bits)
     dwarm = regroup()
-    pcm16, _, _ = call(dwarm, 0, kp.init_state(n_streams),
+    pcm16, _, _ = call(dwarm, kp.init_state(n_streams),
                        kp.init_resample_state(n_streams, sr))
     pcm16.block_until_ready()
     del dwarm
 
     # ---- timed phase 3: device — one regroup pass (group tensors ->
-    # whole-batch window-major tensors in HBM), then the windowed decode
+    # whole-batch window-major tensors in HBM), then one all-windows
+    # decode+resample dispatch
     t2 = time.perf_counter()
     dcat = regroup()
-    state = kp.init_state(n_streams)
-    rs_state = kp.init_resample_state(n_streams, sr)
-    outs = []
-    for w in range(n_win):
-        pcm16, state, rs_state = call(dcat, w, state, rs_state)
-        outs.append(pcm16)
-    outs[-1].block_until_ready()
-    pcm16 = outs[-1]
+    pcm16, state, rs_state = call(dcat, kp.init_state(n_streams),
+                                  kp.init_resample_state(n_streams, sr))
+    pcm16.block_until_ready()
     t_dev = time.perf_counter() - t2
     wall = t_pipe + t_dev
 
@@ -195,11 +192,11 @@ def main():
     state0 = kp.init_state(n_streams)
     rst0 = kp.init_resample_state(n_streams, sr)
     tc = time.perf_counter()
-    for _ in range(5):
-        p0, _, _ = call(dcat, 0, state0, rst0)
+    for _ in range(2):
+        p0, _, _ = call(dcat, state0, rst0)
     p0.block_until_ready()
-    t_compute = (time.perf_counter() - tc) / 5
-    compute_x = (n_streams * win * 576 / sr) / t_compute
+    t_compute = (time.perf_counter() - tc) / 2
+    compute_x = (n_streams * G * 576 / sr) / t_compute
 
     assert int(np.abs(np.asarray(pcm16[0, :1000])).max()) > 0, "silent output"
 

@@ -64,28 +64,65 @@ class Resampler:
         self.block_width = width
 
     def init_state(self, channels: int):
-        return jnp.zeros((self.state_len, channels), jnp.float32)
+        """Streaming state: (carry samples, inputs seen, outputs emitted).
+
+        The carry holds every input sample any future output still
+        reads — including the fractional-block leftover, so chained
+        calls with ARBITRARY chunk sizes continue the exact output grid
+        of a one-shot resample (no per-chunk phase reset: output blocks
+        are emitted only in whole L-sized groups, each consuming
+        exactly M inputs, so the block matrix's phase is always 0)."""
+        return (jnp.zeros((self.state_len, channels), jnp.float32), 0, 0)
 
     def __call__(self, pcm, state=None):
-        """Resample PCM [n, ch] -> ([m, ch], new_state)."""
+        """Resample PCM [n, ch] -> ([m, ch], new_state). Streaming-exact:
+        concatenating the outputs of chained calls (+ flush) equals the
+        one-shot output bit-for-bit, for any chunking."""
         ch = pcm.shape[1]
         if state is None:
             state = self.init_state(ch)
-        x = jnp.concatenate([state, pcm], axis=0)
+        carry, n_in, n_out = state
+        x = jnp.concatenate([carry, pcm], axis=0)
         N = x.shape[0]
-        # same output length as the dilate-by-L/stride-by-M formulation
-        out_len = ((N - 1) * self.L + 1 - self.n_taps) // self.M + 1
-        nblk = -(-out_len // self.L)
-        npad = (nblk - 1) * self.M + self.block_width
-        xp = jnp.pad(x, ((0, max(0, npad - N)), (0, 0)))
-        lhs = xp.T[:, None, :]                      # [ch, 1, npad]
+        # whole blocks whose full input window is present: all L outputs
+        # of such a block are exact (zero-padding can't reach them)
+        nblk = max(0, (N - self.block_width) // self.M + 1)
+        if nblk == 0:
+            return jnp.zeros((0, ch), jnp.float32), (x, n_in + pcm.shape[0], n_out)
+        need = (nblk - 1) * self.M + self.block_width
+        lhs = x[:need].T[:, None, :]                # [ch, 1, need]
         rhs = self.block_w[:, None, :]              # [L, 1, width]
         out = jax.lax.conv_general_dilated(
             lhs, rhs, window_strides=(self.M,), padding=[(0, 0)],
             precision=jax.lax.Precision.HIGHEST)    # [ch, L, nblk]
-        y = out.transpose(0, 2, 1).reshape(ch, -1)[:, :out_len].T
-        new_state = x[-self.state_len:] if self.state_len else state
+        y = out.transpose(0, 2, 1).reshape(ch, -1).T
+        new_state = (x[nblk * self.M:], n_in + pcm.shape[0],
+                     n_out + nblk * self.L)
         return y, new_state
+
+    def total_out(self, n_in: int) -> int:
+        """One-shot output count for n_in input samples (the dilate-by-L
+        / stride-by-M formulation's length)."""
+        N = self.state_len + n_in
+        return ((N - 1) * self.L + 1 - self.n_taps) // self.M + 1
+
+    def flush(self, state):
+        """Drain the tail: zero-pad the carry and emit the outputs that
+        complete the one-shot length. Returns [m_tail, ch]."""
+        carry, n_in, n_out = state
+        remaining = self.total_out(n_in) - n_out
+        if remaining <= 0:
+            return jnp.zeros((0, carry.shape[1]), jnp.float32)
+        nblk = -(-remaining // self.L)
+        npad = (nblk - 1) * self.M + self.block_width
+        xp = jnp.pad(carry, ((0, max(0, npad - carry.shape[0])), (0, 0)))
+        ch = carry.shape[1]
+        lhs = xp[:npad].T[:, None, :]
+        rhs = self.block_w[:, None, :]
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(self.M,), padding=[(0, 0)],
+            precision=jax.lax.Precision.HIGHEST)
+        return out.transpose(0, 2, 1).reshape(ch, -1)[:, :remaining].T
 
 
 def resample(pcm, sr_in: int, sr_out: int):
@@ -93,5 +130,6 @@ def resample(pcm, sr_in: int, sr_out: int):
     if sr_in == sr_out:
         return pcm
     r = Resampler(sr_in, sr_out)
-    out, _ = r(jnp.asarray(pcm, jnp.float32))
-    return out
+    pcm = jnp.asarray(pcm, jnp.float32)
+    out, st = r(pcm)
+    return jnp.concatenate([out, r.flush(st)], axis=0)

@@ -401,37 +401,57 @@ def regroup_device(is12_gs, exp_gs, esc_gs, bt_gs, mx_gs, sm_gs):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_grouped_window_for(sample_rate: int, out_rate: int,
-                               n_groups: int, plane_bits: int = 12):
-    """Grouped variant of the packed+resampled window decode: the batch
-    arrives as n_groups stream-group tensors [n_win, S/g, ...] (staged
-    to HBM group-by-group, overlapped with host unpack — P4), and the
-    window index w is a traced scalar so one compile covers all windows.
-    The group concat + window slice run on device; no extra H2D."""
-    inner, _ = _jitted_packed_resample_for(sample_rate, out_rate, plane_bits)
+def _jitted_scan_all_for(sample_rate: int, out_rate: int,
+                         plane_bits: int = 12):
+    """All-windows decode + one whole-stream resample as ONE dispatch.
+
+    lax.scan carries only the decode state (overlap + synthesis FIFO)
+    over the window axis; the resampler runs ONCE over the concatenated
+    f32 PCM (it is a stateless strided conv given its history tail, so
+    hoisting it out of the scan is exact and keeps the scan body small
+    — measured: resample-inside-scan compiles ~7x slower)."""
+    from ..dsp.resample import Resampler
+    tables = build_tables(sample_rate)
+    rs = Resampler(sample_rate, out_rate)
+    L, M, state_len = rs.L, rs.M, rs.state_len
+    n_taps, width, block_w = rs.n_taps, rs.block_width, rs.block_w
+    unpack_plane = unpack12 if plane_bits == 12 else unpack8
 
     @jax.jit
-    def run(w, is12_gs, exp_gs, esc_gs, bt_gs, mx_gs, sm_gs, state, rs_state):
-        sel = lambda a: jax.lax.dynamic_index_in_dim(a, w, 0, keepdims=False)
-        cat = lambda gs: jnp.concatenate([sel(a) for a in gs], axis=0)
-        is12, exp, esc = cat(is12_gs), cat(exp_gs), cat(esc_gs)
-        return inner(is12, esc[..., 0], esc[..., 1], exp, cat(bt_gs),
-                     cat(mx_gs).astype(jnp.bool_), cat(sm_gs), state, rs_state)
+    def run(is12, exp, esc, bt, mx, sm, state, rs_state):
+        def step(st, xs):
+            i12, ex, es, b, m, s = xs
+            iv = unpack_plane(i12, es[..., 0], es[..., 1])
+            pcm, st2 = granule_pipeline(iv, ex, b, m.astype(jnp.bool_), s,
+                                        st, tables)
+            return st2, pcm
+        st, pcm = jax.lax.scan(step, state, (is12, exp, esc, bt, mx, sm))
+        n_win, S, T = pcm.shape[0], pcm.shape[1], pcm.shape[2]
+        pcm = pcm.transpose(1, 0, 2, 3).reshape(S, n_win * T, 2)
+        x = jnp.concatenate([rs_state, pcm], axis=1)
+        N = x.shape[1]
+        out_len = ((N - 1) * L + 1 - n_taps) // M + 1
+        nblk = -(-out_len // L)
+        npad = (nblk - 1) * M + width
+        xp = jnp.pad(x, ((0, 0), (0, max(0, npad - N)), (0, 0)))
+        lhs = xp.transpose(0, 2, 1).reshape(S * 2, 1, npad)
+        out = jax.lax.conv_general_dilated(
+            lhs, block_w[:, None, :], window_strides=(M,), padding=[(0, 0)],
+            precision=HIGHEST)
+        out = out.transpose(0, 2, 1).reshape(S * 2, nblk * L)[:, :out_len]
+        out = out.reshape(S, 2, out_len).transpose(0, 2, 1)
+        new_rs_state = x[:, -state_len:] if state_len else rs_state
+        return quantize_i16(out), st, new_rs_state
 
     return run
 
 
-def decode_window_grouped_resampled_i16(w, is12_groups, exp_groups,
-                                        esc_groups, bt_groups, mx_groups,
-                                        sm_groups, state, rs_state,
-                                        sample_rate: int,
-                                        out_rate: int = 48000,
-                                        plane_bits: int = 12):
-    run = _jitted_grouped_window_for(sample_rate, out_rate,
-                                     len(is12_groups), plane_bits)
-    return run(jnp.int32(w), tuple(is12_groups), tuple(exp_groups),
-               tuple(esc_groups), tuple(bt_groups), tuple(mx_groups),
-               tuple(sm_groups), state, rs_state)
+def decode_all_windows_flat_resampled_i16(is12, exp, esc, bt, mx, sm, state,
+                                          rs_state, sample_rate: int,
+                                          out_rate: int = 48000,
+                                          plane_bits: int = 12):
+    run = _jitted_scan_all_for(sample_rate, out_rate, plane_bits)
+    return run(is12, exp, esc, bt, mx, sm, state, rs_state)
 
 
 def init_resample_state(n_streams: int, sample_rate: int,

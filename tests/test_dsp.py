@@ -82,3 +82,26 @@ def test_gapless_bounds():
     start, end = gapless_bounds(10 * 1152, encoder_delay=576, encoder_padding=1105)
     assert start == 576 + 529
     assert end == 10 * 1152 - (1105 - 529)
+
+
+def test_resampler_streaming_exact_any_chunking():
+    """Chained Resampler calls (+flush) == one-shot, bit-for-bit, for
+    arbitrary chunk sizes — the streaming state carries the fractional
+    block so the output phase never resets (the window length need NOT
+    be a multiple of M)."""
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((60000, 2)) * 0.3).astype(np.float32)
+    rs = Resampler(44100, 48000)
+    ref = np.asarray(resample(x, 44100, 48000))
+    for chunks in ([18432, 18432, 18432], [147] * 40, [999, 5, 30000, 17000]):
+        st, outs, pos = None, [], 0
+        for c in chunks:
+            y, st = rs(x[pos:pos + c], st)
+            pos += c
+            outs.append(np.asarray(y))
+        outs.append(np.asarray(rs.flush(st)))
+        got = np.concatenate(outs)
+        want = np.asarray(resample(x[:pos], 44100, 48000))
+        assert got.shape == want.shape
+        assert np.array_equal(got, want)
+        assert np.array_equal(got, ref[:len(got)])
