@@ -115,6 +115,47 @@ struct GranuleBits {
     void skip(int n) { pos += n; }
 };
 
+// Registerized bitstream cursor over a GranuleBits buffer: keeps the
+// next >=33 bits left-aligned in a register and refills 4 bytes at a
+// time — one load+shift per symbol instead of an unaligned be64 load
+// per peek. Only used inside decode_spectrum's symbol loops (the host
+// hot path); semantics are bit-identical to GranuleBits (the buffer is
+// already end-masked, and the 16-byte guard covers the lookahead).
+struct BitCur {
+    const uint8_t* p;    // next byte to pull into acc
+    uint64_t acc = 0;    // upcoming bits, left-aligned
+    int cnt = 0;         // valid bits in acc
+    int64_t used = 0;    // bits consumed since init
+
+    void init(const GranuleBits& br) {
+        size_t bitoff = br.pos + size_t(br.lead_);
+        p = br.buf + (bitoff >> 3);
+        acc = be64(p) << (bitoff & 7);
+        cnt = 64 - int(bitoff & 7);
+        p += 8;
+    }
+    inline uint32_t peek(int n) const { return uint32_t(acc >> (64 - n)); }
+    inline void skip(int n) {
+        acc <<= n;
+        cnt -= n;
+        used += n;
+        if (cnt <= 32) {
+            uint32_t w = (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+                         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+            p += 4;
+            acc |= uint64_t(w) << (32 - cnt);
+            cnt += 32;
+        }
+    }
+    inline uint32_t read(int n) {
+        if (!n) return 0;
+        uint32_t v = peek(n);
+        skip(n);
+        return v;
+    }
+    inline uint32_t read1() { return read(1); }
+};
+
 // ----------------------------------------------------- huffman 2-level LUT
 
 struct HuffLut {
@@ -155,7 +196,8 @@ struct HuffLut {
     }
 
     // decode one pair; returns packed leaf (len<<8 | x<<4 | y)
-    inline uint16_t decode(GranuleBits& br) const {
+    template <class R>
+    inline uint16_t decode(R& br) const {
         uint16_t e = root[br.peek(ROOT_BITS)];
         if (e & 0x8000) {
             uint32_t sub = (e & 0x7FFF) * 512;
@@ -557,6 +599,9 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
     memset(out->spec, 0, sizeof(out->spec));
     out->overrun = false;
     size_t end_pos = br.pos + part3;
+    BitCur cur;
+    cur.init(br);
+    const int64_t limit = part3;
     const int16_t* L = SFB_LONG + sr9 * 23;
     const int16_t* S = SFB_SHORT + sr9 * 14;
     int bv2 = g.big_values * 2;
@@ -589,7 +634,7 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
         // the per-pair end check still applies, matching the Python
         // unpacker's overrun flagging bit-for-bit)
         if (tid == 0 || g_luts[tid].root.empty()) {
-            if (br.pos >= end_pos) { out->overrun = true; goto bigvalues_done; }
+            if (cur.used >= limit) { out->overrun = true; goto bigvalues_done; }
             pos = lim;
             continue;
         }
@@ -599,23 +644,23 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
         while (pos < lim) {
             // corrupt streams: big_values may claim more symbols than
             // part2_3_length holds — stop at the granule bit boundary
-            if (br.pos >= end_pos) { out->overrun = true; goto bigvalues_done; }
+            if (cur.used >= limit) { out->overrun = true; goto bigvalues_done; }
             if (ftab) {
-                uint32_t fe = ftab[br.peek(12)];
+                uint32_t fe = ftab[cur.peek(12)];
                 if (fe & 0x80000000u) {  // code+signs fused in one lookup
-                    br.skip(int((fe >> 24) & 31));
+                    cur.skip(int((fe >> 24) & 31));
                     out->spec[pos] = int(uint8_t(fe >> 8)) - 64;
                     out->spec[pos + 1] = int(uint8_t(fe)) - 64;
                     pos += 2;
                     continue;
                 }
             }
-            uint16_t e = lut.decode(br);
+            uint16_t e = lut.decode(cur);
             int x = (e >> 4) & 15, y = e & 15;
-            if (x == 15 && lut.linbits) x += br.read(lut.linbits);
-            if (x && br.read1()) x = -x;
-            if (y == 15 && lut.linbits) y += br.read(lut.linbits);
-            if (y && br.read1()) y = -y;
+            if (x == 15 && lut.linbits) x += cur.read(lut.linbits);
+            if (x && cur.read1()) x = -x;
+            if (y == 15 && lut.linbits) y += cur.read(lut.linbits);
+            if (y && cur.read1()) y = -y;
             if (x > 127 || x < -127 || y > 127 || y < -127) {
                 out->has_big = true;
                 if (x > 2047 || x < -2047 || y > 2047 || y < -2047)
@@ -629,10 +674,10 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
 bigvalues_done:;
     const HuffLut& c1 = g_c1[g.count1table_select];
     const FastC1& fc1 = g_fastc1[g.count1table_select];
-    while (br.pos < end_pos && pos <= 572) {
-        uint32_t fe = fc1.tab[br.peek(10)];
+    while (cur.used < limit && pos <= 572) {
+        uint32_t fe = fc1.tab[cur.peek(10)];
         if (fe & 0x80000000u) {
-            br.skip(int((fe >> 24) & 15));
+            cur.skip(int((fe >> 24) & 15));
             out->spec[pos + 0] = int((fe >> 0) & 3) - 1;
             out->spec[pos + 1] = int((fe >> 2) & 3) - 1;
             out->spec[pos + 2] = int((fe >> 4) & 3) - 1;
@@ -640,18 +685,18 @@ bigvalues_done:;
             pos += 4;
             continue;
         }
-        uint16_t e = c1.decode(br);
+        uint16_t e = c1.decode(cur);
         int quad = e & 0xFF;
         for (int j = 0; j < 4; j++) {
             int v = (quad >> (3 - j)) & 1;
-            if (v && br.read1()) v = -1;
+            if (v && cur.read1()) v = -1;
             out->spec[pos + j] = v;
         }
         pos += 4;
     }
-    bool c1_overrun = br.pos > end_pos;
+    bool c1_overrun = cur.used > limit;
     out->overrun = out->overrun || c1_overrun;
-    out->slack = int32_t(int64_t(end_pos) - int64_t(br.pos));
+    out->slack = int32_t(limit - cur.used);
     if (c1_overrun && pos >= 4) {
         // partial last count1 quadruple: discard it [common practice]
         for (int j = pos - 4; j < pos; j++) out->spec[j] = 0;
@@ -951,13 +996,18 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
             }
             if (nch == 2) {
                 const GranSI& g1 = si.gr[gr][1];
-                int fl = g1.block_type != 2 ? 0 : (g1.mixed ? 2 : 1);
                 bool nzb[64] = {false};
-                const int16_t* spec1 = is_out ? is_out + (gr_row * 2 + 1) * 576
-                                              : local_spec[1];
-                int lines1 = lines_out[gl * 2 + 1];  // zero beyond
-                for (int i = 0; i < lines1; i++)
-                    if (spec1[i]) nzb[bmaps.map[fl][i]] = true;
+                // the nonzero-band boundary only matters for intensity
+                // stereo; plain L/R and MS-only frames (the common case)
+                // skip the spectrum scan entirely
+                if (h.mode == 1 && (h.mode_ext & 1)) {
+                    int fl = g1.block_type != 2 ? 0 : (g1.mixed ? 2 : 1);
+                    const int16_t* spec1 = is_out ? is_out + (gr_row * 2 + 1) * 576
+                                                  : local_spec[1];
+                    int lines1 = lines_out[gl * 2 + 1];  // zero beyond
+                    for (int i = 0; i < lines1; i++)
+                        if (spec1[i]) nzb[bmaps.map[fl][i]] = true;
+                }
                 stereo_modes(h, sf_pair[1], nzb, lsf, smode_out + gr_row * 64);
             }
         }
