@@ -88,18 +88,22 @@ def main():
     # unpacker writes each stream's granules directly into place (B5
     # zero-copy batch assembly); a group is stageable the moment its last
     # stream is unpacked, while later groups are still unpacking.
-    # Spectrum ships as the 8-bit plane (values >127 in the escape
-    # sideband — rare at 128 kbps); falls back to the 12-bit plane if
-    # any granule-channel overflows the sideband.
-    plane_bits = 8
-    plane_shape = {8: (576,), 12: (864,)}
-    plane_dtype = {8: np.int8, 12: np.uint8}
+    # Spectrum ships as the 4-bit nibble plane (values outside [-7,7] in
+    # a POSITION-FREE 64-slot escape sideband, landed on device by
+    # marker rank — measured ~8/gc mean, <=54 max on music-like 128 kbps
+    # content); falls back to the 8-bit then 12-bit plane if any
+    # granule-channel overflows its sideband.
+    plane_bits = 4
+    plane_shape = {4: (288,), 8: (576,), 12: (864,)}
+    plane_dtype = {4: np.uint8, 8: np.int8, 12: np.uint8}
+    esc_shape = {4: (64,), 8: (16, 2), 12: (16, 2)}
     groups = []
     for _ in range(n_groups):
         groups.append({
             "is12": np.zeros((n_win, Sg, win, 2) + plane_shape[plane_bits],
                              plane_dtype[plane_bits]),
-            "esc": np.zeros((n_win, Sg, win, 2, 16, 2), np.int16),
+            "esc": np.zeros((n_win, Sg, win, 2) + esc_shape[plane_bits],
+                            np.int16),
             "exp": np.zeros((n_win, Sg, win, 2, 64), np.int16),
             "bt": np.zeros((n_win, Sg, win, 2), np.int8),
             "mx": np.zeros((n_win, Sg, win, 2), np.uint8),
@@ -115,13 +119,19 @@ def main():
         return unpack_native_into12(
             mp3, G, None, g["exp"], g["bt"], g["mx"], g["smode"],
             g["is12"], g["esc"], si % Sg, Sg, win, plane_bits=plane_bits)
-    if not _unpack_one(0):  # sideband overflow: widen to the 12-bit plane
-        plane_bits = 12
+    while not _unpack_one(0):  # sideband overflow: widen the plane
+        plane_bits = {4: 8, 8: 12}[plane_bits]
         for g in groups:
-            g["is12"] = np.zeros((n_win, Sg, win, 2, 864), np.uint8)
-            g["is12"].fill(1)
-            g["is12"].fill(0)
-        assert _unpack_one(0)
+            g["is12"] = np.zeros((n_win, Sg, win, 2) + plane_shape[plane_bits],
+                                 plane_dtype[plane_bits])
+            g["esc"] = np.zeros((n_win, Sg, win, 2) + esc_shape[plane_bits],
+                                np.int16)
+            for a in (g["is12"], g["esc"]):
+                a.fill(1)
+                a.fill(0)
+        if plane_bits == 12:
+            assert _unpack_one(0)
+            break
 
     # wake the tunnel before timing: the first H2D transfer of a process
     # runs ~10x below steady-state while the relay ramps its window

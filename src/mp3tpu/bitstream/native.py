@@ -120,11 +120,18 @@ def unpack_native_into12(data: bytes, G: int, is_, exp, bt, mixed, smode,
     """Like unpack_native_into but additionally emits the packed spectrum
     plane + escape channel (transfer-optimized device input).
 
-    plane_bits=12: is12 is uint8 [..., 864], |values|<=2047 inline.
+    plane_bits=12: is12 is uint8 [..., 864], |values|<=2047 inline,
+                   esc [..., 16, 2].
     plane_bits=8:  is12 is int8 [..., 576], |values|<=127 inline (1.5x
-    fewer staged bytes; escapes are rare below ~192 kbps).
-    Returns False on >16 escapes per granule-channel (caller falls back
-    to the int16 plane or the wider packed plane)."""
+                   fewer staged bytes; escapes are rare below ~192 kbps),
+                   esc [..., 16, 2].
+    plane_bits=4:  is12 is uint8 [..., 288], two lines/byte as nibble
+                   value+7, nibble 15 = escape; esc [..., 64] int16 is
+                   POSITION-FREE (values in line order; device recovers
+                   positions from the markers) — 1.5x fewer staged
+                   bytes than the 8-bit plane.
+    Returns False on sideband overflow per granule-channel (caller falls
+    back to the int16 plane or a wider packed plane)."""
     lib = _load()
     if lib is None:
         return False

@@ -306,27 +306,58 @@ def unpack8(is8, esc_pos, esc_val):
     return _apply_escapes(is8.astype(jnp.int32), esc_pos, esc_val)
 
 
+def unpack4(is4, esc_val):
+    """Device-side decode of the 4-bit packed spectrum plane.
+
+    is4: uint8 [..., 288], two lines per byte, nibble = value+7 for
+    values in [-7, 7]; nibble 15 marks an escape. esc_val int16
+    [..., 64] carries escape values in line order WITHOUT positions —
+    each marker's rank among markers (cumsum) indexes the sideband,
+    expressed as a one-hot matvec (no data-dependent gather, per this
+    module's TPU doctrine). Returns int32 [..., 576]."""
+    u = is4.astype(jnp.int32)
+    nib = jnp.stack([u & 15, u >> 4], axis=-1).reshape(is4.shape[:-1] + (576,))
+    is_esc = nib == 15
+    base = jnp.where(is_esc, 0, nib - 7)
+    rank = jnp.cumsum(is_esc.astype(jnp.int32), axis=-1) - 1
+    oh = ((rank[..., None] == jnp.arange(esc_val.shape[-1])) & is_esc[..., None])
+    contrib = jnp.einsum("...ie,...e->...i", oh.astype(jnp.float32),
+                         esc_val.astype(jnp.float32), precision=HIGHEST)
+    return base + contrib.astype(jnp.int32)
+
+
+def _plane_decode(plane_bits: int, is12, esc):
+    """Dispatch packed-plane decode; esc is the staged sideband tensor
+    ([..., n, 2] pos/val pairs for 8/12-bit, [..., 64] values for
+    4-bit)."""
+    if plane_bits == 4:
+        return unpack4(is12, esc)
+    fn = unpack12 if plane_bits == 12 else unpack8
+    return fn(is12, esc[..., 0], esc[..., 1])
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_packed_for(sample_rate: int, plane_bits: int = 12):
     tables = build_tables(sample_rate)
-    unpack_plane = unpack12 if plane_bits == 12 else unpack8
 
     @jax.jit
-    def run(is12, esc_pos, esc_val, exp, block_type, mixed, smode, state):
-        iv = unpack_plane(is12, esc_pos, esc_val)
+    def run(is12, esc, exp, block_type, mixed, smode, state):
+        iv = _plane_decode(plane_bits, is12, esc)
         pcm, st = granule_pipeline(iv, exp, block_type, mixed, smode, state, tables)
         return quantize_i16(pcm), st
 
     return run
 
 
-def decode_window_packed_i16(is12, esc_pos, esc_val, exp, block_type, mixed,
+def decode_window_packed_i16(is12, esc, exp, block_type, mixed,
                              smode, state, sample_rate: int,
                              plane_bits: int = 12):
     """jit entry consuming the packed spectrum plane (12-bit: 2.1x fewer
-    host->device bytes than the int16 plane; 8-bit: 3.2x fewer)."""
+    host->device bytes than the int16 plane; 8-bit: 3.2x; 4-bit: 4.6x).
+    esc: [..., n, 2] pos/val sideband (8/12-bit) or [..., 64] position-
+    free values (4-bit)."""
     return _jitted_packed_for(sample_rate, plane_bits)(
-        is12, esc_pos, esc_val, exp, block_type, mixed, smode, state)
+        is12, esc, exp, block_type, mixed, smode, state)
 
 
 @functools.lru_cache(maxsize=None)
@@ -339,12 +370,11 @@ def _jitted_packed_resample_for(sample_rate: int, out_rate: int,
     rs = Resampler(sample_rate, out_rate)
     L, M, state_len = rs.L, rs.M, rs.state_len
     n_taps, width, block_w = rs.n_taps, rs.block_width, rs.block_w
-    unpack_plane = unpack12 if plane_bits == 12 else unpack8
 
     @jax.jit
-    def run(is12, esc_pos, esc_val, exp, block_type, mixed, smode, state,
+    def run(is12, esc, exp, block_type, mixed, smode, state,
             rs_state):
-        iv = unpack_plane(is12, esc_pos, esc_val)
+        iv = _plane_decode(plane_bits, is12, esc)
         pcm, st = granule_pipeline(iv, exp, block_type, mixed, smode, state,
                                    tables)
         S = pcm.shape[0]
@@ -369,13 +399,13 @@ def _jitted_packed_resample_for(sample_rate: int, out_rate: int,
     return run, state_len
 
 
-def decode_window_packed_resampled_i16(is12, esc_pos, esc_val, exp,
+def decode_window_packed_resampled_i16(is12, esc, exp,
                                        block_type, mixed, smode, state,
                                        rs_state, sample_rate: int,
                                        out_rate: int = 48000,
                                        plane_bits: int = 12):
     run, _ = _jitted_packed_resample_for(sample_rate, out_rate, plane_bits)
-    return run(is12, esc_pos, esc_val, exp, block_type, mixed, smode,
+    return run(is12, esc, exp, block_type, mixed, smode,
                state, rs_state)
 
 
@@ -415,13 +445,12 @@ def _jitted_scan_all_for(sample_rate: int, out_rate: int,
     rs = Resampler(sample_rate, out_rate)
     L, M, state_len = rs.L, rs.M, rs.state_len
     n_taps, width, block_w = rs.n_taps, rs.block_width, rs.block_w
-    unpack_plane = unpack12 if plane_bits == 12 else unpack8
 
     @jax.jit
     def run(is12, exp, esc, bt, mx, sm, state, rs_state):
         def step(st, xs):
             i12, ex, es, b, m, s = xs
-            iv = unpack_plane(i12, es[..., 0], es[..., 1])
+            iv = _plane_decode(plane_bits, i12, es)
             pcm, st2 = granule_pipeline(iv, ex, b, m.astype(jnp.bool_), s,
                                         st, tables)
             return st2, pcm

@@ -923,7 +923,38 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                                       : local_spec[ch];
                 memcpy(dst, dr.spec, size_t(lines) * 2);
                 memset(dst + lines, 0, size_t(576 - lines) * 2);
-                if (is12_out && plane_bits == 8) {
+                if (is12_out && plane_bits == 4) {
+                    // 4-bit plane (288 B/gc): two lines per byte, nibble
+                    // = value+7 for [-7,7], 15 = escape. The sideband is
+                    // POSITION-FREE: int16[64] escape values in line
+                    // order — the device recovers positions from the
+                    // marker nibbles (cumsum rank). 416 B/gc total,
+                    // ~1.5x fewer staged bytes than the 8-bit plane
+                    // (measured |v|>7 at 128 kbps: ~8/gc mean, <=54 on
+                    // transient content; overflow -> caller widens).
+                    uint8_t* p4 = is12_out + (gr_row * 2 + ch) * 288;
+                    int16_t* esc = esc_out + (gr_row * 2 + ch) * 64;
+                    memset(esc, 0, 64 * 2);
+                    int ne = 0;
+                    int pairs2 = (lines + 1) & ~1;
+                    for (int i = 0; i < pairs2; i += 2) {
+                        uint32_t nib[2];
+                        for (int k = 0; k < 2; k++) {
+                            int v = dst[i + k];
+                            if (v > 7 || v < -7) {
+                                if (ne >= 64) return -2;
+                                esc[ne++] = int16_t(v);
+                                nib[k] = 15;
+                            } else {
+                                nib[k] = uint32_t(v + 7);
+                            }
+                        }
+                        p4[i >> 1] = uint8_t(nib[0] | (nib[1] << 4));
+                    }
+                    // zero tail decodes as nibble 0 -> value -7 on a
+                    // naive read; memset the encoded zero (0x77) instead
+                    memset(p4 + (pairs2 >> 1), 0x77, size_t(288 - (pairs2 >> 1)));
+                } else if (is12_out && plane_bits == 8) {
                     // 8-bit signed plane (576 B/gc): values in [-127,127]
                     // stored directly, larger carried in the escape
                     // sideband — 1.5x fewer staged bytes than 12-bit

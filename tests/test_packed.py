@@ -53,9 +53,7 @@ def test_packed_decode_matches_int16():
         jnp.asarray(bt[:W][None]), jnp.asarray(mx[:W][None].astype(bool)),
         jnp.asarray(sm[:W][None]), kp.init_state(1), 44100)
     b, _ = kp.decode_window_packed_i16(
-        jnp.asarray(is12[:W][None]),
-        jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 0])[None]),
-        jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 1])[None]),
+        jnp.asarray(is12[:W][None]), jnp.asarray(esc[:W][None]),
         jnp.asarray(exp[:W][None]), jnp.asarray(bt[:W][None]),
         jnp.asarray(mx[:W][None].astype(bool)), jnp.asarray(sm[:W][None]),
         kp.init_state(1), 44100)
@@ -109,13 +107,83 @@ def test_packed8_decode_matches_int16():
         jnp.asarray(bt[:W][None]), jnp.asarray(mx[:W][None].astype(bool)),
         jnp.asarray(sm[:W][None]), kp.init_state(1), 44100)
     b, _ = kp.decode_window_packed_i16(
-        jnp.asarray(is8[:W][None]),
-        jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 0])[None]),
-        jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 1])[None]),
+        jnp.asarray(is8[:W][None]), jnp.asarray(esc[:W][None]),
         jnp.asarray(exp[:W][None]), jnp.asarray(bt[:W][None]),
         jnp.asarray(mx[:W][None].astype(bool)), jnp.asarray(sm[:W][None]),
         kp.init_state(1), 44100, plane_bits=8)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unpack4_device_roundtrip():
+    """nibble plane -> device unpack4 == original; the position-free
+    sideband lands escapes by marker rank (cumsum), not stored pos."""
+    rng = np.random.default_rng(2)
+    v = rng.integers(-7, 8, (4, 2, 576)).astype(np.int32)
+    v[2, 0, 4] = 120    # escapes (>7), in line order
+    v[2, 0, 11] = -8206
+    v[2, 0, 570] = 33
+    clamped = np.clip(v, -7, 7) + 7
+    for i in (4, 11, 570):
+        clamped[2, 0, i] = 15   # escape marker nibble
+    packed = (clamped[..., 0::2] | (clamped[..., 1::2] << 4)).astype(np.uint8)
+    esc_val = np.zeros((4, 2, 64), np.int16)
+    esc_val[2, 0, :3] = [120, -8206, 33]
+    out = np.asarray(kp.unpack4(jnp.asarray(packed), jnp.asarray(esc_val)))
+    assert np.array_equal(out, v)
+
+
+@pytest.mark.skipif(not available(), reason="native unpacker unavailable")
+def test_packed4_decode_matches_int16():
+    """The 4-bit nibble plane + position-free 64-slot sideband decodes
+    bit-identically to the int16 plane (|v|>7 is common at 128 kbps)."""
+    pytest.importorskip("lameref")
+    mp3 = fixtures.lame_fixture("transients", ch=2, bitrate=128, mode="jstereo")
+    st = unpack_native(mp3)
+    G = st.n_granules
+    is4 = np.zeros((G, 2, 288), np.uint8)
+    esc = np.zeros((G, 2, 64), np.int16)
+    exp = np.zeros((G, 2, 64), np.int16)
+    bt = np.zeros((G, 2), np.int8)
+    mx = np.zeros((G, 2), np.uint8)
+    sm = np.zeros((G, 64), np.uint8)
+    ok = unpack_native_into12(mp3, G, None, exp, bt, mx, sm, is4, esc,
+                              plane_bits=4)
+    assert ok
+    assert int((np.abs(st.is_) > 7).sum()) > 0   # sideband is real here
+    assert int((esc != 0).sum()) > 0
+    rec = np.asarray(kp.unpack4(jnp.asarray(is4), jnp.asarray(esc)))
+    assert np.array_equal(rec, st.is_.astype(np.int32))
+    W = 32
+    a, _ = kp.decode_window_i16(
+        jnp.asarray(st.is_[:W][None]), jnp.asarray(exp[:W][None]),
+        jnp.asarray(bt[:W][None]), jnp.asarray(mx[:W][None].astype(bool)),
+        jnp.asarray(sm[:W][None]), kp.init_state(1), 44100)
+    b, _ = kp.decode_window_packed_i16(
+        jnp.asarray(is4[:W][None]), jnp.asarray(esc[:W][None]),
+        jnp.asarray(exp[:W][None]), jnp.asarray(bt[:W][None]),
+        jnp.asarray(mx[:W][None].astype(bool)), jnp.asarray(sm[:W][None]),
+        kp.init_state(1), 44100, plane_bits=4)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not available(), reason="native unpacker unavailable")
+def test_packed4_overflow_falls_back():
+    """>64 |v|>7 escapes per granule-channel (hi-rate content) must be
+    refused so callers widen to the 8-bit plane."""
+    pytest.importorskip("lameref")
+    mp3 = fixtures.lame_fixture("sweep", ch=2, bitrate=320, mode="stereo")
+    st = unpack_native(mp3)
+    if int((np.abs(st.is_.reshape(-1, 576)) > 7).sum(-1).max()) <= 64:
+        pytest.skip("fixture never overflows the 4-bit sideband")
+    G = st.n_granules
+    is4 = np.zeros((G, 2, 288), np.uint8)
+    esc = np.zeros((G, 2, 64), np.int16)
+    exp = np.zeros((G, 2, 64), np.int16)
+    bt = np.zeros((G, 2), np.int8)
+    mx = np.zeros((G, 2), np.uint8)
+    sm = np.zeros((G, 64), np.uint8)
+    assert not unpack_native_into12(mp3, G, None, exp, bt, mx, sm, is4, esc,
+                                    plane_bits=4)
 
 
 @pytest.mark.skipif(not available(), reason="native unpacker unavailable")
@@ -154,9 +222,7 @@ def test_fused_resample_matches_reference():
     sm = np.zeros((G, 64), np.uint8)
     assert unpack_native_into12(mp3, G, None, exp, bt, mx, sm, is12, esc)
     W = 32
-    args = (jnp.asarray(is12[:W][None]),
-            jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 0])[None]),
-            jnp.asarray(np.ascontiguousarray(esc[:W, :, :, 1])[None]),
+    args = (jnp.asarray(is12[:W][None]), jnp.asarray(esc[:W][None]),
             jnp.asarray(exp[:W][None]), jnp.asarray(bt[:W][None]),
             jnp.asarray(mx[:W][None].astype(bool)), jnp.asarray(sm[:W][None]))
     fused, _, _ = kp.decode_window_packed_resampled_i16(
