@@ -1,6 +1,8 @@
 """MSB-first bit writer (encoder side, SURVEY.md E6)."""
 from __future__ import annotations
 
+import numpy as np
+
 
 class BitWriter:
     __slots__ = ("bits",)
@@ -12,6 +14,21 @@ class BitWriter:
         for i in range(nbits - 1, -1, -1):
             self.bits.append((value >> i) & 1)
 
+    def put_array(self, values, lens):
+        """Append many (value, nbits) fields at once, MSB-first each —
+        the vectorized equivalent of [put(v, n) for v, n in zip(...)];
+        zero-length fields contribute nothing."""
+        values = np.asarray(values, np.int64)
+        lens = np.asarray(lens, np.int64)
+        m = int(lens.max(initial=0))
+        if m == 0:
+            return
+        ks = np.arange(m)
+        shift = lens[:, None] - 1 - ks[None]          # [N, m]
+        bits = (values[:, None] >> np.maximum(shift, 0)) & 1
+        # boolean C-order indexing keeps (field, bit) order
+        self.bits.extend(bits[shift >= 0].tolist())
+
     def put_bits(self, other: "BitWriter"):
         self.bits.extend(other.bits)
 
@@ -19,16 +36,8 @@ class BitWriter:
         return len(self.bits)
 
     def to_bytes(self, pad_to: int | None = None) -> bytes:
-        bits = self.bits[:]
-        while len(bits) % 8:
-            bits.append(0)
-        out = bytearray()
-        for i in range(0, len(bits), 8):
-            b = 0
-            for j in range(8):
-                b = (b << 1) | bits[i + j]
-            out.append(b)
+        out = np.packbits(np.asarray(self.bits, np.uint8)).tobytes()
         if pad_to is not None:
             assert len(out) <= pad_to, f"overflow: {len(out)} > {pad_to}"
             out += b"\x00" * (pad_to - len(out))
-        return bytes(out)
+        return out

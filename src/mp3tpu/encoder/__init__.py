@@ -116,53 +116,135 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     # per-granule energy for demand-weighted reservoir draws
     g_energy = (xr ** 2).sum(axis=(1, 2)) + 1e-12
     med_energy = float(np.median(g_energy))
-    from .huffcode import count_granule_bits
-    from .quantize import IX_MAX, quantize
-    for f in range(n_frames):
-        frame_bytes, padbit = sizer.next()
-        budget = frame_capacity_bits(frame_bytes, nch) // (2 * nch) - 8
-        if mux is not None:
-            # loud/transient frames borrow from the reservoir
-            draw_total = min(mux.reservoir_bits, 3000)
-            f_energy = float(g_energy[f * 2: f * 2 + 2].sum())
-            loud = f_energy > 2.0 * med_energy or                 (bts[f * 2: f * 2 + 2] == 2).any()
-            budget += (draw_total if loud else draw_total // 8) // (2 * nch)
-            budget = min(budget, 3900)
-        fx = xr[f * 2: f * 2 + 2].copy()          # [2, nch, 576]
-        # per-frame mid/side decision: MS when the side channel is weak
-        # (the decoder applies the 1/sqrt2 butterfly; its exact inverse
-        # is applied here — the butterfly is orthogonal)
-        ms = ms_flag = False
-        if nch == 2 and joint_stereo:
-            mid = (fx[:, 0] + fx[:, 1]) * s2
-            side = (fx[:, 0] - fx[:, 1]) * s2
-            e_s, e_m = (side ** 2).sum(), (mid ** 2).sum()
-            if e_s < 0.5 * e_m:
-                ms = ms_flag = True
-                fx[:, 0], fx[:, 1] = mid, side
-        if vbr:
-            # constant-quality quantization, then the smallest bitrate
-            # whose capacity (plus reservoir) fits this frame
-            chs_all = []
-            need = 0
-            for gr in range(2):
-                row = []
-                for c in range(nch):
-                    bt = int(bts[f * 2 + gr])
-                    x = fx[gr, c]
-                    amax = float(np.abs(x).max())
-                    gg = 210
-                    if amax > 0:
-                        while (amax * 2.0 ** (-(gg - 210) / 4.0)) ** 0.75 > IX_MAX:
-                            gg += 1
-                        while gg > 0 and (amax * 2.0 ** (-(gg - 1 - 210) / 4.0)) ** 0.75 <= IX_MAX:
-                            gg -= 1
-                    gg = min(gg + 12 + 3 * vbr_quality, 255)
-                    ix = quantize(x, gg)
-                    bits = count_granule_bits(ix, sample_rate, bt)
-                    need += min(bits, 4000)
-                    row.append((ix, gg, bt, bits))
-                chs_all.append(row)
+    from . import vloop
+    from .quantize import IX_MAX
+    from .vcount import count_bits_rows, count_bits_rows_full
+
+    # ---- per-frame mid/side decision, vectorized (MS when the side
+    # channel is weak; the decoder's 1/sqrt2 butterfly is orthogonal, so
+    # its exact inverse is applied here)
+    ms_f = np.zeros(n_frames, bool)
+    if nch == 2 and joint_stereo:
+        mid = (xr[:, 0] + xr[:, 1]) * s2
+        side = (xr[:, 0] - xr[:, 1]) * s2
+        e_m = (mid ** 2).sum(1).reshape(n_frames, 2).sum(1)
+        e_s = (side ** 2).sum(1).reshape(n_frames, 2).sum(1)
+        ms_f = e_s < 0.5 * e_m
+        msg = np.repeat(ms_f, 2)
+        xr[msg, 0], xr[msg, 1] = mid[msg], side[msg]
+
+    # ---- psymodel per-gc allowed-noise rows (threshold/energy ratio x
+    # band energy; under mid/side the conservative elementwise min of
+    # both channels' masking applies to both mid and side)
+    if psy is not None:
+        en_l = np.add.reduceat(xr * xr, LONG_EDGES[sample_rate],
+                               axis=2)[:, :, :21]              # [G,nch,21]
+        ratio_l = np.stack([p.ratio_l for p in psy], 1)        # [G,nch,21]
+        flat = _short_flat_map(sample_rate)
+        ind39 = np.zeros((576, 39))
+        ind39[np.arange(576), np.minimum(flat, 38)] = 1.0
+        en_s = (xr.reshape(-1, 576) ** 2 @ ind39).reshape(
+            G, nch, 3, 13)[:, :, :, :12]
+        ratio_s = np.stack([p.ratio_s for p in psy], 1)        # [G,nch,3,12]
+        if nch == 2:
+            msg = np.repeat(ms_f, 2)
+            both_l = np.minimum(ratio_l[:, 0], ratio_l[:, 1])[:, None]
+            both_s = np.minimum(ratio_s[:, 0], ratio_s[:, 1])[:, None]
+            ratio_l = np.where(msg[:, None, None], both_l, ratio_l)
+            ratio_s = np.where(msg[:, None, None, None], both_s, ratio_s)
+        xmin_l = (ratio_l * en_l).reshape(-1, 21)
+        xmin_s = (ratio_s * en_s).reshape(-1, 3, 12)
+
+    def quantize_gc_rows(gc_idx: np.ndarray, budgets: np.ndarray):
+        """Lockstep phase: quantize the given granule-channel rows at
+        the given per-row budgets. Returns dict of per-row results."""
+        rows = xr.reshape(-1, 576)[gc_idx]
+        bt_rows = np.repeat(bts, nch)[gc_idx]
+        out_ix = np.zeros((len(gc_idx), 576), np.int32)
+        out_gg = np.full(len(gc_idx), 210, np.int64)
+        out_lsf = np.zeros((len(gc_idx), 21), np.int64)
+        out_ssf = np.zeros((len(gc_idx), 3, 12), np.int64)
+        out_sbg = np.zeros((len(gc_idx), 3), np.int64)
+        if psy is not None:
+            lmask = bt_rows == 0
+            smask = bt_rows == 2
+            pmask = ~lmask & ~smask
+        else:
+            lmask = np.zeros(len(gc_idx), bool)
+            smask = np.zeros(len(gc_idx), bool)
+            pmask = np.ones(len(gc_idx), bool)
+        if lmask.any():
+            sel = np.nonzero(lmask)[0]
+            ix, gg, lsf = vloop.outer_rows(
+                rows[sel], xmin_l[gc_idx[sel]], budgets[sel], sample_rate)
+            out_ix[sel], out_gg[sel], out_lsf[sel] = ix, gg, lsf
+        if smask.any():
+            sel = np.nonzero(smask)[0]
+            ix, gg, ssf, sbg = vloop.outer_rows_short(
+                rows[sel], xmin_s[gc_idx[sel]], budgets[sel], sample_rate)
+            out_ix[sel], out_gg[sel] = ix, gg
+            out_ssf[sel], out_sbg[sel] = ssf, sbg
+        if pmask.any():
+            # plain rate loop, grouped by block type (window-switched
+            # rows use their type's fixed region split in the count)
+            for bt in (0, 1, 2, 3):
+                sel = np.nonzero(pmask & (bt_rows == bt))[0]
+                if len(sel):
+                    ix, gg = vloop.inner_rate_rows(rows[sel], budgets[sel],
+                                                   sample_rate, bt)
+                    out_ix[sel], out_gg[sel] = ix, gg
+        return out_ix, out_gg, out_lsf, out_ssf, out_sbg, bt_rows
+
+    def emit_gc(ix, gg, lsf, ssf, sbg, bt, tsel=None, c1t=None):
+        if psy is not None and bt == 0:
+            return encode_granule(ix, int(gg), sample_rate, 0, long_sf=lsf,
+                                  tsel=tsel, c1table=c1t)
+        if psy is not None and bt == 2:
+            return encode_granule(ix, int(gg), sample_rate, 2, short_sf=ssf,
+                                  subblock_gain=tuple(int(s) for s in sbg),
+                                  tsel=tsel, c1table=c1t)
+        return encode_granule(ix, int(gg), sample_rate, int(bt),
+                              tsel=tsel, c1table=c1t)
+
+    if vbr:
+        # ---- constant-quality VBR: quantize ALL granules at the fixed
+        # quality step in one lockstep batch, then walk frames picking
+        # the smallest bitrate that fits (SURVEY.md §3.4)
+        rows = xr.reshape(-1, 576)
+        amax = np.abs(rows).max(1)
+        gg_v = np.full(len(rows), 210, np.int64)
+        pos = amax > 0
+        while True:
+            up = pos & ((amax * 2.0 ** (-(gg_v - 210) / 4.0)) ** 0.75 > IX_MAX)
+            if not up.any():
+                break
+            gg_v[up] += 1
+        while True:
+            dn = pos & (gg_v > 0) & (
+                (amax * 2.0 ** (-(gg_v - 1 - 210) / 4.0)) ** 0.75 <= IX_MAX)
+            if not dn.any():
+                break
+            gg_v[dn] -= 1
+        gg_v = np.minimum(gg_v + 12 + 3 * vbr_quality, 255)
+        p34 = np.abs(rows) ** 0.75
+        ix_v = vloop.quantize_rows(p34, np.sign(rows), gg_v)
+        bt_rows = np.repeat(bts, nch)
+        bits_v = np.zeros(len(rows), np.int64)
+        tsel_v = np.zeros((len(rows), 3), np.int64)
+        c1t_v = np.zeros(len(rows), np.int64)
+        for bt in (0, 1, 2, 3):
+            m = bt_rows == bt
+            if m.any():
+                bits_v[m], sel = count_bits_rows_full(ix_v[m], sample_rate,
+                                                      int(bt))
+                tsel_v[m, 0] = sel["t0"]
+                tsel_v[m, 1] = sel["t1"]
+                tsel_v[m, 2] = sel["t2"]
+                c1t_v[m] = sel["c1table"]
+        for f in range(n_frames):
+            gc0 = f * 2 * nch
+            idx = np.arange(gc0, gc0 + 2 * nch)
+            need = int(np.minimum(bits_v[idx], 4000).sum())
             chosen = 14
             for bi in range(1, 15):
                 fb_try = (1152 // 8) * BITRATES_V1_L3[bi] * 1000 // sample_rate
@@ -176,62 +258,213 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
             for gr in range(2):
                 out_row = []
                 for c in range(nch):
-                    ix, gg, bt, bits = chs_all[gr][c]
-                    if bits > 4000 or need > cap + mux.reservoir_bits:
-                        # re-fit to the per-granule share of the max frame
+                    i = gc0 + gr * nch + c
+                    ix, gg, bt = ix_v[i], int(gg_v[i]), int(bt_rows[i])
+                    ts, c1 = tsel_v[i], int(c1t_v[i])
+                    if bits_v[i] > 4000 or need > cap + mux.reservoir_bits:
                         ix, gg = inner_rate_loop(
-                            fx[gr, c], cap // (2 * nch) - 8, sample_rate, bt)
-                    out_row.append(encode_granule(ix, gg, sample_rate, bt))
+                            rows[i], cap // (2 * nch) - 8, sample_rate, bt)
+                        ts = c1 = None
+                    out_row.append(encode_granule(ix, gg, sample_rate, bt,
+                                                  tsel=ts, c1table=c1))
                 granules.append(out_row)
-            ms = False
-            if nch == 2 and joint_stereo:
-                pass  # fx already MS-transformed above when chosen
-            mux.add_frame(granules, ms_flag, br_idx=chosen,
+            mux.add_frame(granules, bool(ms_f[f]), br_idx=chosen,
                           frame_bytes=fb_sel, pad=0)
-            continue
-        granules = []
-        for gr in range(2):
-            chs = []
-            g_idx = f * 2 + gr
-            for c in range(nch):
-                bt = int(bts[g_idx])
-                x = fx[gr, c]
-                if psy is not None and bt in (0, 2):
-                    # threshold/energy ratio per band; under mid/side the
-                    # conservative elementwise min of both channels' masking
-                    # applies to both mid and side
-                    if bt == 0:
-                        r = psy[c].ratio_l[g_idx]
-                        if ms:
-                            r = np.minimum(psy[0].ratio_l[g_idx],
-                                           psy[1].ratio_l[g_idx])
-                        en = np.add.reduceat(x * x, LONG_EDGES[sample_rate])
-                        ix, gg, long_sf = outer_distortion_loop(
-                            x, r * en[:21], budget, sample_rate)
-                        chs.append(encode_granule(ix, gg, sample_rate, bt,
-                                                  long_sf=long_sf))
-                    else:
-                        r = psy[c].ratio_s[g_idx]
-                        if ms:
-                            r = np.minimum(psy[0].ratio_s[g_idx],
-                                           psy[1].ratio_s[g_idx])
-                        flat = _short_flat_map(sample_rate)
-                        en = np.bincount(flat, weights=x * x,
-                                         minlength=39).reshape(3, 13)
-                        ix, gg, short_sf, sbg = outer_distortion_loop_short(
-                            x, r * en[:, :12], budget, sample_rate)
-                        chs.append(encode_granule(
-                            ix, gg, sample_rate, bt, short_sf=short_sf,
-                            subblock_gain=tuple(int(s) for s in sbg)))
-                else:
-                    ix, gg = inner_rate_loop(x, budget, sample_rate, bt)
-                    chs.append(encode_granule(ix, gg, sample_rate, bt))
-            granules.append(chs)
+    else:
+        # ---- CBR two-phase (SURVEY.md §7.5-5: batch the math, keep loop
+        # control on host). Phase A: every QUIET frame's granules at the
+        # base budget in ONE lockstep batch (quiet frames draw nothing
+        # from the reservoir, making their budgets reservoir-independent).
+        # Phase B: walk frames through the mux; loud/transient frames
+        # draw min(reservoir, 3000) — known only at their turn — and are
+        # re-quantized then (a small lockstep call each, ~10-20% of
+        # frames).
+        fsizes = [sizer.next() for _ in range(n_frames)]
+        cap_f = np.array([frame_capacity_bits(fb, nch) for fb, _ in fsizes],
+                         np.int64)
+        base_f = cap_f // (2 * nch) - 8
+        n_gc = 2 * nch * n_frames
+        bt_all = np.repeat(bts, nch)
         if mux is not None:
-            mux.add_frame(granules, ms)
+            f_energy = g_energy.reshape(n_frames, 2).sum(1)
+            loud_f = (f_energy > 2.0 * float(np.median(f_energy))) | \
+                (bts.reshape(n_frames, 2) == 2).any(1)
+            base_f = np.minimum(base_f, 3900)
         else:
-            frames.append(build_frame(granules, nch, sr_idx, br_idx,
-                                      frame_bytes, padbit, ms=ms))
+            loud_f = np.zeros(n_frames, bool)
+
+        RESERVE_FEED = 64   # bits/gc quiet frames leave for the reservoir
+        # feed only quiet frames that have a loud frame coming up soon —
+        # all-quiet content keeps its full budget (no tax for a reservoir
+        # nobody will draw)
+        horizon = 16
+        upcoming = np.zeros(n_frames, bool)
+        if loud_f.any():
+            nxt = np.minimum.accumulate(
+                np.where(loud_f, np.arange(n_frames), 1 << 30)[::-1])[::-1]
+            # nxt[f] = index of the next loud frame at/after f (reversed
+            # cummin of loud indices); 1<<30 when none remain
+            upcoming = (nxt - np.arange(n_frames)) <= horizon
+        feed_f = np.where(loud_f | ~upcoming, 0, RESERVE_FEED)
+
+        # ---- two-pass deterministic bit allocation (SURVEY.md §7.5-5:
+        # batch the math, keep loop control on host):
+        #   pass A: budgets from a PESSIMISTIC reservoir lower bound —
+        #     every frame is guaranteed to leave cap - 2nch*budget - 7
+        #     bits of slack because the rate loop never exceeds its
+        #     budget — so every budget is known up front and ALL
+        #     granules quantize in ONE lockstep batch;
+        #   pass B: the coded size of every pass-A granule is known
+        #     EXACTLY (vcount == emission bit-for-bit), so one exact
+        #     reservoir replay reveals the real headroom (the rate
+        #     loop's quantization undershoot), and frames whose policy
+        #     budget grew re-quantize in ONE more batch (margin-capped
+        #     draws keep them safe);
+        #   emission: a final overdraft check per frame (rarely fires)
+        #     re-fits against the true mux reservoir.
+
+        def policy(avail: np.ndarray) -> np.ndarray:
+            """Per-frame gc budget given borrowable reservoir bits:
+            loud/transient frames draw up to 3000; quiet frames take the
+            sequential-policy trickle (draw//8), net of any feed."""
+            avail = np.clip(avail, 0, 3000)
+            bud = np.where(loud_f, base_f + avail // (2 * nch),
+                           base_f - feed_f + (avail // 8) // (2 * nch))
+            return np.minimum(bud, 3900)
+
+        def predict_p23(ix_rows, lsf_rows, ssf_rows):
+            """Exact part2_3_length per row (huffman + scalefactor bits)
+            — matches encode_granule's emitted length bit-for-bit — plus
+            the per-region table selections for emission reuse."""
+            p23 = np.zeros(n_gc, np.int64)
+            tsel = np.zeros((n_gc, 3), np.int64)
+            c1t = np.zeros(n_gc, np.int64)
+            for bt in (0, 1, 2, 3):
+                m = bt_all == bt
+                if m.any():
+                    bits, sel = count_bits_rows_full(ix_rows[m], sample_rate,
+                                                     int(bt))
+                    p23[m] = bits
+                    tsel[m, 0] = sel["t0"]
+                    tsel[m, 1] = sel["t1"]
+                    tsel[m, 2] = sel["t2"]
+                    c1t[m] = sel["c1table"]
+            if psy is not None:
+                lm = bt_all == 0
+                if lm.any():
+                    sfc = vloop.pick_sfc_rows(lsf_rows[lm])
+                    p23[lm] += 11 * vloop._SLEN1[sfc] + 10 * vloop._SLEN2[sfc]
+                sm = bt_all == 2
+                if sm.any():
+                    sfc = vloop.pick_sfc_short_rows(ssf_rows[sm])
+                    p23[sm] += 18 * (vloop._SLEN1[sfc] + vloop._SLEN2[sfc])
+            return p23, tsel, c1t
+
+        def simulate(p23):
+            """Replay ReservoirMux arithmetic exactly: reservoir before
+            each frame given per-gc part2_3 bit counts."""
+            res = np.zeros(n_frames, np.int64)
+            stream_bits = 0
+            placed_bytes = 0
+            fsum = p23.reshape(n_frames, 2 * nch).sum(1)
+            for f in range(n_frames):
+                res[f] = placed_bytes * 8 - stream_bits
+                stream_bits += int(fsum[f])
+                stream_bits = (stream_bits + 7) & ~7     # byte align
+                placed_bytes += int(cap_f[f]) // 8
+                excess = (placed_bytes - stream_bits // 8
+                          - ReservoirMux.MAX_BACK)
+                if excess > 0:
+                    stream_bits += excess * 8
+            return res
+
+        if mux is not None:
+            granted = np.empty(n_frames, np.int64)
+            res_lb = 0
+            cap_res = ReservoirMux.MAX_BACK * 8
+            avail_a = np.empty(n_frames, np.int64)
+            for f in range(n_frames):
+                avail_a[f] = min(max(res_lb, 0), 3000)
+                bud = int(policy(avail_a[f:f + 1])[0])
+                granted[f] = bud
+                res_lb = min(res_lb + cap_f[f] - 2 * nch * bud - 7, cap_res)
+        else:
+            granted = base_f.copy()   # no reservoir: plain capacity share
+        ix_a, gg_a, lsf_a, ssf_a, sbg_a, _ = quantize_gc_rows(
+            np.arange(n_gc), np.repeat(granted, 2 * nch))
+
+        tsel_a = c1t_a = None
+        if mux is not None:
+            # upgrade pass: a sequential ARITHMETIC walk (no quantizing
+            # inside) allocates the real headroom the pass-A bound
+            # missed. Untouched frames advance the replay by their exact
+            # coded bits; a frame whose policy budget grew is assigned
+            # that budget and pessimistically assumed to spend all of it
+            # — so the walk's reservoir is a lower bound on the real one
+            # and every draw it grants is safe. Then ONE batch
+            # re-quantizes all upgraded frames.
+            p23, tsel_a, c1t_a = predict_p23(ix_a, lsf_a, ssf_a)
+            fsum = p23.reshape(n_frames, 2 * nch).sum(1)
+            final = granted.copy()
+            stream_bits = 0
+            placed_bytes = 0
+            for f in range(n_frames):
+                res = placed_bytes * 8 - stream_bits
+                want = int(policy(np.asarray([res]))[0])
+                if want > granted[f]:
+                    final[f] = want
+                    used = 2 * nch * want       # pessimistic: full budget
+                else:
+                    used = int(fsum[f])         # exact pass-A bits
+                stream_bits = (stream_bits + used + 7) & ~7
+                placed_bytes += int(cap_f[f]) // 8
+                excess = (placed_bytes - stream_bits // 8
+                          - ReservoirMux.MAX_BACK)
+                if excess > 0:
+                    stream_bits += excess * 8
+            upg_f = np.nonzero(final > granted)[0]
+            if len(upg_f):
+                idx = (upg_f[:, None] * 2 * nch + np.arange(2 * nch)).ravel()
+                ix_w, gg_w, lsf_w, ssf_w, sbg_w, _ = quantize_gc_rows(
+                    idx, np.repeat(final[upg_f], 2 * nch))
+                ix_a[idx], gg_a[idx] = ix_w, gg_w
+                lsf_a[idx], ssf_a[idx], sbg_a[idx] = lsf_w, ssf_w, sbg_w
+                granted = final
+                p23, tsel_a, c1t_a = predict_p23(ix_a, lsf_a, ssf_a)
+
+        for f in range(n_frames):
+            frame_bytes, padbit = fsizes[f]
+            gc0 = f * 2 * nch
+            refit = False
+            if mux is not None:
+                # exact overdraft guard against the true mux reservoir
+                need = int(p23[gc0: gc0 + 2 * nch].sum())
+                res_now = mux.reservoir_bits
+                if need > int(cap_f[f]) + res_now:
+                    refit = True
+                    idx = np.arange(gc0, gc0 + 2 * nch)
+                    bud = int(policy(np.asarray([res_now]))[0])
+                    ix_w, gg_w, lsf_w, ssf_w, sbg_w, _ = quantize_gc_rows(
+                        idx, np.full(2 * nch, bud, np.int64))
+                    ix_a[idx], gg_a[idx] = ix_w, gg_w
+                    lsf_a[idx], ssf_a[idx], sbg_a[idx] = lsf_w, ssf_w, sbg_w
+            granules = []
+            for gr in range(2):
+                chs = []
+                for c in range(nch):
+                    i = gc0 + gr * nch + c
+                    ts = None if (refit or tsel_a is None) else tsel_a[i]
+                    c1 = None if (refit or c1t_a is None) else int(c1t_a[i])
+                    chs.append(emit_gc(ix_a[i], gg_a[i], lsf_a[i], ssf_a[i],
+                                       sbg_a[i], int(bt_all[i]),
+                                       tsel=ts, c1t=c1))
+                granules.append(chs)
+            if mux is not None:
+                mux.add_frame(granules, bool(ms_f[f]))
+            else:
+                frames.append(build_frame(granules, nch, sr_idx, br_idx,
+                                          frame_bytes, padbit,
+                                          ms=bool(ms_f[f])))
 
     out = mux.finish() if mux is not None else b"".join(frames)
     if gapless_tag:

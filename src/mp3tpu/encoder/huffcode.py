@@ -64,13 +64,14 @@ def best_table(ix_pairs: np.ndarray) -> tuple[int, int]:
     mx = max(int(a.max(initial=0)), int(b.max(initial=0)))
     nsigns = int((a > 0).sum() + (b > 0).sum())
     cands = [t for t in _PLAIN_TABLES if mx < _len_lut(t)[1]] if mx < 16 else []
-    if mx >= 15:
-        need = max(mx - 15, 0)
-        for group in (_ESC_TABLES_A, _ESC_TABLES_B):
-            for t in group:
-                if need < (1 << ht.TABLE_INFO[t][3]):
-                    cands.append(t)
-                    break
+    # every escape table whose linbits can carry the overflow is a legal
+    # candidate (escape tables code 0..14 inline too); take the true
+    # minimum — matches vcount's min-over-all-valid vectorized selection
+    need = max(mx - 15, 0)
+    for group in (_ESC_TABLES_A, _ESC_TABLES_B):
+        for t in group:
+            if need < (1 << ht.TABLE_INFO[t][3]):
+                cands.append(t)
     best = (0, 1 << 30)
     for t in cands:
         bits = _count_pair_bits_cached(a, b, mx, nsigns, t)
@@ -114,17 +115,22 @@ class CodedGranule:
 
 def split_spectrum(ix: np.ndarray) -> tuple[int, int]:
     """(big_value_pairs, count1_quads) region split: trailing zeros form
-    rzero; before them, quads of |v|<=1 form count1; rest is big values."""
+    rzero; before them, quads of |v|<=1 form count1; rest is big values.
+
+    The count1 region is anchored on the fixed line-grid of multiples
+    of 4 (rzero_start rounds UP to a quad boundary, pulling at most one
+    zero pair into the last quad — ~1 bit): big_values is then always
+    even and the vectorized counter (vcount.split_rows) needs only one
+    quad-grid anchoring."""
     nz = np.nonzero(ix)[0]
     if not len(nz):
         return 0, 0
     last = int(nz[-1]) + 1
-    rzero_start = last + (last & 1)  # pair-align
+    rzero_start = (last + 3) & ~3    # quad-align
     # scan backwards in quads while all |v| <= 1
     c1_start = rzero_start
     while c1_start >= 4 and np.abs(ix[c1_start - 4:c1_start]).max() <= 1:
         c1_start -= 4
-    # big values region must be pair-aligned (it is: c1_start % 2 == 0)
     big_values = c1_start // 2
     count1 = (rzero_start - c1_start) // 4
     return big_values, count1
@@ -145,23 +151,36 @@ def _regions_long(bv2: int, sample_rate: int) -> tuple[int, int, int, int]:
 
 
 def _encode_pairs(w: BitWriter, pairs: np.ndarray, tid: int):
-    if tid == 0:
+    """Vectorized pair emission: per pair the fields are (code,
+    [linbits-escape x], [sign x], [linbits-escape y], [sign y]) —
+    assembled as a [N, 5] value/length matrix and appended in one
+    put_array call (zero-length fields vanish)."""
+    if tid == 0 or not len(pairs):
         return
     lens, codes, xl, yl, linbits = ht.table_arrays(tid)
     lut_l = np.asarray(lens).reshape(xl, yl)
     lut_c = np.asarray(codes).reshape(xl, yl)
-    for x, y in pairs:
-        ax, ay = abs(int(x)), abs(int(y))
-        cx, cy = min(ax, xl - 1), min(ay, yl - 1)
-        w.put(int(lut_c[cx, cy]), int(lut_l[cx, cy]))
-        if xl == 16 and ax >= 15:
-            w.put(ax - 15, linbits)
-        if ax:
-            w.put(1 if x < 0 else 0, 1)
-        if xl == 16 and ay >= 15:
-            w.put(ay - 15, linbits)
-        if ay:
-            w.put(1 if y < 0 else 0, 1)
+    x = pairs[:, 0].astype(np.int64)
+    y = pairs[:, 1].astype(np.int64)
+    ax, ay = np.abs(x), np.abs(y)
+    cx, cy = np.minimum(ax, xl - 1), np.minimum(ay, yl - 1)
+    N = len(pairs)
+    V = np.zeros((N, 5), np.int64)
+    L = np.zeros((N, 5), np.int64)
+    V[:, 0] = lut_c[cx, cy]
+    L[:, 0] = lut_l[cx, cy]
+    if xl == 16:
+        esc_a = ax >= 15
+        V[:, 1] = np.where(esc_a, ax - 15, 0)
+        L[:, 1] = np.where(esc_a, linbits, 0)
+        esc_b = ay >= 15
+        V[:, 3] = np.where(esc_b, ay - 15, 0)
+        L[:, 3] = np.where(esc_b, linbits, 0)
+    L[:, 2] = ax > 0
+    V[:, 2] = x < 0
+    L[:, 4] = ay > 0
+    V[:, 4] = y < 0
+    w.put_array(V.ravel(), L.ravel())
 
 
 def pick_scalefac_compress(long_sf: np.ndarray) -> int:
@@ -211,11 +230,15 @@ def encode_granule(ix: np.ndarray, gg: int, sample_rate: int,
                    block_type: int = 0,
                    long_sf: np.ndarray | None = None,
                    short_sf: np.ndarray | None = None,
-                   subblock_gain: tuple = (0, 0, 0)) -> CodedGranule:
+                   subblock_gain: tuple = (0, 0, 0),
+                   tsel: tuple | None = None,
+                   c1table: int | None = None) -> CodedGranule:
     """Entropy-code one granule-channel's quantized spectrum (long or
     window-switched block). long_sf / short_sf [3,12]: optional
     transmitted scalefactors (from the outer distortion loop);
-    subblock_gain: per-window gain for short blocks."""
+    subblock_gain: per-window gain for short blocks; tsel/c1table:
+    precomputed region table selections (from vcount — identical to
+    the best_table search here) to skip the per-region re-search."""
     g = CodedGranule(global_gain=gg, block_type=block_type,
                      window_switching=1 if block_type else 0,
                      subblock_gain=tuple(int(s) for s in subblock_gain))
@@ -243,8 +266,11 @@ def encode_granule(ix: np.ndarray, gg: int, sample_rate: int,
     if g.window_switching:
         # fixed split [§2.4.2.7]
         r1 = min(3 * 12 if block_type == 2 else int(LONG[sample_rate][8]), bv2)
-        t0, _ = best_table(ix[:r1].reshape(-1, 2))
-        t1, _ = best_table(ix[r1:bv2].reshape(-1, 2))
+        if tsel is not None:
+            t0, t1 = int(tsel[0]), int(tsel[1])
+        else:
+            t0, _ = best_table(ix[:r1].reshape(-1, 2))
+            t1, _ = best_table(ix[r1:bv2].reshape(-1, 2))
         g.table_select = (t0, t1, 0)
         g.region0_count = 8 if block_type == 2 else 7
         g.region1_count = 20 - g.region0_count
@@ -253,34 +279,37 @@ def encode_granule(ix: np.ndarray, gg: int, sample_rate: int,
     else:
         r0c, r1c, r1, r2 = _regions_long(bv2, sample_rate)
         g.region0_count, g.region1_count = r0c, r1c
-        t0, _ = best_table(ix[:r1].reshape(-1, 2))
-        t1, _ = best_table(ix[r1:r2].reshape(-1, 2))
-        t2, _ = best_table(ix[r2:bv2].reshape(-1, 2))
+        if tsel is not None:
+            t0, t1, t2 = (int(t) for t in tsel)
+        else:
+            t0, _ = best_table(ix[:r1].reshape(-1, 2))
+            t1, _ = best_table(ix[r1:r2].reshape(-1, 2))
+            t2, _ = best_table(ix[r2:bv2].reshape(-1, 2))
         g.table_select = (t0, t1, t2)
         for lo, hi, t in ((0, r1, t0), (r1, r2, t1), (r2, bv2, t2)):
             _encode_pairs(w, ix[lo:hi].reshape(-1, 2), t)
     # count1
     quads = ix[bv2: bv2 + 4 * c1n].reshape(-1, 4)
-    ba = count1_bits(quads, 0)
-    bb = count1_bits(quads, 1)
-    g.count1table_select = 0 if ba <= bb else 1
-    if g.count1table_select == 0:
-        lensA, codesA = ht.COUNT1A_LENS, ht.COUNT1A_CODES
-        for q in quads:
-            idx = (abs(int(q[0])) << 3) | (abs(int(q[1])) << 2) | \
-                  (abs(int(q[2])) << 1) | abs(int(q[3]))
-            w.put(codesA[idx], lensA[idx])
-            for v in q:
-                if v:
-                    w.put(1 if v < 0 else 0, 1)
+    if c1table is not None:
+        g.count1table_select = int(c1table)
     else:
-        for q in quads:
-            idx = (abs(int(q[0])) << 3) | (abs(int(q[1])) << 2) | \
-                  (abs(int(q[2])) << 1) | abs(int(q[3]))
-            w.put(15 - idx, 4)
-            for v in q:
-                if v:
-                    w.put(1 if v < 0 else 0, 1)
+        ba = count1_bits(quads, 0)
+        bb = count1_bits(quads, 1)
+        g.count1table_select = 0 if ba <= bb else 1
+    if len(quads):
+        q = np.abs(quads.astype(np.int64))
+        idx = (q[:, 0] << 3) | (q[:, 1] << 2) | (q[:, 2] << 1) | q[:, 3]
+        V = np.zeros((len(quads), 5), np.int64)
+        L = np.zeros((len(quads), 5), np.int64)
+        if g.count1table_select == 0:
+            V[:, 0] = np.asarray(ht.COUNT1A_CODES)[idx]
+            L[:, 0] = np.asarray(ht.COUNT1A_LENS)[idx]
+        else:
+            V[:, 0] = 15 - idx
+            L[:, 0] = 4
+        L[:, 1:] = q > 0
+        V[:, 1:] = quads < 0
+        w.put_array(V.ravel(), L.ravel())
     g.bits = w
     g.part2_3_length = len(w)  # includes part2 (scalefactors), if any
     return g
