@@ -85,10 +85,19 @@ def _hist_matrix():
             # quantizations are counted before that check)
             if col < N_PLAIN or L > lb:
                 ov_pen[L, col] = BIG
-    return M, ov_pen
+    # f32 split: code lengths (<=19, sums exact in f32) and a 0/1
+    # invalid-bin indicator; BIG is applied after the matmuls, keeping
+    # both GEMMs in fast f32 while staying bit-exact
+    M_len = np.where(M >= BIG, 0.0, M).astype(np.float32)
+    M_bad = (M[:, :T] >= BIG).astype(np.float32)
+    ov_bad = (ov_pen >= BIG).astype(np.float32)
+    return M, ov_pen, M_len, M_bad, ov_bad
 
 
 _C1A = np.asarray(ht.COUNT1A_LENS, np.int32)
+_POP4 = np.array([bin(i).count("1") for i in range(16)], np.int32)
+_C1A_SIG = _C1A + _POP4        # table-A length + sign bits per quad
+_C1B_SIG = 4 + _POP4           # table-B length + sign bits per quad
 
 
 @lru_cache(maxsize=None)
@@ -178,10 +187,10 @@ def count_bits_rows_full(ix: np.ndarray, sample_rate: int,
     the scalar scan."""
     ix = np.asarray(ix)
     R = ix.shape[0]
-    M, ov_pen = _hist_matrix()
+    _M, _ovp, M_len, M_bad, ov_bad = _hist_matrix()
     T = len(TABLE_IDS)
-    a = np.abs(ix[:, 0::2]).astype(np.int64)
-    b = np.abs(ix[:, 1::2]).astype(np.int64)
+    a = np.abs(ix[:, 0::2]).astype(np.int32)
+    b = np.abs(ix[:, 1::2]).astype(np.int32)
 
     bv, k = split_rows(ix)
     bv2p = bv                              # big-values region in pairs
@@ -194,24 +203,32 @@ def count_bits_rows_full(ix: np.ndarray, sample_rate: int,
         r2p = t2[bv2p]
 
     # region id per pair: 0/1/2 inside big values, 3 beyond (dropped)
-    pidx = np.arange(288)
-    rid = ((pidx >= r1p[:, None]).astype(np.int64)
+    pidx = np.arange(288, dtype=np.int32)
+    rid = ((pidx >= r1p[:, None]).astype(np.int32)
            + (pidx >= r2p[:, None]) + (pidx >= bv2p[:, None]))
-    base = np.arange(R)[:, None] * 4 + rid
+    base = np.arange(R, dtype=np.int32)[:, None] * 4 + rid
     bins = np.minimum(a, 16) * 17 + np.minimum(b, 16)
     hist = np.bincount((base * 289 + bins).ravel(),
                        minlength=R * 4 * 289).reshape(R, 4, 289)
-    bits_t = hist[:, :3].reshape(R * 3, 289).astype(np.float64) @ M
-    # escape overflow validity: bucket pairs by bit_length(max-15)
-    mx15 = np.maximum(np.maximum(a, b) - 15, 0)
-    ovL = np.where(mx15 > 8191, 14, _bitlen_lut()[np.minimum(mx15, 8191)])
-    histov = np.bincount((base * 15 + ovL).ravel(),
-                         minlength=R * 4 * 15).reshape(R, 4, 15)
-    reg = bits_t[:, :T] + histov[:, :3].reshape(R * 3, 15).astype(np.float64) @ ov_pen
+    h3 = hist[:, :3].reshape(R * 3, 289).astype(np.float32)
+    bits_t = h3 @ M_len                    # exact: lengths <= 19
+    bad = h3 @ M_bad
+    # escape overflow validity: bucket pairs by bit_length(max-15);
+    # skipped entirely when no pair escapes (the common case at the
+    # rate loop's converged gains)
+    mxab = np.maximum(a, b)
+    if int(mxab.max(initial=0)) > 15:
+        mx15 = np.maximum(mxab - 15, 0)
+        ovL = np.where(mx15 > 8191, 14, _bitlen_lut()[np.minimum(mx15, 8191)])
+        histov = np.bincount((base * 15 + ovL).ravel(),
+                             minlength=R * 4 * 15).reshape(R, 4, 15)
+        bad = bad + histov[:, :3].reshape(R * 3, 15).astype(np.float32) @ ov_bad
+    reg = bits_t[:, :T].astype(np.float64) + (bad[:, :T] > 0) * float(BIG)
     selr = reg.argmin(1)                   # first minimum: scalar order
     regmin = reg[np.arange(R * 3), selr].reshape(R, 3)
     signs = bits_t[:, T].reshape(R, 3)
-    total = np.rint(regmin.sum(1) + signs.sum(1)).astype(np.int64)
+    total = np.rint(regmin.sum(1) + signs.sum(1).astype(np.float64)
+                    ).astype(np.int64)
     selr = selr.reshape(R, 3)
     sel0, sel1, sel2 = selr[:, 0], selr[:, 1], selr[:, 2]
     rows = np.arange(R)
@@ -220,12 +237,11 @@ def count_bits_rows_full(ix: np.ndarray, sample_rate: int,
     # split_rows quad-aligns rzero), one cumsum per table
     nzq = (ix != 0).reshape(R, 144, 4)               # count1 values are 0/1
     idxq = ((nzq[..., 0] << 3) | (nzq[..., 1] << 2)
-            | (nzq[..., 2] << 1) | nzq[..., 3]).astype(np.int64)
-    qs = nzq.sum(-1)
+            | (nzq[..., 2] << 1) | nzq[..., 3]).astype(np.int32)
     csa = np.zeros((R, 145), np.int64)
     csb = np.zeros((R, 145), np.int64)
-    np.cumsum(_C1A[idxq] + qs, axis=1, out=csa[:, 1:])
-    np.cumsum(4 + qs, axis=1, out=csb[:, 1:])
+    np.cumsum(_C1A_SIG[idxq], axis=1, out=csa[:, 1:])   # len+signs fused
+    np.cumsum(_C1B_SIG[idxq], axis=1, out=csb[:, 1:])
     q0 = bv // 2
     q1 = q0 + k
     ca = csa[rows, q1] - csa[rows, q0]
