@@ -214,20 +214,103 @@ class StreamScheduler:
         plan = self._pack_dispatch()
         return 0 if plan is None else self._materialize_route(plan)
 
-    def run(self, max_steps: int | None = None) -> int:
+    def run(self, max_steps: int | None = None,
+            checkpoint_every: int | None = None,
+            on_checkpoint=None) -> int:
         """Step until all queued streams drain, keeping one device call
-        in flight so host packing overlaps device compute (P4)."""
+        in flight so host packing overlaps device compute (P4).
+
+        checkpoint_every=N calls on_checkpoint(self.snapshot()) after
+        every N routed windows (SURVEY.md §5.4: batch jobs checkpoint so
+        a multi-stream decode resumes mid-file). The snapshot is taken
+        at a window boundary — no dispatch is in flight over it."""
         total = 0
         steps = 0
         pending = self._pack_dispatch()
         while pending is not None:
             steps += 1
+            take_ckpt = (checkpoint_every is not None
+                         and on_checkpoint is not None
+                         and steps % checkpoint_every == 0)
             nxt = None
-            if max_steps is None or steps < max_steps:
+            if (max_steps is None or steps < max_steps) and not take_ckpt:
                 nxt = self._pack_dispatch()  # overlaps pending's compute
             total += self._materialize_route(pending)
+            if take_ckpt:
+                on_checkpoint(self.snapshot())
+                if max_steps is None or steps < max_steps:
+                    nxt = self._pack_dispatch()
             pending = nxt
         return total
+
+    # ------------------------------------------------- checkpoint/resume
+    def snapshot(self) -> dict:
+        """Serializable batch checkpoint (SURVEY.md §5.4): per-slot
+        progress + the explicit device state columns + queued stream
+        ids. Stream CONTENT is not stored — restore() takes a resolver
+        mapping stream_id back to bytes/SymbolTensors, exactly like
+        seek rebuilds Player state from the file. Must be called at a
+        window boundary (no dispatch in flight)."""
+        return {
+            "version": 1,
+            "sample_rate": self.sample_rate,
+            "win": self.win,
+            "S": self.S,
+            "slots": [
+                {"stream_id": s.stream_id, "cursor": s.cursor,
+                 "total_emitted": s.total_emitted,
+                 "end_sample": s.end_sample, "start_skip": s.start_skip,
+                 "active": s.active}
+                for s in self.slots
+            ],
+            "state": {k: np.asarray(v) for k, v in self.state.items()},
+            "queue": [
+                {"stream_id": sid, "start_skip": skip, "end_sample": end}
+                for sid, _st, _sink, skip, end in self.queue
+            ],
+        }
+
+    def restore(self, snap: dict, resolve, sink_for=None) -> None:
+        """Rebuild this scheduler from snapshot(). `resolve(stream_id)`
+        returns the stream's mp3 bytes or SymbolTensors; `sink_for`
+        (optional) returns a fresh Sink per stream_id (default:
+        CollectSink — note sinks restart empty; previously-emitted
+        samples are counted in the snapshot's total_emitted)."""
+        import jax.numpy as jnp
+        from ..pipeline import load_source
+        if snap.get("version") != 1:
+            raise ValueError("unknown scheduler snapshot version")
+        if (snap["S"], snap["win"], snap["sample_rate"]) != \
+                (self.S, self.win, self.sample_rate):
+            raise ValueError("snapshot shape/rate mismatch with scheduler")
+
+        def _symbols(sid):
+            data = resolve(sid)
+            if isinstance(data, SymbolTensors) or hasattr(data, "granules"):
+                return data
+            return load_source(bytes(data))[0]
+
+        self.slots = []
+        for rec in snap["slots"]:
+            slot = _Slot()
+            if rec["active"]:
+                slot = _Slot(symbols=_symbols(rec["stream_id"]),
+                             cursor=rec["cursor"],
+                             sink=(sink_for(rec["stream_id"]) if sink_for
+                                   else CollectSink()),
+                             total_emitted=rec["total_emitted"],
+                             end_sample=rec["end_sample"],
+                             start_skip=rec["start_skip"], active=True,
+                             stream_id=rec["stream_id"])
+            self.slots.append(slot)
+        self.state = {k: jnp.asarray(v) for k, v in snap["state"].items()}
+        self.queue = [
+            (q["stream_id"], _symbols(q["stream_id"]),
+             sink_for(q["stream_id"]) if sink_for else CollectSink(),
+             q["start_skip"], q["end_sample"])
+            for q in snap["queue"]
+        ]
+        self.metrics.streams_active = sum(s.active for s in self.slots)
 
 
 def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32,
