@@ -273,3 +273,45 @@ def test_vbr_encode():
         sizes.append(len(mp3))
     assert sizes[0] > sizes[1]      # better quality -> bigger file
     assert snrs[0] > snrs[1] + 5    # and higher SNR
+
+
+def test_conformance_sweep_configs():
+    """Randomized breadth: encoder configs across bitrates, sample
+    rates, channel modes, VBR and feature toggles must all produce
+    streams libmpg123 decodes exactly like our decoder (<=5e-6)."""
+    mpg123ref = pytest.importorskip("mpg123ref")
+    rng = np.random.default_rng(42)
+
+    def sig_for(sr, ch, seconds=0.6):
+        t = np.arange(int(sr * seconds)) / sr
+        x = (0.4 * np.sin(2 * np.pi * 330 * t)
+             + 0.15 * np.sin(2 * np.pi * 4100 * t + 0.5)
+             + 0.03 * rng.standard_normal(len(t)))
+        if ch == 1:
+            return x
+        return np.stack([x, np.roll(x, 13)], 1)
+
+    configs = [
+        dict(sr=44100, ch=2, kw=dict(bitrate=96)),
+        dict(sr=44100, ch=1, kw=dict(bitrate=64)),
+        dict(sr=48000, ch=2, kw=dict(bitrate=192)),
+        dict(sr=32000, ch=2, kw=dict(bitrate=128)),
+        dict(sr=44100, ch=2, kw=dict(bitrate=256, noise_shaping=False)),
+        dict(sr=44100, ch=2, kw=dict(bitrate=128, joint_stereo=False)),
+        dict(sr=44100, ch=2, kw=dict(bitrate=128, reservoir=False)),
+        dict(sr=44100, ch=2, kw=dict(bitrate=128, vbr_quality=4)),
+    ]
+    for cfg in configs:
+        sig = sig_for(cfg["sr"], cfg["ch"])
+        mp3 = encode_pcm(sig, cfg["sr"], **cfg["kw"])
+        ref, rsr = mpg123ref.decode(mp3)
+        assert rsr == cfg["sr"], cfg
+        raw, _ = decode_file(mp3, output="float32", gapless=False)
+        # mpg123 feed mode does not skip the Xing frame (1152 samples)
+        off = 1152 if len(ref) >= len(raw) + 1000 else 0
+        a = ref[off:, 0]
+        b = np.asarray(raw)[: len(a), 0]
+        k = min(len(a), len(b))
+        assert k > 10000, cfg
+        d = float(np.abs(a[:k] - b[:k]).max())
+        assert d < 5e-6, (cfg, d)
