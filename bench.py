@@ -93,10 +93,19 @@ def main():
     # marker rank — measured ~8/gc mean, <=54 max on music-like 128 kbps
     # content); falls back to the 8-bit then 12-bit plane if any
     # granule-channel overflows its sideband.
+    # Exponents ship as the compact uint8[65] plane ([gg, offset+128]
+    # per gc, half the bytes of int16[64]); falls back to int16 if any
+    # offset leaves [-128, 0] (impossible for MPEG-1 input).
     plane_bits = 4
+    exp_bytes = True
     plane_shape = {4: (288,), 8: (576,), 12: (864,)}
     plane_dtype = {4: np.uint8, 8: np.int8, 12: np.uint8}
     esc_shape = {4: (64,), 8: (16, 2), 12: (16, 2)}
+
+    def exp_arr():
+        if exp_bytes:
+            return np.zeros((n_win, Sg, win, 2, 65), np.uint8)
+        return np.zeros((n_win, Sg, win, 2, 64), np.int16)
     groups = []
     for _ in range(n_groups):
         groups.append({
@@ -104,7 +113,7 @@ def main():
                              plane_dtype[plane_bits]),
             "esc": np.zeros((n_win, Sg, win, 2) + esc_shape[plane_bits],
                             np.int16),
-            "exp": np.zeros((n_win, Sg, win, 2, 64), np.int16),
+            "exp": exp_arr(),
             "bt": np.zeros((n_win, Sg, win, 2), np.int8),
             "mx": np.zeros((n_win, Sg, win, 2), np.uint8),
             "smode": np.zeros((n_win, Sg, win, 64), np.uint8),
@@ -118,18 +127,23 @@ def main():
         g = groups[si // Sg]
         return unpack_native_into12(
             mp3, G, None, g["exp"], g["bt"], g["mx"], g["smode"],
-            g["is12"], g["esc"], si % Sg, Sg, win, plane_bits=plane_bits)
-    while not _unpack_one(0):  # sideband overflow: widen the plane
-        plane_bits = {4: 8, 8: 12}[plane_bits]
+            g["is12"], g["esc"], si % Sg, Sg, win,
+            plane_bits=plane_bits | (0x10 if exp_bytes else 0))
+    while not _unpack_one(0):  # sideband/offset overflow: widen planes
+        if exp_bytes:
+            exp_bytes = False      # first retry: int16 exponents
+        else:
+            plane_bits = {4: 8, 8: 12}[plane_bits]
         for g in groups:
             g["is12"] = np.zeros((n_win, Sg, win, 2) + plane_shape[plane_bits],
                                  plane_dtype[plane_bits])
             g["esc"] = np.zeros((n_win, Sg, win, 2) + esc_shape[plane_bits],
                                 np.int16)
-            for a in (g["is12"], g["esc"]):
+            g["exp"] = exp_arr()
+            for a in (g["is12"], g["esc"], g["exp"]):
                 a.fill(1)
                 a.fill(0)
-        if plane_bits == 12:
+        if plane_bits == 12 and not exp_bytes:
             assert _unpack_one(0)
             break
 
@@ -230,6 +244,7 @@ def main():
             "device_compute_only_x": round(compute_x, 1),
             "upload_gbps": round(upload_gbps, 3),
             "plane_bits": plane_bits,
+        "exp_bytes": exp_bytes,
             "attempt": attempt,
         },
     }

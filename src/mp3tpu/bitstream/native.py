@@ -130,8 +130,12 @@ def unpack_native_into12(data: bytes, G: int, is_, exp, bt, mixed, smode,
                    POSITION-FREE (values in line order; device recovers
                    positions from the markers) — 1.5x fewer staged
                    bytes than the 8-bit plane.
-    Returns False on sideband overflow per granule-channel (caller falls
-    back to the int16 plane or a wider packed plane)."""
+    plane_bits may carry flag 0x10: exponents write as the compact
+    uint8[..., 65] plane ([gg, band_offset+128] per gc — half the
+    staged bytes of int16[..., 64]; offsets outside [-128, 0], possible
+    only under LSF, refuse so the caller falls back to int16).
+    Returns False on sideband/offset overflow per granule-channel
+    (caller falls back to the int16 plane or a wider packed plane)."""
     lib = _load()
     if lib is None:
         return False

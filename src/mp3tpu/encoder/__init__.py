@@ -113,9 +113,8 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     frames = []
     n_frames = G // 2
     s2 = 1.0 / np.sqrt(2.0)
-    # per-granule energy for demand-weighted reservoir draws
+    # per-granule energy for the loud/transient frame heuristic
     g_energy = (xr ** 2).sum(axis=(1, 2)) + 1e-12
-    med_energy = float(np.median(g_energy))
     from . import vloop
     from .quantize import IX_MAX
     from .vcount import count_bits_rows, count_bits_rows_full
@@ -323,14 +322,16 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
         #   emission: a final overdraft check per frame (rarely fires)
         #     re-fits against the true mux reservoir.
 
-        def policy(avail: np.ndarray) -> np.ndarray:
-            """Per-frame gc budget given borrowable reservoir bits:
-            loud/transient frames draw up to 3000; quiet frames take the
-            sequential-policy trickle (draw//8), net of any feed."""
-            avail = np.clip(avail, 0, 3000)
-            bud = np.where(loud_f, base_f + avail // (2 * nch),
-                           base_f - feed_f + (avail // 8) // (2 * nch))
-            return np.minimum(bud, 3900)
+        def policy_at(f: int, avail: int) -> int:
+            """Frame f's per-gc budget given borrowable reservoir bits:
+            loud/transient frames draw up to 3000; quiet frames take a
+            small trickle (draw//8), net of any reservoir feed."""
+            avail = min(max(avail, 0), 3000)
+            if loud_f[f]:
+                bud = base_f[f] + avail // (2 * nch)
+            else:
+                bud = base_f[f] - feed_f[f] + (avail // 8) // (2 * nch)
+            return int(min(bud, 3900))
 
         def predict_p23(ix_rows, lsf_rows, ssf_rows):
             """Exact part2_3_length per row (huffman + scalefactor bits)
@@ -382,10 +383,8 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
             granted = np.empty(n_frames, np.int64)
             res_lb = 0
             cap_res = ReservoirMux.MAX_BACK * 8
-            avail_a = np.empty(n_frames, np.int64)
             for f in range(n_frames):
-                avail_a[f] = min(max(res_lb, 0), 3000)
-                bud = int(policy(avail_a[f:f + 1])[0])
+                bud = policy_at(f, res_lb)
                 granted[f] = bud
                 res_lb = min(res_lb + cap_f[f] - 2 * nch * bud - 7, cap_res)
         else:
@@ -410,7 +409,7 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
             placed_bytes = 0
             for f in range(n_frames):
                 res = placed_bytes * 8 - stream_bits
-                want = int(policy(np.asarray([res]))[0])
+                want = policy_at(f, res)
                 if want > granted[f]:
                     final[f] = want
                     used = 2 * nch * want       # pessimistic: full budget
@@ -443,7 +442,7 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                 if need > int(cap_f[f]) + res_now:
                     refit = True
                     idx = np.arange(gc0, gc0 + 2 * nch)
-                    bud = int(policy(np.asarray([res_now]))[0])
+                    bud = policy_at(f, res_now)
                     ix_w, gg_w, lsf_w, ssf_w, sbg_w, _ = quantize_gc_rows(
                         idx, np.full(2 * nch, bud, np.int64))
                     ix_a[idx], gg_a[idx] = ix_w, gg_w

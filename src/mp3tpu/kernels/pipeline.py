@@ -326,6 +326,16 @@ def unpack4(is4, esc_val):
     return base + contrib.astype(jnp.int32)
 
 
+def _exp_decode(exp):
+    """Expand the compact uint8[..., 65] exponent plane ([gg, off+128]
+    per gc; exp = gg - 210 + off) back to int32 [..., 64]; int16 planes
+    pass through. Shape-static, so free under jit."""
+    if exp.shape[-1] == 65:
+        e = exp.astype(jnp.int32)
+        return (e[..., :1] - 210) + (e[..., 1:] - 128)
+    return exp
+
+
 def _plane_decode(plane_bits: int, is12, esc):
     """Dispatch packed-plane decode; esc is the staged sideband tensor
     ([..., n, 2] pos/val pairs for 8/12-bit, [..., 64] values for
@@ -343,7 +353,8 @@ def _jitted_packed_for(sample_rate: int, plane_bits: int = 12):
     @jax.jit
     def run(is12, esc, exp, block_type, mixed, smode, state):
         iv = _plane_decode(plane_bits, is12, esc)
-        pcm, st = granule_pipeline(iv, exp, block_type, mixed, smode, state, tables)
+        pcm, st = granule_pipeline(iv, _exp_decode(exp), block_type, mixed,
+                                   smode, state, tables)
         return quantize_i16(pcm), st
 
     return run
@@ -375,8 +386,8 @@ def _jitted_packed_resample_for(sample_rate: int, out_rate: int,
     def run(is12, esc, exp, block_type, mixed, smode, state,
             rs_state):
         iv = _plane_decode(plane_bits, is12, esc)
-        pcm, st = granule_pipeline(iv, exp, block_type, mixed, smode, state,
-                                   tables)
+        pcm, st = granule_pipeline(iv, _exp_decode(exp), block_type, mixed,
+                                   smode, state, tables)
         S = pcm.shape[0]
         x = jnp.concatenate([rs_state, pcm], axis=1)    # [S, hist+T, 2]
         N = x.shape[1]
@@ -451,8 +462,8 @@ def _jitted_scan_all_for(sample_rate: int, out_rate: int,
         def step(st, xs):
             i12, ex, es, b, m, s = xs
             iv = _plane_decode(plane_bits, i12, es)
-            pcm, st2 = granule_pipeline(iv, ex, b, m.astype(jnp.bool_), s,
-                                        st, tables)
+            pcm, st2 = granule_pipeline(iv, _exp_decode(ex), b,
+                                        m.astype(jnp.bool_), s, st, tables)
             return st2, pcm
         st, pcm = jax.lax.scan(step, state, (is12, exp, esc, bt, mx, sm))
         n_win, S, T = pcm.shape[0], pcm.shape[1], pcm.shape[2]

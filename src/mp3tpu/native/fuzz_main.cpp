@@ -36,13 +36,14 @@ static void run_one(const std::vector<uint8_t>& buf) {
     std::vector<uint8_t> is12(size_t(g) * 2 * 864);
     // esc sized for the largest sideband (4-bit mode: 64 int16/gc)
     std::vector<int16_t> esc(size_t(g) * 2 * 64);
-    // rotate plane modes so every packer path sees hostile input
-    static int32_t planes[3] = {12, 8, 4};
+    // rotate plane modes (incl. byte-exponent flag 0x10) so every
+    // packer path sees hostile input
+    static int32_t planes[4] = {12, 8, 4, 4 | 0x10};
     static int pi = 0;
     mp3tpu_unpack(buf.data(), int64_t(buf.size()), is.data(), exps.data(),
                   bt.data(), mixed.data(), smode.data(), err.data(),
                   slack.data(), lines.data(), 0, 1, 0, is12.data(), esc.data(),
-                  planes[pi++ % 3]);
+                  planes[pi++ % 4]);
 }
 
 int main(int argc, char** argv) {

@@ -840,6 +840,10 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                         int32_t stream_idx, int32_t n_streams, int32_t win,
                         uint8_t* is12_out, int16_t* esc_out,
                         int32_t plane_bits) {
+    // flag 0x10: exponents as the compact uint8[65] plane (gg + biased
+    // band offsets); low nibble selects the spectrum plane width
+    bool exp_bytes = (plane_bits & 0x10) != 0;
+    plane_bits &= 0xF;
     const Header& h0 = sc.headers[0];
     bool lsf = h0.lsf;
     int sr9 = h0.sr_idx9;
@@ -1015,15 +1019,41 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                     memset(p12 + pairs * 3, 0, size_t(864 - pairs * 3));
                 }
                 // band exponents
-                int16_t* eo = exp_out + (gr_row * 2 + ch) * 64;
                 int gg = g.global_gain - 210;
                 int shift = 2 * (g.scalefac_scale + 1);
-                for (int b = 0; b < 22; b++)
-                    eo[b] = int16_t(gg - shift * (sf.long_sf[b] + sf.preflag * PRETAB[b]));
-                for (int w = 0; w < 3; w++)
-                    for (int b = 0; b < 13; b++)
-                        eo[22 + w * 13 + b] =
-                            int16_t(gg - 8 * g.subblock_gain[w] - shift * sf.short_sf[b][w]);
+                if (exp_bytes) {
+                    // compact plane: [gg, (e - gg) + 128] as uint8[65]
+                    // per gc — 2x fewer staged bytes. Offsets are in
+                    // [-128, 0] for MPEG-1 (shift*(sf+pretab) <= 72,
+                    // 8*sbg <= 56); out-of-range (possible under LSF)
+                    // -> caller falls back to int16 exponents. Slots a
+                    // granule's flavor never reads get offset 0 (the
+                    // int16 plane stores 0 there; both are dead values
+                    // masked by the flavor-selected band expansion).
+                    uint8_t* eb = reinterpret_cast<uint8_t*>(exp_out)
+                                  + (gr_row * 2 + ch) * 65;
+                    eb[0] = uint8_t(g.global_gain);
+                    memset(eb + 1, 128, 64);
+                    for (int b = 0; b < 22; b++) {
+                        int off = -shift * (sf.long_sf[b] + sf.preflag * PRETAB[b]);
+                        if (off < -128) return -3;
+                        eb[1 + b] = uint8_t(off + 128);
+                    }
+                    for (int w = 0; w < 3; w++)
+                        for (int b = 0; b < 13; b++) {
+                            int off = -8 * g.subblock_gain[w] - shift * sf.short_sf[b][w];
+                            if (off < -128) return -3;
+                            eb[1 + 22 + w * 13 + b] = uint8_t(off + 128);
+                        }
+                } else {
+                    int16_t* eo = exp_out + (gr_row * 2 + ch) * 64;
+                    for (int b = 0; b < 22; b++)
+                        eo[b] = int16_t(gg - shift * (sf.long_sf[b] + sf.preflag * PRETAB[b]));
+                    for (int w = 0; w < 3; w++)
+                        for (int b = 0; b < 13; b++)
+                            eo[22 + w * 13 + b] =
+                                int16_t(gg - 8 * g.subblock_gain[w] - shift * sf.short_sf[b][w]);
+                }
             }
             if (nch == 2) {
                 const GranSI& g1 = si.gr[gr][1];

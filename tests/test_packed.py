@@ -235,3 +235,38 @@ def test_fused_resample_matches_reference():
     n = min(len(got), len(ref16))
     d = np.abs(got[:n].astype(np.int32) - ref16[:n].astype(np.int32))
     assert d.max() <= 1  # fused path quantizes once; reference twice
+
+
+@pytest.mark.skipif(not available(), reason="native unpacker unavailable")
+def test_exp_byte_plane_matches_int16():
+    """The compact uint8[65] exponent plane ([gg, offset+128]) decodes
+    bit-identically to the int16[64] exponents."""
+    pytest.importorskip("lameref")
+    mp3 = fixtures.lame_fixture("transients", ch=2, bitrate=128, mode="jstereo")
+    st = unpack_native(mp3)
+    G = st.n_granules
+    is4 = np.zeros((G, 2, 288), np.uint8)
+    esc = np.zeros((G, 2, 64), np.int16)
+    expb = np.zeros((G, 2, 65), np.uint8)
+    bt = np.zeros((G, 2), np.int8)
+    mx = np.zeros((G, 2), np.uint8)
+    sm = np.zeros((G, 64), np.uint8)
+    ok = unpack_native_into12(mp3, G, None, expb, bt, mx, sm, is4, esc,
+                              plane_bits=4 | 0x10)
+    assert ok
+    # reconstruction: exp = gg - 210 + (off - 128) on every slot a
+    # flavor can read (61-63 are dead; the int16 plane holds zeros there)
+    rec = (expb[..., :1].astype(np.int32) - 210) + \
+        (expb[..., 1:].astype(np.int32) - 128)
+    assert np.array_equal(rec[..., :61], st.exp[..., :61].astype(np.int32))
+    W = 32
+    a, _ = kp.decode_window_i16(
+        jnp.asarray(st.is_[:W][None]), jnp.asarray(st.exp[:W][None]),
+        jnp.asarray(bt[:W][None]), jnp.asarray(mx[:W][None].astype(bool)),
+        jnp.asarray(sm[:W][None]), kp.init_state(1), 44100)
+    b, _ = kp.decode_window_packed_i16(
+        jnp.asarray(is4[:W][None]), jnp.asarray(esc[:W][None]),
+        jnp.asarray(expb[:W][None]), jnp.asarray(bt[:W][None]),
+        jnp.asarray(mx[:W][None].astype(bool)), jnp.asarray(sm[:W][None]),
+        kp.init_state(1), 44100, plane_bits=4)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
