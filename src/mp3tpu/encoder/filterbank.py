@@ -82,6 +82,7 @@ def mdct_matrices() -> np.ndarray:
     return (4.0 / 36.0) * inv.transpose(0, 2, 1)
 
 
+@lru_cache(maxsize=None)
 def forward_alias_matrices() -> np.ndarray:
     """[3, 576, 576] forward (encoder) alias per flavor = decoder RA^T
     restricted to alias only (reorder excluded; the encoder emits natural
