@@ -253,17 +253,27 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                     break
             fb_sel = (1152 // 8) * BITRATES_V1_L3[chosen] * 1000 // sample_rate
             cap = frame_capacity_bits(fb_sel, nch)
+            refit = (bits_v[gc0: gc0 + 2 * nch] > 4000).any() or \
+                need > cap + mux.reservoir_bits
+            if refit:
+                # re-fit the whole frame to the selected capacity in one
+                # lockstep call (the scalar per-gc loop was the VBR
+                # bottleneck on dense content)
+                idx = np.arange(gc0, gc0 + 2 * nch)
+                budget = np.full(2 * nch, cap // (2 * nch) - 8, np.int64)
+                for bt in np.unique(bt_rows[idx]):
+                    m = np.nonzero(bt_rows[idx] == bt)[0]
+                    ixr, ggr = vloop.inner_rate_rows(
+                        rows[idx[m]], budget[m], sample_rate, int(bt))
+                    ix_v[idx[m]], gg_v[idx[m]] = ixr, ggr
             granules = []
             for gr in range(2):
                 out_row = []
                 for c in range(nch):
                     i = gc0 + gr * nch + c
                     ix, gg, bt = ix_v[i], int(gg_v[i]), int(bt_rows[i])
-                    ts, c1 = tsel_v[i], int(c1t_v[i])
-                    if bits_v[i] > 4000 or need > cap + mux.reservoir_bits:
-                        ix, gg = inner_rate_loop(
-                            rows[i], cap // (2 * nch) - 8, sample_rate, bt)
-                        ts = c1 = None
+                    ts = None if refit else tsel_v[i]
+                    c1 = None if refit else int(c1t_v[i])
                     out_row.append(encode_granule(ix, gg, sample_rate, bt,
                                                   tsel=ts, c1table=c1))
                 granules.append(out_row)
