@@ -100,7 +100,8 @@ def main():
     exp_bytes = True
     plane_shape = {4: (288,), 8: (576,), 12: (864,)}
     plane_dtype = {4: np.uint8, 8: np.int8, 12: np.uint8}
-    esc_shape = {4: (64,), 8: (16, 2), 12: (16, 2)}
+    esc_shape = {4: (80,), 8: (16, 2), 12: (16, 2)}
+    esc_dtype = {4: np.int8, 8: np.int16, 12: np.int16}
 
     def exp_arr():
         if exp_bytes:
@@ -112,7 +113,7 @@ def main():
             "is12": np.zeros((n_win, Sg, win, 2) + plane_shape[plane_bits],
                              plane_dtype[plane_bits]),
             "esc": np.zeros((n_win, Sg, win, 2) + esc_shape[plane_bits],
-                            np.int16),
+                            esc_dtype[plane_bits]),
             "exp": exp_arr(),
             "bt": np.zeros((n_win, Sg, win, 2), np.int8),
             "mx": np.zeros((n_win, Sg, win, 2), np.uint8),
@@ -138,7 +139,7 @@ def main():
             g["is12"] = np.zeros((n_win, Sg, win, 2) + plane_shape[plane_bits],
                                  plane_dtype[plane_bits])
             g["esc"] = np.zeros((n_win, Sg, win, 2) + esc_shape[plane_bits],
-                                np.int16)
+                                esc_dtype[plane_bits])
             g["exp"] = exp_arr()
             for a in (g["is12"], g["esc"], g["exp"]):
                 a.fill(1)

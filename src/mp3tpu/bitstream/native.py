@@ -126,10 +126,11 @@ def unpack_native_into12(data: bytes, G: int, is_, exp, bt, mixed, smode,
                    fewer staged bytes; escapes are rare below ~192 kbps),
                    esc [..., 16, 2].
     plane_bits=4:  is12 is uint8 [..., 288], two lines/byte as nibble
-                   value+7, nibble 15 = escape; esc [..., 64] int16 is
-                   POSITION-FREE (values in line order; device recovers
-                   positions from the markers) — 1.5x fewer staged
-                   bytes than the 8-bit plane.
+                   value+7, nibble 15 = escape; esc [..., 80] int8 is
+                   the POSITION-FREE two-level sideband ([:64] values in
+                   line order, marker -128 = |v|>127 whose low/high
+                   bytes sit at [64:72]/[72:80] by rank) — 1.7x fewer
+                   staged bytes than the 8-bit plane.
     plane_bits may carry flag 0x10: exponents write as the compact
     uint8[..., 65] plane ([gg, band_offset+128] per gc — half the
     staged bytes of int16[..., 64]; offsets outside [-128, 0], possible

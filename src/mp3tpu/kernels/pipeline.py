@@ -306,21 +306,34 @@ def unpack8(is8, esc_pos, esc_val):
     return _apply_escapes(is8.astype(jnp.int32), esc_pos, esc_val)
 
 
-def unpack4(is4, esc_val):
+def unpack4(is4, esc):
     """Device-side decode of the 4-bit packed spectrum plane.
 
     is4: uint8 [..., 288], two lines per byte, nibble = value+7 for
-    values in [-7, 7]; nibble 15 marks an escape. esc_val int16
-    [..., 64] carries escape values in line order WITHOUT positions —
-    each marker's rank among markers (cumsum) indexes the sideband,
-    expressed as a one-hot matvec (no data-dependent gather, per this
-    module's TPU doctrine). Returns int32 [..., 576]."""
+    values in [-7, 7]; nibble 15 marks an escape. esc int8 [..., 80] is
+    the POSITION-FREE two-level sideband: [:64] escape values in line
+    order (marker -128 = deep escape), [64:72]/[72:80] low/high bytes
+    of the rare |v|>127 values, indexed by rank among -128 markers.
+    Each rank lookup is a one-hot matvec (no data-dependent gather, per
+    this module's TPU doctrine). Returns int32 [..., 576]."""
+    e8 = esc[..., :64].astype(jnp.int32)
+    deep = e8 == -128
+    lo = esc[..., 64:72].astype(jnp.int32) & 255
+    hi = esc[..., 72:80].astype(jnp.int32)
+    big_vals = (hi << 8) + lo
+    rank2 = jnp.cumsum(deep.astype(jnp.int32), axis=-1) - 1
+    oh2 = ((rank2[..., None] == jnp.arange(8)) & deep[..., None])
+    deep_contrib = jnp.einsum("...eb,...b->...e", oh2.astype(jnp.float32),
+                              big_vals.astype(jnp.float32),
+                              precision=HIGHEST).astype(jnp.int32)
+    esc_val = jnp.where(deep, deep_contrib, e8)
+
     u = is4.astype(jnp.int32)
     nib = jnp.stack([u & 15, u >> 4], axis=-1).reshape(is4.shape[:-1] + (576,))
     is_esc = nib == 15
     base = jnp.where(is_esc, 0, nib - 7)
     rank = jnp.cumsum(is_esc.astype(jnp.int32), axis=-1) - 1
-    oh = ((rank[..., None] == jnp.arange(esc_val.shape[-1])) & is_esc[..., None])
+    oh = ((rank[..., None] == jnp.arange(64)) & is_esc[..., None])
     contrib = jnp.einsum("...ie,...e->...i", oh.astype(jnp.float32),
                          esc_val.astype(jnp.float32), precision=HIGHEST)
     return base + contrib.astype(jnp.int32)

@@ -930,16 +930,20 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                 if (is12_out && plane_bits == 4) {
                     // 4-bit plane (288 B/gc): two lines per byte, nibble
                     // = value+7 for [-7,7], 15 = escape. The sideband is
-                    // POSITION-FREE: int16[64] escape values in line
-                    // order — the device recovers positions from the
-                    // marker nibbles (cumsum rank). 416 B/gc total,
-                    // ~1.5x fewer staged bytes than the 8-bit plane
-                    // (measured |v|>7 at 128 kbps: ~8/gc mean, <=54 on
-                    // transient content; overflow -> caller widens).
+                    // POSITION-FREE and TWO-LEVEL: int8[64] escape
+                    // values in line order (the device recovers
+                    // positions from the marker nibbles by cumsum
+                    // rank); the rare |v|>127 escapes store marker -128
+                    // and their exact value in an 8-slot second level
+                    // ([64:72] low bytes, [72:80] high bytes), indexed
+                    // by rank among -128 markers. 368 B/gc total, ~1.7x
+                    // fewer staged bytes than the 8-bit plane; overflow
+                    // (>64 escapes or >8 deep ones) -> caller widens.
                     uint8_t* p4 = is12_out + (gr_row * 2 + ch) * 288;
-                    int16_t* esc = esc_out + (gr_row * 2 + ch) * 64;
-                    memset(esc, 0, 64 * 2);
-                    int ne = 0;
+                    int8_t* esc = reinterpret_cast<int8_t*>(esc_out)
+                                  + (gr_row * 2 + ch) * 80;
+                    memset(esc, 0, 80);
+                    int ne = 0, nbig = 0;
                     int pairs2 = (lines + 1) & ~1;
                     for (int i = 0; i < pairs2; i += 2) {
                         uint32_t nib[2];
@@ -947,7 +951,15 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                             int v = dst[i + k];
                             if (v > 7 || v < -7) {
                                 if (ne >= 64) return -2;
-                                esc[ne++] = int16_t(v);
+                                if (v >= -127 && v <= 127) {
+                                    esc[ne++] = int8_t(v);
+                                } else {
+                                    if (nbig >= 8) return -2;
+                                    esc[ne++] = -128;
+                                    esc[64 + nbig] = int8_t(uint8_t(v & 255));
+                                    esc[72 + nbig] = int8_t(v >> 8);
+                                    nbig++;
+                                }
                                 nib[k] = 15;
                             } else {
                                 nib[k] = uint32_t(v + 7);

@@ -116,19 +116,22 @@ def test_packed8_decode_matches_int16():
 
 def test_unpack4_device_roundtrip():
     """nibble plane -> device unpack4 == original; the position-free
-    sideband lands escapes by marker rank (cumsum), not stored pos."""
+    two-level sideband lands escapes by marker rank (cumsum), deep
+    (|v|>127) values by rank among -128 markers."""
     rng = np.random.default_rng(2)
     v = rng.integers(-7, 8, (4, 2, 576)).astype(np.int32)
     v[2, 0, 4] = 120    # escapes (>7), in line order
-    v[2, 0, 11] = -8206
+    v[2, 0, 11] = -8206  # deep escape (|v| > 127)
     v[2, 0, 570] = 33
     clamped = np.clip(v, -7, 7) + 7
     for i in (4, 11, 570):
         clamped[2, 0, i] = 15   # escape marker nibble
     packed = (clamped[..., 0::2] | (clamped[..., 1::2] << 4)).astype(np.uint8)
-    esc_val = np.zeros((4, 2, 64), np.int16)
-    esc_val[2, 0, :3] = [120, -8206, 33]
-    out = np.asarray(kp.unpack4(jnp.asarray(packed), jnp.asarray(esc_val)))
+    esc = np.zeros((4, 2, 80), np.int8)
+    esc[2, 0, :3] = [120, -128, 33]
+    esc.view(np.uint8)[2, 0, 64] = (-8206) & 255   # lo byte of deep value 0
+    esc[2, 0, 72] = np.int8((-8206) >> 8)          # hi byte
+    out = np.asarray(kp.unpack4(jnp.asarray(packed), jnp.asarray(esc)))
     assert np.array_equal(out, v)
 
 
@@ -141,7 +144,7 @@ def test_packed4_decode_matches_int16():
     st = unpack_native(mp3)
     G = st.n_granules
     is4 = np.zeros((G, 2, 288), np.uint8)
-    esc = np.zeros((G, 2, 64), np.int16)
+    esc = np.zeros((G, 2, 80), np.int8)
     exp = np.zeros((G, 2, 64), np.int16)
     bt = np.zeros((G, 2), np.int8)
     mx = np.zeros((G, 2), np.uint8)
@@ -177,7 +180,7 @@ def test_packed4_overflow_falls_back():
         pytest.skip("fixture never overflows the 4-bit sideband")
     G = st.n_granules
     is4 = np.zeros((G, 2, 288), np.uint8)
-    esc = np.zeros((G, 2, 64), np.int16)
+    esc = np.zeros((G, 2, 80), np.int8)
     exp = np.zeros((G, 2, 64), np.int16)
     bt = np.zeros((G, 2), np.int8)
     mx = np.zeros((G, 2), np.uint8)
@@ -246,7 +249,7 @@ def test_exp_byte_plane_matches_int16():
     st = unpack_native(mp3)
     G = st.n_granules
     is4 = np.zeros((G, 2, 288), np.uint8)
-    esc = np.zeros((G, 2, 64), np.int16)
+    esc = np.zeros((G, 2, 80), np.int8)
     expb = np.zeros((G, 2, 65), np.uint8)
     bt = np.zeros((G, 2), np.int8)
     mx = np.zeros((G, 2), np.uint8)
