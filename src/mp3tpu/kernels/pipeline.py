@@ -507,6 +507,44 @@ def decode_all_windows_flat_resampled_i16(is12, exp, esc, bt, mx, sm, state,
     return run(is12, exp, esc, bt, mx, sm, state, rs_state)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_scan_plain_for(sample_rate: int, plane_bits: int, n_win: int):
+    """All-windows packed decode as ONE dispatch (no resample): the
+    per-window arrays arrive as tuples (each staged as its own <=2 MB
+    transfer), are stacked inside the program, and a lax.scan carries
+    the decode state — one tunnel round-trip per batch instead of one
+    per window (the per-call dispatch latency dominates remote-attached
+    devices; bench.py measures the same structure)."""
+    tables = build_tables(sample_rate)
+
+    @jax.jit
+    def run(is12_w, esc_w, exp_w, bt_w, mx_w, sm_w, state):
+        xs = tuple(jnp.stack(a) for a in
+                   (is12_w, esc_w, exp_w, bt_w, mx_w, sm_w))
+
+        def step(st, x):
+            i12, es, ex, b, m, sm = x
+            iv = _plane_decode(plane_bits, i12, es)
+            pcm, st2 = granule_pipeline(iv, _exp_decode(ex), b,
+                                        m.astype(jnp.bool_), sm, st, tables)
+            return st2, quantize_i16(pcm)
+
+        st, pcm = jax.lax.scan(step, state, xs)
+        S, T = pcm.shape[1], pcm.shape[2]
+        return pcm.transpose(1, 0, 2, 3).reshape(S, n_win * T, 2), st
+
+    return run
+
+
+def decode_windows_scan_i16(is12_w, esc_w, exp_w, bt_w, mx_w, sm_w, state,
+                            sample_rate: int, plane_bits: int = 4):
+    """One-dispatch packed decode of a window sequence (tuples of
+    per-window arrays, all the same [S, win, ...] shape)."""
+    run = _jitted_scan_plain_for(sample_rate, plane_bits, len(is12_w))
+    return run(tuple(is12_w), tuple(esc_w), tuple(exp_w), tuple(bt_w),
+               tuple(mx_w), tuple(sm_w), state)
+
+
 def init_resample_state(n_streams: int, sample_rate: int,
                         out_rate: int = 48000, n_channels: int = 2):
     from ..dsp.resample import Resampler

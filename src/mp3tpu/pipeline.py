@@ -134,13 +134,177 @@ def decode_file(path_or_bytes, output: str | None = None,
 
 
 def decode_files(paths, gapless: bool = True):
-    """Batched multi-stream decode (int16 PCM); see player.scheduler for
-    the streaming masked-batch engine. Returns a list of
+    """Batched multi-stream decode (int16 PCM). Returns a list of
     (pcm, sample_rate) aligned with the inputs. Applies the same LAME
     gapless trim as decode_file, so batch and single paths agree on
-    output lengths."""
+    output lengths.
+
+    Uses the bench-grade fast path when the native unpacker is present
+    (packed spectrum/exponent planes written window-major by C++, fixed-
+    shape per-window device steps); falls back to the masked-batch
+    scheduler otherwise (pure-Python unpack, mixed corner cases)."""
+    datas = []
+    for p in paths:
+        if isinstance(p, (bytes, bytearray)):
+            datas.append(bytes(p))
+        else:
+            with open(p, "rb") as f:
+                datas.append(f.read())
+    fast = _decode_files_fast(datas, gapless)
+    if fast is not None:
+        return fast
     from .player.scheduler import decode_batch_streams
-    return decode_batch_streams(paths, gapless=gapless)
+    return decode_batch_streams(datas, gapless=gapless)
+
+
+_FAST_CHUNK = 64    # streams per fixed-shape device batch
+_FAST_WIN = 32      # granules per device window
+
+
+def _decode_files_fast(datas, gapless: bool):
+    """Throughput path for decode_files (SURVEY.md §3.2, the structure
+    bench.py measures): C++ unpacks every stream's granules directly
+    into window-major packed batch tensors (4-bit spectrum plane +
+    two-level escape sideband + byte exponents, with the widening
+    fallback chain), each [S, win] window stages as one small async
+    device_put (tunnel-friendly) and decodes with the fixed-shape
+    packed jit. Returns None when any input needs the general path."""
+    from .bitstream import native as nat
+    import ctypes
+    import jax.numpy as jnp
+    if not nat.available():
+        return None
+    lib = nat._load()
+    try:
+        metas = []
+        for d in datas:
+            id3 = parse_id3v2(d)
+            body = d[id3.size:] if id3.size else d
+            buf = np.frombuffer(body, np.uint8)
+            index = fr.scan_frames(buf)
+            info = parse_stream_info(body, int(index.offsets[0]),
+                                     index.headers[0])
+            if is_metadata_frame(info):
+                if len(index.offsets) < 2:
+                    return None
+                off = int(index.offsets[1])
+                h = index.headers[1]
+                # dropping the metadata frame's bytes is only exact when
+                # the first audio frame's reservoir pointer is 0 (every
+                # mainstream encoder; verify and fall back otherwise)
+                si = off + 4 + (2 if h.crc_protected else 0)
+                if si + 2 > len(body):
+                    return None
+                mdb = (body[si] << 1) | (body[si + 1] >> 7)
+                if mdb != 0:
+                    return None
+                body = body[off:]
+            metas.append((body, info, index.sample_rate, index.channels))
+    except Exception:
+        return None
+
+    out: list = [None] * len(datas)
+    rates = sorted({m[2] for m in metas})
+    for rate in rates:
+        idxs = [i for i, m in enumerate(metas) if m[2] == rate]
+        for c0 in range(0, len(idxs), _FAST_CHUNK):
+            chunk = idxs[c0: c0 + _FAST_CHUNK]
+            if not _fast_chunk(datas, metas, chunk, rate, gapless, out,
+                               lib, jnp):
+                return None
+    return out
+
+
+def _fast_chunk(datas, metas, chunk, rate, gapless, out, lib, jnp):
+    import ctypes
+    from .bitstream.native import unpack_native_into12
+    S = _FAST_CHUNK
+    win = _FAST_WIN
+    meta4 = (ctypes.c_int32 * 4)()
+    Gs = []
+    for i in chunk:
+        g = lib.mp3tpu_probe(metas[i][0], len(metas[i][0]), meta4)
+        if g <= 0:
+            return False
+        Gs.append(g)
+    n_win = -(-max(Gs) // win)
+    Gpad = n_win * win
+
+    plane_bits, exp_bytes = 4, True
+    while True:
+        shp = {4: 288, 8: 576, 12: 864}[plane_bits]
+        dt = {4: np.uint8, 8: np.int8, 12: np.uint8}[plane_bits]
+        esc_shape = {4: (80,), 8: (16, 2), 12: (16, 2)}[plane_bits]
+        esc_dt = np.int8 if plane_bits == 4 else np.int16
+        b = {
+            "is12": np.zeros((n_win, S, win, 2, shp), dt),
+            "esc": np.zeros((n_win, S, win, 2) + esc_shape, esc_dt),
+            "exp": (np.zeros((n_win, S, win, 2, 65), np.uint8) if exp_bytes
+                    else np.zeros((n_win, S, win, 2, 64), np.int16)),
+            "bt": np.zeros((n_win, S, win, 2), np.int8),
+            "mx": np.zeros((n_win, S, win, 2), np.uint8),
+            "smode": np.zeros((n_win, S, win, 64), np.uint8),
+        }
+        ok = True
+        for k, i in enumerate(chunk):
+            ok = unpack_native_into12(
+                metas[i][0], Gs[k], None, b["exp"], b["bt"], b["mx"],
+                b["smode"], b["is12"], b["esc"], k, S, win,
+                plane_bits=plane_bits | (0x10 if exp_bytes else 0))
+            if not ok:
+                break
+        if ok:
+            break
+        if exp_bytes:
+            exp_bytes = False
+        elif plane_bits == 4:
+            plane_bits = 8
+        elif plane_bits == 8:
+            plane_bits = 12
+        else:
+            return False
+
+    from .kernels import pipeline as kp
+    state = kp.init_state(S)
+    # bucket the window count (powers of two) so the one-dispatch scan
+    # compiles for a handful of lengths; pad windows are zeros (silence)
+    nb = 1
+    while nb < n_win:
+        nb *= 2
+    keys = ("is12", "esc", "exp", "bt", "mx", "smode")
+    # per-window standalone buffers: each stages as its own <=1.5 MB
+    # async put (this tunnel collapses on >=4 MB transfers), and the
+    # same zero buffer serves every pad window
+    win_dev = {k: [] for k in keys}
+    zeros = {k: jnp.asarray(np.zeros_like(b[k][0])) for k in keys}
+    for w in range(nb):
+        for k in keys:
+            win_dev[k].append(jnp.asarray(np.ascontiguousarray(b[k][w]))
+                              if w < n_win else zeros[k])
+    pcm_dev, _st = kp.decode_windows_scan_i16(
+        win_dev["is12"], win_dev["esc"], win_dev["exp"], win_dev["bt"],
+        win_dev["mx"], win_dev["smode"], state, rate,
+        plane_bits=plane_bits)
+    # slice the bucket padding off ON DEVICE before the transfer — D2H
+    # over this tunnel is the API's wall (~0.04 GB/s measured; H2D runs
+    # >10x faster), so every downloaded byte counts
+    pcm = np.asarray(pcm_dev[:, : n_win * win * 576])  # [S, Gpad*576, 2]
+
+    from .dsp.gapless import gapless_bounds
+    for k, i in enumerate(chunk):
+        nch = metas[i][3]
+        n = Gs[k] * 576
+        info = metas[i][1]
+        if gapless and info.gapless:
+            # bounds from the ORIGINAL container parse — the body bytes
+            # here have the metadata frame stripped
+            skip, end = gapless_bounds(n, info.encoder_delay,
+                                       info.encoder_padding)
+        else:
+            skip, end = 0, None
+        hi = n if end is None else min(n, end)
+        out[i] = (pcm[k, skip:hi, :nch].copy(), rate)
+    return True
 
 
 def decode_symbols_chunked(st: SymbolTensors, chunk_granules: int = 128,

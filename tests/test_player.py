@@ -264,3 +264,25 @@ def test_scheduler_checkpoint_resume():
                               tail])
         assert got.shape == ref[sid].shape, (sid, got.shape, ref[sid].shape)
         assert np.array_equal(got, ref[sid]), sid
+
+
+def test_decode_batch_fast_path_matches_single():
+    """The packed fast path behind mp3tpu.decode_batch: exact lengths
+    (gapless like single-file decode), <=1 LSB vs single decode (the
+    cross-shape determinism contract), ragged batches, mono+stereo."""
+    import numpy as np
+    from mp3tpu.pipeline import decode_file, decode_files
+    import fixtures
+
+    st = fixtures.lame_fixture("sweep", ch=2, bitrate=128, mode="jstereo")
+    mo = fixtures.lame_fixture("tonal", bitrate=96, mode="jstereo")
+    out = decode_files([st, mo, st])
+    for data, (pcm, sr) in zip((st, mo, st), out):
+        ref, rsr = decode_file(data)
+        assert sr == rsr
+        pcm = np.asarray(pcm)
+        ref = np.asarray(ref)
+        assert pcm.shape == ref.shape, (pcm.shape, ref.shape)
+        d = np.abs(pcm.astype(np.int32) - ref.astype(np.int32))
+        assert d.max() <= 1
+        assert (d == 0).mean() > 0.97
