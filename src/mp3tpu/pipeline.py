@@ -245,14 +245,25 @@ def _fast_chunk(datas, metas, chunk, rate, gapless, out, lib, jnp):
             "mx": np.zeros((n_win, S, win, 2), np.uint8),
             "smode": np.zeros((n_win, S, win, 64), np.uint8),
         }
-        ok = True
-        for k, i in enumerate(chunk):
-            ok = unpack_native_into12(
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one(args):
+            k, i = args
+            return unpack_native_into12(
                 metas[i][0], Gs[k], None, b["exp"], b["bt"], b["mx"],
                 b["smode"], b["is12"], b["esc"], k, S, win,
                 plane_bits=plane_bits | (0x10 if exp_bytes else 0))
-            if not ok:
-                break
+
+        # streams are independent and the C ABI releases the GIL: pool
+        # across cores (SURVEY.md P4 host worker pool; sequential on a
+        # 1-core host)
+        workers = min(8, os.cpu_count() or 1)
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                ok = all(ex.map(_one, enumerate(chunk)))
+        else:
+            ok = all(map(_one, enumerate(chunk)))
         if ok:
             break
         if exp_bytes:
