@@ -286,3 +286,21 @@ def test_decode_batch_fast_path_matches_single():
         d = np.abs(pcm.astype(np.int32) - ref.astype(np.int32))
         assert d.max() <= 1
         assert (d == 0).mean() > 0.97
+
+
+def test_decode_batch_fast_path_mpeg25():
+    """LSF/MPEG-2.5 content through the batch fast path: the byte-
+    exponent fallback chain must keep it <=1 LSB vs single decode."""
+    import os
+    import numpy as np
+    import pytest
+    from mp3tpu.pipeline import decode_file, decode_files
+    p = ('/opt/venv/lib/python3.12/site-packages/pygame/examples/data/'
+         'house_lo.mp3')
+    if not os.path.exists(p):
+        pytest.skip("real-world MPEG-2.5 sample unavailable")
+    single = np.asarray(decode_file(p)[0])
+    got = np.asarray(decode_files([p, p])[0][0])
+    assert got.shape == single.shape
+    d = np.abs(single.astype(np.int32) - got.astype(np.int32))
+    assert d.max() <= 1 and (d == 0).mean() > 0.97
