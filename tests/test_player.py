@@ -304,3 +304,18 @@ def test_decode_batch_fast_path_mpeg25():
     assert got.shape == single.shape
     d = np.abs(single.astype(np.int32) - got.astype(np.int32))
     assert d.max() <= 1 and (d == 0).mean() > 0.97
+
+
+def test_decode_batch_fast_path_plane_fallback():
+    """Dense 320 kbps content overflows the 4-bit sideband: the fast
+    path must widen its packed planes transparently and still match
+    single decode to <=1 LSB."""
+    import numpy as np
+    from mp3tpu.pipeline import decode_file, decode_files
+    import fixtures
+    hot = fixtures.lame_fixture("sweep", ch=2, bitrate=320, mode="stereo")
+    ref = np.asarray(decode_file(hot)[0])
+    got = np.asarray(decode_files([hot])[0][0])
+    assert got.shape == ref.shape
+    d = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert d.max() <= 1 and (d == 0).mean() > 0.97
