@@ -107,9 +107,22 @@ def main():
         if exp_bytes:
             return np.zeros((n_win, Sg, win, 2, 65), np.uint8)
         return np.zeros((n_win, Sg, win, 2, 64), np.int16)
-    groups = []
-    for _ in range(n_groups):
-        groups.append({
+
+    def make_group():
+        """One stream-group's staging buffers. In the all-byte plane
+        family (4-bit spectrum + int8 sideband + byte exponents) the six
+        arrays are VIEWS into one contiguous uint8 ARENA — the group
+        stages as ONE device_put (128 transfers instead of 768; staging
+        over this tunnel is per-transfer-overhead-bound)."""
+        if plane_bits == 4 and exp_bytes:
+            total, layout = kp.arena_layout(n_win, Sg, win)
+            arena = np.zeros(total, np.uint8)
+            g = {"_arena": arena}
+            for k2, off, shp, dt in layout:
+                n2 = int(np.prod(shp))
+                g[k2] = arena[off:off + n2].view(dt).reshape(shp)
+            return g
+        return {
             "is12": np.zeros((n_win, Sg, win, 2) + plane_shape[plane_bits],
                              plane_dtype[plane_bits]),
             "esc": np.zeros((n_win, Sg, win, 2) + esc_shape[plane_bits],
@@ -118,11 +131,13 @@ def main():
             "bt": np.zeros((n_win, Sg, win, 2), np.int8),
             "mx": np.zeros((n_win, Sg, win, 2), np.uint8),
             "smode": np.zeros((n_win, Sg, win, 64), np.uint8),
-        })
+        }
+    groups = [make_group() for _ in range(n_groups)]
     for g in groups:
-        for a in g.values():
-            a.fill(1)  # pre-fault pages outside the timed region
-            a.fill(0)
+        for k2, a in g.items():
+            if k2 == "_arena" or "_arena" not in g:
+                a.fill(1)  # pre-fault pages outside the timed region
+                a.fill(0)
 
     def _unpack_one(si):
         g = groups[si // Sg]
@@ -135,15 +150,12 @@ def main():
             exp_bytes = False      # first retry: int16 exponents
         else:
             plane_bits = {4: 8, 8: 12}[plane_bits]
+        groups = [make_group() for _ in range(n_groups)]
         for g in groups:
-            g["is12"] = np.zeros((n_win, Sg, win, 2) + plane_shape[plane_bits],
-                                 plane_dtype[plane_bits])
-            g["esc"] = np.zeros((n_win, Sg, win, 2) + esc_shape[plane_bits],
-                                esc_dtype[plane_bits])
-            g["exp"] = exp_arr()
-            for a in (g["is12"], g["esc"], g["exp"]):
-                a.fill(1)
-                a.fill(0)
+            for k2, a in g.items():
+                if k2 == "_arena" or "_arena" not in g:
+                    a.fill(1)
+                    a.fill(0)
         if plane_bits == 12 and not exp_bytes:
             assert _unpack_one(0)
             break
@@ -169,9 +181,14 @@ def main():
         ts0 = time.perf_counter()
         dev_groups = []
         staged_bytes = 0
+        arena_mode = "_arena" in groups[0]
         for g in groups:
-            staged_bytes += sum(a.nbytes for a in g.values())
-            dev_groups.append(jax.device_put(g))
+            if arena_mode:
+                staged_bytes += g["_arena"].nbytes
+                dev_groups.append(jax.device_put(g["_arena"]))
+            else:
+                staged_bytes += sum(a.nbytes for a in g.values())
+                dev_groups.append(jax.device_put(g))
         enqueue_t = time.perf_counter() - ts0
         jax.block_until_ready(dev_groups)
         t_stage = time.perf_counter() - ts0
@@ -180,15 +197,22 @@ def main():
         del dev_groups
         time.sleep(2.0)
     stage_drain_t = t_stage - enqueue_t
-    dev = {k: [dg[k] for dg in dev_groups]
-           for k in ("is12", "exp", "esc", "bt", "mx", "smode")}
     t_pipe = t_unpack + t_stage
 
     # one-time jit compile (untimed warmup: once per deployment, served
     # from the persistent compilation cache in production; SURVEY.md §3.5)
-    def regroup():
-        return kp.regroup_device(dev["is12"], dev["exp"], dev["esc"],
-                                 dev["bt"], dev["mx"], dev["smode"])
+    if arena_mode:
+        def regroup():
+            i12, es, ex, btd, mxd, smd = kp.regroup_device_arenas(
+                dev_groups, n_win, Sg, win)
+            return (i12, ex, es, btd, mxd, smd)
+    else:
+        dev = {k: [dg[k] for dg in dev_groups]
+               for k in ("is12", "exp", "esc", "bt", "mx", "smode")}
+
+        def regroup():
+            return kp.regroup_device(dev["is12"], dev["exp"], dev["esc"],
+                                     dev["bt"], dev["mx"], dev["smode"])
 
     def call(d, st_, rst_):
         # ONE dispatch: lax.scan over all windows + one whole-stream

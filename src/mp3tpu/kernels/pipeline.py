@@ -508,6 +508,64 @@ def decode_all_windows_flat_resampled_i16(is12, exp, esc, bt, mx, sm, state,
 
 
 @functools.lru_cache(maxsize=None)
+def _jitted_regroup_arena_for(n_groups: int, n_win: int, Sg: int, win: int):
+    """Split per-group byte ARENAS (one device_put each — staging over
+    the tunnel is per-transfer-overhead-bound) into the six batch
+    tensors and concatenate the groups in HBM. Only valid for the all-
+    byte plane family (4-bit spectrum, int8 two-level sideband, byte
+    exponents)."""
+    shapes = (("is12", (n_win, Sg, win, 2, 288), jnp.uint8),
+              ("esc", (n_win, Sg, win, 2, 80), jnp.int8),
+              ("exp", (n_win, Sg, win, 2, 65), jnp.uint8),
+              ("bt", (n_win, Sg, win, 2), jnp.int8),
+              ("mx", (n_win, Sg, win, 2), jnp.uint8),
+              ("smode", (n_win, Sg, win, 64), jnp.uint8))
+
+    @jax.jit
+    def run(arenas):
+        outs = []
+        off = 0
+        parts = {k: [] for k, _, _ in shapes}
+        for a in arenas:
+            off = 0
+            for k, shp, dt in shapes:
+                n = int(np.prod(shp))
+                sec = jax.lax.slice(a, (off,), (off + n,))
+                if dt != jnp.uint8:
+                    sec = jax.lax.bitcast_convert_type(sec, dt)
+                parts[k].append(sec.reshape(shp))
+                off += n
+        return tuple(jnp.concatenate(parts[k], axis=1)
+                     for k, _, _ in shapes)
+
+    return run
+
+
+def arena_layout(n_win: int, Sg: int, win: int):
+    """(total_bytes, [(key, offset, shape, numpy dtype)]) of the packed
+    per-group staging arena (all-byte plane family)."""
+    shapes = (("is12", (n_win, Sg, win, 2, 288), np.uint8),
+              ("esc", (n_win, Sg, win, 2, 80), np.int8),
+              ("exp", (n_win, Sg, win, 2, 65), np.uint8),
+              ("bt", (n_win, Sg, win, 2), np.int8),
+              ("mx", (n_win, Sg, win, 2), np.uint8),
+              ("smode", (n_win, Sg, win, 64), np.uint8))
+    out = []
+    off = 0
+    for k, shp, dt in shapes:
+        out.append((k, off, shp, dt))
+        off += int(np.prod(shp))
+    return off, out
+
+
+def regroup_device_arenas(arenas, n_win: int, Sg: int, win: int):
+    """One device pass: per-group staging arenas -> the six whole-batch
+    window-major tensors (matches regroup_device's output order)."""
+    run = _jitted_regroup_arena_for(len(arenas), n_win, Sg, win)
+    return run(tuple(arenas))
+
+
+@functools.lru_cache(maxsize=None)
 def _jitted_scan_plain_for(sample_rate: int, plane_bits: int, n_win: int):
     """All-windows packed decode as ONE dispatch (no resample): the
     per-window arrays arrive as tuples (each staged as its own <=2 MB

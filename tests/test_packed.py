@@ -273,3 +273,25 @@ def test_exp_byte_plane_matches_int16():
         jnp.asarray(mx[:W][None].astype(bool)), jnp.asarray(sm[:W][None]),
         kp.init_state(1), 44100, plane_bits=4)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_arena_regroup_matches_host_carve():
+    """The staging-arena splitter (one device_put per stream group) must
+    reproduce exactly the tensors host-side carving produces."""
+    n_win, Sg, win, n_groups = 2, 2, 4, 3
+    total, layout = kp.arena_layout(n_win, Sg, win)
+    rng = np.random.default_rng(0)
+    arenas = [rng.integers(0, 256, total, dtype=np.uint8)
+              for _ in range(n_groups)]
+    got = kp.regroup_device_arenas([jnp.asarray(a) for a in arenas],
+                                   n_win, Sg, win)
+    order = ("is12", "esc", "exp", "bt", "mx", "smode")
+    ref = {k: [] for k in order}
+    for a in arenas:
+        for k, off, shp, dt in layout:
+            n = int(np.prod(shp))
+            ref[k].append(a[off:off + n].view(dt).reshape(shp))
+    # regroup_device_arenas returns (is12, esc, exp, bt, mx, smode)
+    for i, k in enumerate(order):
+        assert np.array_equal(np.asarray(got[i]),
+                              np.concatenate(ref[k], axis=1)), k
