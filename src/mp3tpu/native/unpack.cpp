@@ -945,27 +945,44 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                     memset(esc, 0, 80);
                     int ne = 0, nbig = 0;
                     int pairs2 = (lines + 1) & ~1;
-                    for (int i = 0; i < pairs2; i += 2) {
-                        uint32_t nib[2];
-                        for (int k = 0; k < 2; k++) {
-                            int v = dst[i + k];
-                            if (v > 7 || v < -7) {
-                                if (ne >= 64) return -2;
-                                if (v >= -127 && v <= 127) {
-                                    esc[ne++] = int8_t(v);
-                                } else {
-                                    if (nbig >= 8) return -2;
-                                    esc[ne++] = -128;
-                                    esc[64 + nbig] = int8_t(uint8_t(v & 255));
-                                    esc[72 + nbig] = int8_t(v >> 8);
-                                    nbig++;
-                                }
-                                nib[k] = 15;
-                            } else {
-                                nib[k] = uint32_t(v + 7);
-                            }
+                    // 64-line chunks: escape-free chunks (most of the
+                    // spectrum above the low bands) take a branchless
+                    // pack the compiler vectorizes
+                    for (int c0 = 0; c0 < pairs2; c0 += 64) {
+                        int c1 = c0 + 64 < pairs2 ? c0 + 64 : pairs2;
+                        int mx = 0;
+                        for (int i = c0; i < c1; i++) {
+                            int av = dst[i] < 0 ? -dst[i] : dst[i];
+                            mx = av > mx ? av : mx;
                         }
-                        p4[i >> 1] = uint8_t(nib[0] | (nib[1] << 4));
+                        if (mx <= 7) {
+                            for (int i = c0; i < c1; i += 2)
+                                p4[i >> 1] = uint8_t(uint32_t(dst[i] + 7) |
+                                                     (uint32_t(dst[i + 1] + 7) << 4));
+                            continue;
+                        }
+                        for (int i = c0; i < c1; i += 2) {
+                            uint32_t nib[2];
+                            for (int k = 0; k < 2; k++) {
+                                int v = dst[i + k];
+                                if (v > 7 || v < -7) {
+                                    if (ne >= 64) return -2;
+                                    if (v >= -127 && v <= 127) {
+                                        esc[ne++] = int8_t(v);
+                                    } else {
+                                        if (nbig >= 8) return -2;
+                                        esc[ne++] = -128;
+                                        esc[64 + nbig] = int8_t(uint8_t(v & 255));
+                                        esc[72 + nbig] = int8_t(v >> 8);
+                                        nbig++;
+                                    }
+                                    nib[k] = 15;
+                                } else {
+                                    nib[k] = uint32_t(v + 7);
+                                }
+                            }
+                            p4[i >> 1] = uint8_t(nib[0] | (nib[1] << 4));
+                        }
                     }
                     // zero tail decodes as nibble 0 -> value -7 on a
                     // naive read; memset the encoded zero (0x77) instead
