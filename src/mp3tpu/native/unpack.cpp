@@ -16,7 +16,45 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512BW__) && defined(__AVX512VBMI2__) || \
+    defined(__BMI2__) && defined(__AVX2__)
+#include <immintrin.h>
+#endif
+#if defined(__AVX512BW__) && defined(__AVX512VBMI2__)
+#define MP3TPU_AVX512_PACK 1
+#endif
+
 #include "spec_tables.h"
+
+// Section-level cycle counters for the profile build only
+// (make prof_driver). Index map: 0 scan, 1 sideinfo+crc+reservoir,
+// 2 GranuleBits.init, 3 scalefactors, 4 big_values loop, 5 count1
+// loop, 6 plane pack, 7 exponents, 8 stereo modes.
+#ifdef MP3TPU_PROF_SECTIONS
+#include <x86intrin.h>
+extern "C" uint64_t mp3tpu_prof_cycles[16];
+uint64_t mp3tpu_prof_cycles[16];
+// per-table pair counts + fast-LUT hit counts (indices 0-31 tables,
+// 32 = count1 quads, 33 = count1 fast hits)
+extern "C" uint64_t mp3tpu_prof_pairs[40];
+uint64_t mp3tpu_prof_pairs[40];
+extern "C" uint64_t mp3tpu_prof_fasthits[40];
+uint64_t mp3tpu_prof_fasthits[40];
+#define PROF_PAIR(t) mp3tpu_prof_pairs[t]++
+#define PROF_FASTHIT(t) mp3tpu_prof_fasthits[t]++
+#define PROF_DECL uint64_t prof_t_ = __rdtsc()
+#define PROF_ACC(i)                                     \
+    do {                                                \
+        uint64_t prof_n_ = __rdtsc();                   \
+        mp3tpu_prof_cycles[i] += prof_n_ - prof_t_;     \
+        prof_t_ = prof_n_;                              \
+    } while (0)
+#else
+#define PROF_DECL
+#define PROF_ACC(i)
+#define PROF_PAIR(t)
+#define PROF_FASTHIT(t)
+#endif
 
 namespace {
 
@@ -121,11 +159,14 @@ struct GranuleBits {
 // per peek. Only used inside decode_spectrum's symbol loops (the host
 // hot path); semantics are bit-identical to GranuleBits (the buffer is
 // already end-masked, and the 16-byte guard covers the lookahead).
+// (A position-only load-per-peek cursor was re-measured against this
+// after the fused two-pair LUT landed: 0.574s vs 0.562s per 200
+// fixture decodes — the accumulator stays.)
 struct BitCur {
     const uint8_t* p;    // next byte to pull into acc
     uint64_t acc = 0;    // upcoming bits, left-aligned
     int cnt = 0;         // valid bits in acc
-    int64_t used = 0;    // bits consumed since init
+    int64_t used_ = 0;   // bits consumed since init
 
     void init(const GranuleBits& br) {
         size_t bitoff = br.pos + size_t(br.lead_);
@@ -133,19 +174,23 @@ struct BitCur {
         acc = be64(p) << (bitoff & 7);
         cnt = 64 - int(bitoff & 7);
         p += 8;
+        used_ = 0;
     }
+    inline int64_t used() const { return used_; }
     inline uint32_t peek(int n) const { return uint32_t(acc >> (64 - n)); }
     inline void skip(int n) {
+        if (!n) return;  // keeps cnt < 64 for the refill shift
         acc <<= n;
         cnt -= n;
-        used += n;
-        if (cnt <= 32) {
-            uint32_t w = (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
-                         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
-            p += 4;
-            acc |= uint64_t(w) << (32 - cnt);
-            cnt += 32;
-        }
+        used_ += n;
+        // Branchless byte-granular refill (every bit of acc is always
+        // real stream data, so re-ORing overlapping bytes is a no-op;
+        // cnt only drives the pointer arithmetic). The conditional
+        // 4-byte refill this replaces mispredicted on the symbol loops'
+        // irregular skip widths.
+        acc |= be64(p) >> cnt;
+        p += (63 - cnt) >> 3;
+        cnt |= 56;
     }
     inline uint32_t read(int n) {
         if (!n) return 0;
@@ -212,78 +257,159 @@ struct HuffLut {
 static HuffLut g_luts[32];
 static HuffLut g_c1[2];
 
-// Sign-fused fast path: for non-escape tables, a single 12-bit peek
-// resolves code + sign bits for the common case (entry 0 -> fall back
-// to the exact 2-level LUT). Count1 quads fuse code + 4 signs the same
-// way (10-bit peek).
-struct FastLut {
-    // entry: bit31 valid | bits(5) << 24 | (sx+64) << 8 | (sy+64)
+// Sign-fused fast paths. The big_values fast LUT resolves up to TWO
+// (x, y) pairs — code + signs + small linbits escapes folded in — from
+// one 12-bit peek; it is built by SIMULATING the exact slow path on
+// every 12-bit pattern (bit-identity with the 2-level LUT by
+// construction), so escape tables 16-31 get a fast path too whenever
+// code+linbits+signs fit the window and |value| <= 127. Count1 quads
+// fuse up to FOUR quadruples (code + signs each) from one 10-bit peek
+// the same way.
+struct Fast2 {
+    // 32-bit entries (16 KB/table keeps 3 active tables L1-resident):
+    //   [31] valid1  [30] valid2  [29:26] btot  [25:22] b1
+    //   one-pair:  [15:8] y1 int8, [7:0] x1 int8
+    //   two-pair:  four 5-bit biased fields v+15 at [4:0] x1, [9:5] y1,
+    //              [14:10] x2, [19:15] y2 (so |v| <= 15; wider folded
+    //              escapes only ever land in one-pair entries)
+    // Entry 0 (or a failed guard) -> slow path.
     std::vector<uint32_t> tab;  // 4096
 };
-static FastLut g_fast[32];
-struct FastC1 {
-    // entry: bit31 valid | bits(4) << 24 | 4 x (v+1) 2-bit fields
-    std::vector<uint32_t> tab;  // 1024
+static Fast2 g_fast2[32];
+struct FastQ {
+    // One 64-bit entry per 10-bit pattern (8 KB/table — meta and values
+    // share a cache line): [63] valid | [61:56] total bits (nq quads) |
+    // [55:52] first-quad bits | [51:48] nq (1..4) | [31:0] sixteen
+    // 2-bit fields v+1 in line order, (v+1)=1 (zero) past 4*nq so the
+    // expanded 16-value store is the correct rzero tail. count1 codes
+    // are <= 6 bits + 4 signs = 10, so every pattern decodes at least
+    // one quad and the entry is always valid for conforming tables.
+    std::vector<uint64_t> tab;  // 1024
 };
-static FastC1 g_fastc1[2];
+static FastQ g_fastq[2];
 static bool g_init = false;
 
-static void build_fast(FastLut* f, const HuffSpec& s) {
-    if (s.linbits || s.n == 0) return;  // escape tables keep the slow path
+// MSB-first reader over a left-aligned bit pattern, zero-padded past
+// `avail` bits — mirrors BitCur for LUT-build simulation. Decodes that
+// consume more than `avail` bits are rejected by the caller via used.
+struct SimReader {
+    uint64_t acc;
+    int used = 0;
+    explicit SimReader(uint32_t pat, int width) {
+        acc = uint64_t(pat) << (64 - width);
+    }
+    uint32_t peek(int n) const { return uint32_t((acc << used) >> (64 - n)); }
+    uint32_t read(int n) {
+        if (!n) return 0;
+        uint32_t v = peek(n);
+        used += n;
+        return v;
+    }
+    uint32_t read1() { return read(1); }
+    void skip(int n) { used += n; }
+};
+
+// Simulate one big_values pair decode (slow-path semantics exactly):
+// returns bits consumed, or -1 if the decode needs bits past `avail`
+// or hits an invalid/absent code. Values returned pre-signed.
+static int sim_pair(const HuffLut& lut, SimReader& r, int avail,
+                    int* vx, int* vy) {
+    uint16_t e = lut.root[r.peek(HuffLut::ROOT_BITS)];
+    if (e & 0x8000) {
+        uint32_t sub = (e & 0x7FFF) * 512;
+        uint32_t more = r.peek(HuffLut::ROOT_BITS + HuffLut::SUB_BITS) &
+                        ((1u << HuffLut::SUB_BITS) - 1);
+        e = lut.subs[sub + more];
+    }
+    if (!e) return -1;  // invalid code: keep the slow path's semantics
+    r.skip(e >> 8);
+    int x = (e >> 4) & 15, y = e & 15;
+    if (x == 15 && lut.linbits) x += int(r.read(lut.linbits));
+    if (x && r.read1()) x = -x;
+    if (y == 15 && lut.linbits) y += int(r.read(lut.linbits));
+    if (y && r.read1()) y = -y;
+    if (r.used > avail) return -1;
+    *vx = x;
+    *vy = y;
+    return r.used;
+}
+
+static void build_fast2(Fast2* f, const HuffLut& lut) {
     f->tab.assign(4096, 0);
-    for (int i = 0; i < s.n; i++) {
-        int l = s.lens[i];
-        if (!l) continue;
-        int x = i / s.ylen, y = i % s.ylen;
-        for (int sxb = 0; sxb < (x ? 2 : 1); sxb++)
-            for (int syb = 0; syb < (y ? 2 : 1); syb++) {
-                int total = l + (x ? 1 : 0) + (y ? 1 : 0);
-                if (total > 12) continue;
-                uint32_t pat = s.codes[i];
-                if (x) pat = (pat << 1) | sxb;
-                if (y) pat = (pat << 1) | syb;
-                int sx = sxb ? -x : x, sy = syb ? -y : y;
-                uint32_t entry = 0x80000000u | (uint32_t(total) << 24) |
-                                 (uint32_t(uint8_t(sx + 64)) << 8) |
-                                 uint32_t(uint8_t(sy + 64));
-                uint32_t lo = pat << (12 - total);
-                for (uint32_t k = 0; k < (1u << (12 - total)); k++)
-                    f->tab[lo + k] = entry;
-            }
+    for (uint32_t pat = 0; pat < 4096; pat++) {
+        SimReader r(pat, 12);
+        int x0, y0;
+        int b1 = sim_pair(lut, r, 12, &x0, &y0);
+        // int8 payload: |v| > 127 stays on the slow path (which also
+        // owns the has_big/has_escape tracking for such values)
+        if (b1 < 0 || x0 < -127 || x0 > 127 || y0 < -127 || y0 > 127)
+            continue;
+        int x1, y1;
+        int btot = sim_pair(lut, r, 12, &x1, &y1);
+        bool two = btot >= 0 && x0 >= -15 && x0 <= 15 && y0 >= -15 &&
+                   y0 <= 15 && x1 >= -15 && x1 <= 15 && y1 >= -15 && y1 <= 15;
+        uint32_t e;
+        if (two) {
+            e = 0x80000000u | 0x40000000u | (uint32_t(btot) << 26) |
+                (uint32_t(b1) << 22) |
+                (uint32_t(y1 + 15) << 15) | (uint32_t(x1 + 15) << 10) |
+                (uint32_t(y0 + 15) << 5) | uint32_t(x0 + 15);
+        } else {
+            e = 0x80000000u | (uint32_t(b1) << 26) | (uint32_t(b1) << 22) |
+                (uint32_t(uint8_t(int8_t(y0))) << 8) |
+                uint32_t(uint8_t(int8_t(x0)));
+        }
+        f->tab[pat] = e;
     }
 }
 
-static void build_fastc1(FastC1* f, const uint8_t* lens, const uint32_t* codes) {
+// Simulate one count1 quad (slow-path semantics): returns bits
+// consumed so far, or -1 past-avail/invalid. vals[4] in {-1,0,1}.
+static int sim_quad(const HuffLut& c1, SimReader& r, int avail,
+                    int16_t* vals) {
+    uint16_t e = c1.root[r.peek(HuffLut::ROOT_BITS)];
+    if (!e) return -1;
+    r.skip(e >> 8);
+    int quad = e & 0xFF;
+    for (int j = 0; j < 4; j++) {
+        int v = (quad >> (3 - j)) & 1;
+        if (v && r.read1()) v = -1;
+        vals[j] = int16_t(v);
+    }
+    if (r.used > avail) return -1;
+    return r.used;
+}
+
+static void build_fastq(FastQ* f, const HuffLut& c1) {
     f->tab.assign(1024, 0);
-    for (int i = 0; i < 16; i++) {
-        int l = lens[i];
-        int nset = ((i >> 3) & 1) + ((i >> 2) & 1) + ((i >> 1) & 1) + (i & 1);
-        for (int sgn = 0; sgn < (1 << nset); sgn++) {
-            int total = l + nset;
-            if (total > 10) continue;
-            uint32_t pat = codes[i];
-            int vals[4];
-            int sbit = nset - 1;
-            for (int j = 0; j < 4; j++) {
-                int v = (i >> (3 - j)) & 1;
-                if (v) {
-                    int neg = (sgn >> sbit) & 1;
-                    sbit--;
-                    pat = (pat << 1) | neg;
-                    vals[j] = neg ? -1 : 1;
-                } else {
-                    vals[j] = 0;
-                }
+    for (uint32_t pat = 0; pat < 1024; pat++) {
+        SimReader r(pat, 10);
+        uint32_t vals = 0;
+        int nq = 0, btot = 0, b1 = 0;
+        while (nq < 4) {
+            int16_t q[4];
+            SimReader save = r;
+            int b = sim_quad(c1, r, 10, q);
+            if (b < 0) {
+                r = save;
+                break;
             }
-            uint32_t entry = 0x80000000u | (uint32_t(total) << 24);
             for (int j = 0; j < 4; j++)
-                entry |= uint32_t(vals[j] + 1) << (2 * j);
-            uint32_t lo = pat << (10 - total);
-            for (uint32_t k = 0; k < (1u << (10 - total)); k++)
-                f->tab[lo + k] = entry;
+                vals |= uint32_t(q[j] + 1) << (2 * (nq * 4 + j));
+            btot = b;
+            if (nq == 0) b1 = b;
+            nq++;
         }
+        // fields past 4*nq get v+1 = 1 (value 0, the rzero tail)
+        for (int j = nq * 4; j < 16; j++) vals |= 1u << (2 * j);
+        if (nq > 0)
+            f->tab[pat] = (1ull << 63) | (uint64_t(btot) << 56) |
+                          (uint64_t(b1) << 52) | (uint64_t(nq) << 48) |
+                          uint64_t(vals);
     }
 }
+
+static void init_crc_tab();
 
 static void ensure_init() {
     if (g_init) return;
@@ -291,13 +417,14 @@ static void ensure_init() {
         const HuffSpec& s = HUFF_SPECS[t];
         if (s.n) {
             g_luts[t].build(s.lens, s.codes, s.n, s.ylen, s.linbits);
-            build_fast(&g_fast[t], s);
+            build_fast2(&g_fast2[t], g_luts[t]);
         }
     }
     g_c1[0].build(COUNT1A_LENS, COUNT1A_CODES, 16, 16, 0);
     g_c1[1].build(COUNT1B_LENS, COUNT1B_CODES, 16, 16, 0);
-    build_fastc1(&g_fastc1[0], COUNT1A_LENS, COUNT1A_CODES);
-    build_fastc1(&g_fastc1[1], COUNT1B_LENS, COUNT1B_CODES);
+    build_fastq(&g_fastq[0], g_c1[0]);
+    build_fastq(&g_fastq[1], g_c1[1]);
+    init_crc_tab();
     g_init = true;
 }
 
@@ -412,14 +539,23 @@ static void parse_side_info(BitReader& r, const Header& h, SideInfo* si) {
         }
 }
 
+static uint16_t g_crc_tab[256];
+static void init_crc_tab() {
+    for (uint32_t b = 0; b < 256; b++) {
+        uint32_t crc = b << 8;
+        for (int i = 0; i < 8; i++)
+            crc = (crc & 0x8000) ? ((crc << 1) ^ 0x8005) & 0xFFFF
+                                 : (crc << 1) & 0xFFFF;
+        g_crc_tab[b] = uint16_t(crc);
+    }
+}
+
 static bool check_crc(const uint8_t* d, size_t off, const Header& h) {
     if (!h.crc) return true;
     uint32_t stored = (uint32_t(d[off + 4]) << 8) | d[off + 5];
     uint32_t crc = 0xFFFF;
     auto feed = [&](uint8_t b) {
-        crc ^= uint32_t(b) << 8;
-        for (int i = 0; i < 8; i++)
-            crc = (crc & 0x8000) ? ((crc << 1) ^ 0x8005) & 0xFFFF : (crc << 1) & 0xFFFF;
+        crc = ((crc << 8) ^ g_crc_tab[((crc >> 8) ^ b) & 0xFF]) & 0xFFFF;
     };
     feed(d[off + 2]);
     feed(d[off + 3]);
@@ -584,8 +720,10 @@ struct BandMaps {
 // -------------------------------------------------------------- spectrum
 
 struct DecodeResult {
-    // int16 is exact: |value| <= 15 + 2^13 - 1 = 8206 (escape maximum)
-    int16_t spec[580];
+    // int16 is exact: |value| <= 15 + 2^13 - 1 = 8206 (escape maximum).
+    // 592: the multi-quad fast path stores 16 values unconditionally
+    // from pos <= 572 (tail slots are the zero rzero value).
+    int16_t spec[592];
     int lines_used;
     bool overrun = false;
     bool has_escape = false;  // any |value| > 2047 (12-bit plane escape)
@@ -593,19 +731,45 @@ struct DecodeResult {
     int32_t slack;
 };
 
-static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
-                            int part3, DecodeResult* out) {
-    (void)lsf;  // region boundaries are sr-table-driven for both variants
+// Resumable per-channel spectrum decode state. decode_spectrum runs it
+// to completion for one channel; decode_spectrum_pair INTERLEAVES two
+// independent channels' state machines in one loop so their serial
+// peek->LUT->skip dependency chains overlap in the out-of-order core
+// (the zstd-style two-stream Huffman trick — the bit windows of a
+// granule's two channels are known from side info before decoding).
+struct SpecCtx {
+    BitCur cur;
+    DecodeResult* out;
+    GranuleBits* br;
+    int64_t limit;
+    size_t end_pos;
+    int pos = 0;
+    int bv2;
+    int reg = -1;  // current big_values region; -1 = before the first
+    int lim = 0;   // current region's line limit
+    int phase = 0; // 0 = big_values, 1 = count1, 2 = done
+    int region_lim[3];
+    int region_tid[3];
+    const HuffLut* lut = nullptr;
+    const uint32_t* f2 = nullptr;
+    const HuffLut* c1;
+    const FastQ* fq;
+};
+
+static void init_spec(SpecCtx& s, GranuleBits& br, const GranSI& g, int sr9,
+                      int part3, DecodeResult* out) {
     memset(out->spec, 0, sizeof(out->spec));
     out->overrun = false;
-    size_t end_pos = br.pos + part3;
-    BitCur cur;
-    cur.init(br);
-    const int64_t limit = part3;
+    s.out = out;
+    s.br = &br;
+    s.end_pos = br.pos + size_t(part3);
+    s.cur.init(br);
+    s.limit = part3;
     const int16_t* L = SFB_LONG + sr9 * 23;
     const int16_t* S = SFB_SHORT + sr9 * 14;
     int bv2 = g.big_values * 2;
     if (bv2 > 576) bv2 = 576;
+    s.bv2 = bv2;
     int r1, r2;
     if (g.window_switching) {
         r1 = (g.block_type == 2 && !g.mixed) ? 3 * S[3] : L[8];
@@ -618,92 +782,212 @@ static void decode_spectrum(GranuleBits& br, const GranSI& g, int sr9, bool lsf,
     }
     if (r1 > bv2) r1 = bv2;
     if (r2 > bv2) r2 = bv2;
+    s.region_lim[0] = r1;
+    s.region_lim[1] = r2;
+    s.region_lim[2] = bv2;
+    s.region_tid[0] = g.table_select[0];
+    s.region_tid[1] = g.table_select[1];
+    s.region_tid[2] = g.table_select[2];
+    s.pos = 0;
+    s.reg = -1;
+    s.lim = 0;
+    s.phase = 0;
+    s.c1 = &g_c1[g.count1table_select];
+    s.fq = &g_fastq[g.count1table_select];
+}
 
-    int pos = 0;
-    // three region sub-loops with the table lookup hoisted (the
-    // per-symbol work is just LUT index + store)
-    const int region_lim[3] = {r1, r2, bv2};
-    const int region_tid[3] = {g.table_select[0], g.table_select[1],
-                               g.table_select[2]};
-    for (int reg = 0; reg < 3 && pos < bv2; reg++) {
-        int lim = region_lim[reg];
-        if (lim <= pos) continue;
-        int tid = region_tid[reg];
-        // table 0 = all-zero; ids 4/14 are unused in the spec — corrupt
-        // streams selecting them decode as zeros (and consume no bits;
-        // the per-pair end check still applies, matching the Python
-        // unpacker's overrun flagging bit-for-bit)
-        if (tid == 0 || g_luts[tid].root.empty()) {
-            if (cur.used >= limit) { out->overrun = true; goto bigvalues_done; }
-            pos = lim;
-            continue;
-        }
-        const HuffLut& lut = g_luts[tid];
-        const uint32_t* ftab =
-            g_fast[tid].tab.empty() ? nullptr : g_fast[tid].tab.data();
-        while (pos < lim) {
-            // corrupt streams: big_values may claim more symbols than
-            // part2_3_length holds — stop at the granule bit boundary
-            if (cur.used >= limit) { out->overrun = true; goto bigvalues_done; }
-            if (ftab) {
-                uint32_t fe = ftab[cur.peek(12)];
-                if (fe & 0x80000000u) {  // code+signs fused in one lookup
-                    cur.skip(int((fe >> 24) & 31));
-                    out->spec[pos] = int(uint8_t(fe >> 8)) - 64;
-                    out->spec[pos + 1] = int(uint8_t(fe)) - 64;
-                    pos += 2;
+// One decode step: a big_values symbol (or region transition) or a
+// count1 step. Returns false once the channel is done. Semantics are
+// the original single-channel loops', statement for statement.
+static inline __attribute__((always_inline)) bool spec_step(SpecCtx& s) {
+    DecodeResult* out = s.out;
+    BitCur& cur = s.cur;
+    if (s.phase == 0) {
+        if (s.pos >= s.lim) {
+            // advance to the next live region (one cheap step)
+            for (;;) {
+                s.reg++;
+                if (s.reg >= 3 || s.pos >= s.bv2) { s.phase = 1; return true; }
+                s.lim = s.region_lim[s.reg];
+                if (s.lim <= s.pos) continue;
+                int tid = s.region_tid[s.reg];
+                // table 0 = all-zero; ids 4/14 are unused in the spec —
+                // corrupt streams selecting them decode as zeros (and
+                // consume no bits; the per-region end check still
+                // applies, matching the Python unpacker bit-for-bit)
+                if (tid == 0 || g_luts[tid].root.empty()) {
+                    if (cur.used() >= s.limit) {
+                        out->overrun = true;
+                        s.phase = 1;
+                        return true;
+                    }
+                    s.pos = s.lim;
                     continue;
                 }
+                s.lut = &g_luts[tid];
+                s.f2 = g_fast2[tid].tab.empty() ? nullptr
+                                                : g_fast2[tid].tab.data();
+                return true;
             }
-            uint16_t e = lut.decode(cur);
-            int x = (e >> 4) & 15, y = e & 15;
-            if (x == 15 && lut.linbits) x += cur.read(lut.linbits);
-            if (x && cur.read1()) x = -x;
-            if (y == 15 && lut.linbits) y += cur.read(lut.linbits);
-            if (y && cur.read1()) y = -y;
-            if (x > 127 || x < -127 || y > 127 || y < -127) {
-                out->has_big = true;
-                if (x > 2047 || x < -2047 || y > 2047 || y < -2047)
-                    out->has_escape = true;
-            }
-            out->spec[pos] = int16_t(x);
-            out->spec[pos + 1] = int16_t(y);
-            pos += 2;
         }
+        // corrupt streams: big_values may claim more symbols than
+        // part2_3_length holds — stop at the granule bit boundary
+        if (cur.used() >= s.limit) {
+            out->overrun = true;
+            s.phase = 1;
+            return true;
+        }
+        PROF_PAIR(s.region_tid[s.reg]);
+        if (s.f2) {
+            uint32_t fe = s.f2[cur.peek(12)];
+            if (int32_t(fe) < 0) {  // valid1: pair fused in one lookup
+                PROF_FASTHIT(s.region_tid[s.reg]);
+                // Predicated emit — entry kind (one- vs two-pair) is
+                // data-dependent and mispredicts badly as a branch.
+                // Two pairs only when both fit the region AND the
+                // granule bit budget (so the per-pair overrun check
+                // between them could not have fired). spec[pos+2/3]
+                // always written: zeros there are the correct rzero
+                // value if the loop ends, else overwritten.
+                bool two = (fe >> 30) & 1;
+                int btot = int((fe >> 26) & 15);
+                bool ok = two && s.pos + 4 <= s.lim &&
+                          cur.used() + btot <= s.limit;
+                int x0 = two ? int(fe & 31) - 15 : int(int8_t(fe));
+                int y0 = two ? int((fe >> 5) & 31) - 15 : int(int8_t(fe >> 8));
+                int x1 = ok ? int((fe >> 10) & 31) - 15 : 0;
+                int y1 = ok ? int((fe >> 15) & 31) - 15 : 0;
+                out->spec[s.pos] = int16_t(x0);
+                out->spec[s.pos + 1] = int16_t(y0);
+                out->spec[s.pos + 2] = int16_t(x1);
+                out->spec[s.pos + 3] = int16_t(y1);
+                cur.skip(ok ? btot : int((fe >> 22) & 15));
+                s.pos += 2 + 2 * int(ok);
+                return true;
+            }
+        }
+        const HuffLut& lut = *s.lut;
+        uint16_t e = lut.decode(cur);
+        int x = (e >> 4) & 15, y = e & 15;
+        if (x == 15 && lut.linbits) x += cur.read(lut.linbits);
+        if (x && cur.read1()) x = -x;
+        if (y == 15 && lut.linbits) y += cur.read(lut.linbits);
+        if (y && cur.read1()) y = -y;
+        if (x > 127 || x < -127 || y > 127 || y < -127) {
+            out->has_big = true;
+            if (x > 2047 || x < -2047 || y > 2047 || y < -2047)
+                out->has_escape = true;
+        }
+        out->spec[s.pos] = int16_t(x);
+        out->spec[s.pos + 1] = int16_t(y);
+        s.pos += 2;
+        return true;
     }
-bigvalues_done:;
-    const HuffLut& c1 = g_c1[g.count1table_select];
-    const FastC1& fc1 = g_fastc1[g.count1table_select];
-    while (cur.used < limit && pos <= 572) {
-        uint32_t fe = fc1.tab[cur.peek(10)];
-        if (fe & 0x80000000u) {
-            cur.skip(int((fe >> 24) & 15));
-            out->spec[pos + 0] = int((fe >> 0) & 3) - 1;
-            out->spec[pos + 1] = int((fe >> 2) & 3) - 1;
-            out->spec[pos + 2] = int((fe >> 4) & 3) - 1;
-            out->spec[pos + 3] = int((fe >> 6) & 3) - 1;
-            pos += 4;
-            continue;
+    if (s.phase == 1) {
+        if (!(cur.used() < s.limit && s.pos <= 572)) {
+            s.phase = 2;
+            return false;
         }
-        uint16_t e = c1.decode(cur);
+        PROF_PAIR(32);
+        uint64_t e64 = s.fq->tab[cur.peek(10)];
+        if (int64_t(e64) < 0) {
+            PROF_FASTHIT(32);
+            int nq = int((e64 >> 48) & 15);
+            int btot = int((e64 >> 56) & 63);
+            uint32_t vals = uint32_t(e64);
+            // multi-quad: up to 4 quads from one 10-bit peek, valid
+            // only when every quad start stays inside both the line
+            // region and the bit budget (so the per-quad loop checks
+            // could not have fired between them)
+            if (nq > 1 && cur.used() + btot <= s.limit &&
+                s.pos + 4 * nq <= 576) {
+#if defined(__BMI2__) && defined(__AVX2__)
+                // expand 16 2-bit fields -> 16 int16 (v+1 values; the
+                // tail past 4*nq holds 1 = rzero zero, safe to store)
+                const uint64_t M = 0x0003000300030003ull;
+                __m256i x = _mm256_set_epi64x(
+                    int64_t(_pdep_u64(vals >> 24, M)),
+                    int64_t(_pdep_u64((vals >> 16) & 0xFF, M)),
+                    int64_t(_pdep_u64((vals >> 8) & 0xFF, M)),
+                    int64_t(_pdep_u64(vals & 0xFF, M)));
+                _mm256_storeu_si256(
+                    reinterpret_cast<__m256i*>(out->spec + s.pos),
+                    _mm256_sub_epi16(x, _mm256_set1_epi16(1)));
+#else
+                for (int j = 0; j < 16; j++)
+                    out->spec[s.pos + j] =
+                        int16_t(int((vals >> (2 * j)) & 3) - 1);
+#endif
+                cur.skip(btot);
+                s.pos += 4 * nq;
+                return true;
+            }
+            // single quad (reference semantics: decoded even if it
+            // overruns the bit budget; the partial-quad discard in
+            // finish_spec zeroes it again in that case)
+            cur.skip(int((e64 >> 52) & 15));
+            out->spec[s.pos + 0] = int16_t(int(vals & 3) - 1);
+            out->spec[s.pos + 1] = int16_t(int((vals >> 2) & 3) - 1);
+            out->spec[s.pos + 2] = int16_t(int((vals >> 4) & 3) - 1);
+            out->spec[s.pos + 3] = int16_t(int((vals >> 6) & 3) - 1);
+            s.pos += 4;
+            return true;
+        }
+        uint16_t e = s.c1->decode(cur);
         int quad = e & 0xFF;
         for (int j = 0; j < 4; j++) {
             int v = (quad >> (3 - j)) & 1;
             if (v && cur.read1()) v = -1;
-            out->spec[pos + j] = v;
+            out->spec[s.pos + j] = v;
         }
-        pos += 4;
+        s.pos += 4;
+        return true;
     }
-    bool c1_overrun = cur.used > limit;
+    return false;
+}
+
+static void finish_spec(SpecCtx& s) {
+    DecodeResult* out = s.out;
+    bool c1_overrun = s.cur.used() > s.limit;
     out->overrun = out->overrun || c1_overrun;
-    out->slack = int32_t(limit - cur.used);
+    out->slack = int32_t(s.limit - s.cur.used());
+    int pos = s.pos;
     if (c1_overrun && pos >= 4) {
         // partial last count1 quadruple: discard it [common practice]
         for (int j = pos - 4; j < pos; j++) out->spec[j] = 0;
         pos -= 4;
     }
     out->lines_used = pos < 0 ? 0 : (pos < 576 ? pos : 576);
-    br.pos = end_pos;
+    s.br->pos = s.end_pos;
+}
+
+// Run one already-initialized channel to completion (mono frames,
+// or a granule where only one channel parsed cleanly).
+static void run_spec(SpecCtx& s) {
+    PROF_DECL;
+    while (spec_step(s)) {
+    }
+    PROF_ACC(4);
+    finish_spec(s);
+    PROF_ACC(5);
+}
+
+// Interleaved two-channel decode: one loop steps both state machines so
+// the independent bit-cursor/LUT dependency chains overlap (~1.5x the
+// single-stream symbol rate on the 1-core bench host). Outputs are
+// bit-identical to two sequential decode_spectrum calls by
+// construction — spec_step IS the single-channel step.
+static void decode_spectrum_pair(SpecCtx& a, SpecCtx& b) {
+    PROF_DECL;
+    for (;;) {
+        bool ra = spec_step(a);
+        bool rb = spec_step(b);
+        if (!(ra | rb)) break;
+    }
+    PROF_ACC(4);
+    finish_spec(a);
+    finish_spec(b);
+    PROF_ACC(5);
 }
 
 // --------------------------------------------------------------- stereo
@@ -854,7 +1138,7 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
 
     Scf prev_sf[2];
     bool have_prev[2] = {false, false};
-    GranuleBits br;  // reused across granules
+    GranuleBits br_ch[2];  // one per channel, reused across granules
     int16_t local_spec[2][576];  // int16 plane when is_out == nullptr
 
     auto row = [&](int g) -> size_t {  // window-major batch row index
@@ -864,6 +1148,7 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
     };
 
     for (size_t fi = size_t(f0); fi < size_t(f1); fi++) {
+        PROF_DECL;
         size_t off = sc.offsets[fi];
         const Header& h = sc.headers[fi];
         size_t si_start = off + 4 + (h.crc ? 2 : 0);
@@ -880,6 +1165,7 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
         bool underflow = frame_data_start == SIZE_MAX;
         reservoir.insert(reservoir.end(), data + main_start, data + main_start + main_len);
         size_t bitpos = underflow ? 0 : frame_data_start * 8;
+        PROF_ACC(1);
 
         for (int gr = 0; gr < ngr; gr++) {
             int gidx = int(fi) * ngr + gr;
@@ -896,13 +1182,18 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                 continue;
             }
             Scf sf_pair[2];
+            DecodeResult dr_pair[2];
+            SpecCtx sctx[2];
+            bool active[2] = {false, false};
             for (int ch = 0; ch < nch; ch++) {
                 const GranSI& g = si.gr[gr][ch];
                 bt_out[gr_row * 2 + ch] = int8_t(g.block_type);
                 mixed_out[gr_row * 2 + ch] = uint8_t(g.mixed);
+                GranuleBits& br = br_ch[ch];
                 br.init(reservoir.data(), reservoir.size(), bitpos,
                         size_t(g.part2_3_length));
                 bitpos += g.part2_3_length;
+                PROF_ACC(2);
                 Scf& sf = sf_pair[ch];
                 if (lsf) {
                     bool int_ch = (h.mode == 1 && (h.mode_ext & 1)) && ch == 1;
@@ -912,10 +1203,26 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                                    have_prev[ch] ? &prev_sf[ch] : nullptr, gr, &sf);
                     if (gr == 0) { prev_sf[ch] = sf; have_prev[ch] = true; }
                 }
+                PROF_ACC(3);
                 int part3 = g.part2_3_length - sf.part2_bits;
                 if (part3 < 0) { err_out[gl] |= 8; continue; }
-                DecodeResult dr;
-                decode_spectrum(br, g, sr9, lsf, part3, &dr);
+                init_spec(sctx[ch], br, g, sr9, part3, &dr_pair[ch]);
+                active[ch] = true;
+            }
+            // decode: both channels interleaved when possible (their
+            // serial Huffman chains overlap in the OoO core)
+            if (active[0] && active[1]) {
+                decode_spectrum_pair(sctx[0], sctx[1]);
+            } else {
+                for (int ch = 0; ch < nch; ch++)
+                    if (active[ch]) run_spec(sctx[ch]);
+            }
+            PROF_ACC(15);  // scratch: spec total incl. call overhead
+            for (int ch = 0; ch < nch; ch++) {
+                if (!active[ch]) continue;
+                const GranSI& g = si.gr[gr][ch];
+                Scf& sf = sf_pair[ch];
+                DecodeResult& dr = dr_pair[ch];
                 slack_out[gl * 2 + ch] = dr.slack;
                 lines_out[gl * 2 + ch] = dr.lines_used;
                 if (dr.overrun) err_out[gl] |= 2;
@@ -927,6 +1234,7 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                                       : local_spec[ch];
                 memcpy(dst, dr.spec, size_t(lines) * 2);
                 memset(dst + lines, 0, size_t(576 - lines) * 2);
+                PROF_ACC(15);
                 if (is12_out && plane_bits == 4) {
                     // 4-bit plane (288 B/gc): two lines per byte, nibble
                     // = value+7 for [-7,7], 15 = escape. The sideband is
@@ -945,6 +1253,60 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                     memset(esc, 0, 80);
                     int ne = 0, nbig = 0;
                     int pairs2 = (lines + 1) & ~1;
+#ifdef MP3TPU_AVX512_PACK
+                    // AVX-512 pack: all 9 64-line chunks unconditionally
+                    // (the zero tail encodes to 0x77, exactly what the
+                    // scalar path memsets). Escapes are pulled out in
+                    // line order by masked compress-stores.
+                    (void)pairs2;
+                    const __m512i k7 = _mm512_set1_epi16(7);
+                    const __m512i k15 = _mm512_set1_epi16(15);
+                    const __m512i kff = _mm512_set1_epi32(0xFF);
+                    for (int c0 = 0; c0 < 576; c0 += 64) {
+                        __m512i v0 = _mm512_loadu_si512(dst + c0);
+                        __m512i v1 = _mm512_loadu_si512(dst + c0 + 32);
+                        __mmask32 e0 =
+                            _mm512_cmpgt_epi16_mask(_mm512_abs_epi16(v0), k7);
+                        __mmask32 e1 =
+                            _mm512_cmpgt_epi16_mask(_mm512_abs_epi16(v1), k7);
+                        __m512i n0 = _mm512_mask_blend_epi16(
+                            e0, _mm512_add_epi16(v0, k7), k15);
+                        __m512i n1 = _mm512_mask_blend_epi16(
+                            e1, _mm512_add_epi16(v1, k7), k15);
+                        // epi32 lane = lo16 | hi16<<16, both in [0,15]:
+                        // byte = lo | hi<<4 = (x | x>>12) & 0xFF
+                        __m512i b0 = _mm512_and_si512(
+                            _mm512_or_si512(n0, _mm512_srli_epi32(n0, 12)), kff);
+                        __m512i b1 = _mm512_and_si512(
+                            _mm512_or_si512(n1, _mm512_srli_epi32(n1, 12)), kff);
+                        _mm_storeu_si128(
+                            reinterpret_cast<__m128i*>(p4 + (c0 >> 1)),
+                            _mm512_cvtepi32_epi8(b0));
+                        _mm_storeu_si128(
+                            reinterpret_cast<__m128i*>(p4 + (c0 >> 1) + 16),
+                            _mm512_cvtepi32_epi8(b1));
+                        if (e0 | e1) {
+                            alignas(64) int16_t tmp[64];
+                            _mm512_mask_compressstoreu_epi16(tmp, e0, v0);
+                            int k0 = __builtin_popcount(e0);
+                            _mm512_mask_compressstoreu_epi16(tmp + k0, e1, v1);
+                            int k = k0 + __builtin_popcount(e1);
+                            for (int t = 0; t < k; t++) {
+                                int v = tmp[t];
+                                if (ne >= 64) return -2;
+                                if (v >= -127 && v <= 127) {
+                                    esc[ne++] = int8_t(v);
+                                } else {
+                                    if (nbig >= 8) return -2;
+                                    esc[ne++] = -128;
+                                    esc[64 + nbig] = int8_t(uint8_t(v & 255));
+                                    esc[72 + nbig] = int8_t(v >> 8);
+                                    nbig++;
+                                }
+                            }
+                        }
+                    }
+#else
                     // 64-line chunks: escape-free chunks (most of the
                     // spectrum above the low bands) take a branchless
                     // pack the compiler vectorizes
@@ -987,6 +1349,7 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                     // zero tail decodes as nibble 0 -> value -7 on a
                     // naive read; memset the encoded zero (0x77) instead
                     memset(p4 + (pairs2 >> 1), 0x77, size_t(288 - (pairs2 >> 1)));
+#endif
                 } else if (is12_out && plane_bits == 8) {
                     // 8-bit signed plane (576 B/gc): values in [-127,127]
                     // stored directly, larger carried in the escape
@@ -1047,6 +1410,7 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                     }
                     memset(p12 + pairs * 3, 0, size_t(864 - pairs * 3));
                 }
+                PROF_ACC(6);
                 // band exponents
                 int gg = g.global_gain - 210;
                 int shift = 2 * (g.scalefac_scale + 1);
@@ -1083,6 +1447,7 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                             eo[22 + w * 13 + b] =
                                 int16_t(gg - 8 * g.subblock_gain[w] - shift * sf.short_sf[b][w]);
                 }
+                PROF_ACC(7);
             }
             if (nch == 2) {
                 const GranSI& g1 = si.gr[gr][1];
@@ -1099,6 +1464,7 @@ static int unpack_range(const uint8_t* data, const Scan& sc,
                         if (spec1[i]) nzb[bmaps.map[fl][i]] = true;
                 }
                 stereo_modes(h, sf_pair[1], nzb, lsf, smode_out + gr_row * 64);
+                PROF_ACC(8);
             }
         }
         // trim reservoir
@@ -1123,8 +1489,10 @@ int mp3tpu_unpack(const uint8_t* data, int64_t len,
                   int32_t stream_idx, int32_t n_streams, int32_t win,
                   uint8_t* is12_out, int16_t* esc_out, int32_t plane_bits) {
     ensure_init();
+    PROF_DECL;
     Scan sc;
     if (!scan_frames(data, size_t(len), &sc)) return -1;
+    PROF_ACC(0);
     std::vector<uint8_t> reservoir;
     reservoir.reserve(size_t(len) < 65536 ? size_t(len) : 65536);
     return unpack_range(data, sc, 0, int(sc.offsets.size()), 0, reservoir,
