@@ -19,6 +19,10 @@ class DecodeConfig:
     gapless: bool = True
     window_granules: int = 32      # canonical device window (determinism)
     use_native: bool = True        # C++ host fast path (fallback: Python)
+    batch_chunk_streams: int = 64  # streams per fixed-shape batch step
+    batch_max_mb: int = 512        # host staging cap per chunk; longer
+    #                                chunks stream via the scheduler path
+    plane_bits: int = 4            # initial packed spectrum plane (4/8/12)
 
 
 @dataclass(frozen=True)

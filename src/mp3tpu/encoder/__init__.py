@@ -371,24 +371,6 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                     p23[sm] += 18 * (vloop._SLEN1[sfc] + vloop._SLEN2[sfc])
             return p23, tsel, c1t
 
-        def simulate(p23):
-            """Replay ReservoirMux arithmetic exactly: reservoir before
-            each frame given per-gc part2_3 bit counts."""
-            res = np.zeros(n_frames, np.int64)
-            stream_bits = 0
-            placed_bytes = 0
-            fsum = p23.reshape(n_frames, 2 * nch).sum(1)
-            for f in range(n_frames):
-                res[f] = placed_bytes * 8 - stream_bits
-                stream_bits += int(fsum[f])
-                stream_bits = (stream_bits + 7) & ~7     # byte align
-                placed_bytes += int(cap_f[f]) // 8
-                excess = (placed_bytes - stream_bits // 8
-                          - ReservoirMux.MAX_BACK)
-                if excess > 0:
-                    stream_bits += excess * 8
-            return res
-
         if mux is not None:
             granted = np.empty(n_frames, np.int64)
             res_lb = 0

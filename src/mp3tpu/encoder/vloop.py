@@ -137,7 +137,10 @@ def outer_rows(xr: np.ndarray, xmin: np.ndarray, budget_bits: np.ndarray,
         budget = budget[~neg]
         ix, gg = inner_rate_rows(xr[act] * amp[act], budget,
                                  sample_rate, 0, lo=gg_lo[act])
-        gg_lo[act] = np.maximum(gg_lo[act], gg)
+        # mirror the scalar loop exactly (gg_lo = gg, not max): after an
+        # inner-loop no-fit (gg=210) the scalar bound RESETS, and a later
+        # iteration may legitimately fit below the stale bound
+        gg_lo[act] = gg
         best_ix[act] = ix
         best_gg[act] = gg
         best_sf[act] = sf[act]
@@ -211,7 +214,9 @@ def outer_rows_short(xr: np.ndarray, xmin: np.ndarray,
         amp = 2.0 ** (q[:, wline, sline] / 4.0)             # [A,576]
         ix, gg = inner_rate_rows(xr[act] * amp, budget,
                                  sample_rate, 2, lo=gg_lo[act])
-        gg_lo[act] = np.maximum(gg_lo[act], gg)
+        # mirror the scalar loop exactly (gg_lo = gg, not max) — see
+        # outer_rows
+        gg_lo[act] = gg
         best_ix[act] = ix
         best_gg[act] = gg
         best_sf[act] = sf[act]

@@ -157,10 +157,6 @@ def decode_files(paths, gapless: bool = True):
     return decode_batch_streams(datas, gapless=gapless)
 
 
-_FAST_CHUNK = 64    # streams per fixed-shape device batch
-_FAST_WIN = 32      # granules per device window
-
-
 def _decode_files_fast(datas, gapless: bool):
     """Throughput path for decode_files (SURVEY.md §3.2, the structure
     bench.py measures): C++ unpacks every stream's granules directly
@@ -168,11 +164,18 @@ def _decode_files_fast(datas, gapless: bool):
     two-level escape sideband + byte exponents, with the widening
     fallback chain), each [S, win] window stages as one small async
     device_put (tunnel-friendly) and decodes with the fixed-shape
-    packed jit. Returns None when any input needs the general path."""
+    packed jit. Chunk size, device window and initial plane width come
+    from the active Config (SURVEY.md §5.6). Streams are length-sorted
+    before chunking so one long file cannot inflate a whole chunk's
+    padding; chunks whose staging buffers would exceed batch_max_mb
+    stream through the scheduler path instead (masked elastic batch).
+    Returns None when any input needs the general path."""
     from .bitstream import native as nat
     import ctypes
     import jax.numpy as jnp
-    if not nat.available():
+    from .config import get_active
+    cfg = get_active().decode
+    if not cfg.use_native or not nat.available():
         return None
     lib = nat._load()
     try:
@@ -203,34 +206,51 @@ def _decode_files_fast(datas, gapless: bool):
     except Exception:
         return None
 
+    # probe granule counts up front (cheap) for length-sorted chunking
+    meta4 = (ctypes.c_int32 * 4)()
+    G_all = []
+    for m in metas:
+        g = lib.mp3tpu_probe(m[0], len(m[0]), meta4)
+        if g <= 0:
+            return None
+        G_all.append(g)
+
     out: list = [None] * len(datas)
+    slow: list = []
     rates = sorted({m[2] for m in metas})
     for rate in rates:
-        idxs = [i for i, m in enumerate(metas) if m[2] == rate]
-        for c0 in range(0, len(idxs), _FAST_CHUNK):
-            chunk = idxs[c0: c0 + _FAST_CHUNK]
-            if not _fast_chunk(datas, metas, chunk, rate, gapless, out,
-                               lib, jnp):
+        idxs = sorted((i for i, m in enumerate(metas) if m[2] == rate),
+                      key=lambda i: G_all[i])
+        for c0 in range(0, len(idxs), cfg.batch_chunk_streams):
+            chunk = idxs[c0: c0 + cfg.batch_chunk_streams]
+            win = cfg.window_granules
+            n_win = -(-max(G_all[i] for i in chunk) // win)
+            # ~934 staged bytes per granule at the 4-bit plane
+            est_mb = n_win * win * len(chunk) * 934 / 1e6
+            if est_mb > cfg.batch_max_mb:
+                slow.extend(chunk)
+                continue
+            if not _fast_chunk(datas, metas, chunk,
+                               [G_all[i] for i in chunk], rate, gapless,
+                               out, lib, jnp, cfg):
                 return None
+    if slow:
+        from .player.scheduler import decode_batch_streams
+        res = decode_batch_streams([datas[i] for i in slow],
+                                   gapless=gapless)
+        for i, r in zip(slow, res):
+            out[i] = r
     return out
 
 
-def _fast_chunk(datas, metas, chunk, rate, gapless, out, lib, jnp):
-    import ctypes
+def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg):
     from .bitstream.native import unpack_native_into12
-    S = _FAST_CHUNK
-    win = _FAST_WIN
-    meta4 = (ctypes.c_int32 * 4)()
-    Gs = []
-    for i in chunk:
-        g = lib.mp3tpu_probe(metas[i][0], len(metas[i][0]), meta4)
-        if g <= 0:
-            return False
-        Gs.append(g)
+    S = cfg.batch_chunk_streams
+    win = cfg.window_granules
     n_win = -(-max(Gs) // win)
     Gpad = n_win * win
 
-    plane_bits, exp_bytes = 4, True
+    plane_bits, exp_bytes = cfg.plane_bits, True
     while True:
         shp = {4: 288, 8: 576, 12: 864}[plane_bits]
         dt = {4: np.uint8, 8: np.int8, 12: np.uint8}[plane_bits]

@@ -99,6 +99,40 @@ def test_player_guards_window_invariant(mp3):
         Player(mp3)
 
 
+def test_fast_batch_path_obeys_config(mp3):
+    """decode_files' fast path takes chunk size / window / plane width
+    from the active Config (SURVEY.md §5.6) — non-default values must
+    produce identical PCM."""
+    from mp3tpu.bitstream import native
+    from mp3tpu.pipeline import decode_files
+    if not native.available():
+        pytest.skip("native unpacker unavailable")
+    ref = decode_files([mp3, mp3, mp3])
+    set_active(Config(decode=DecodeConfig(
+        batch_chunk_streams=2, window_granules=16, plane_bits=8)))
+    got = decode_files([mp3, mp3, mp3])
+    for (a, sra), (b, srb) in zip(ref, got):
+        assert sra == srb
+        assert np.array_equal(a, b)
+
+
+def test_fast_batch_memory_cap_falls_back(mp3):
+    """A chunk whose staging buffers would exceed batch_max_mb streams
+    through the scheduler path instead — same PCM, no fast-path OOM."""
+    from mp3tpu.bitstream import native
+    from mp3tpu.pipeline import decode_files
+    if not native.available():
+        pytest.skip("native unpacker unavailable")
+    ref = decode_files([mp3, mp3])
+    set_active(Config(decode=DecodeConfig(batch_max_mb=0)))  # force slow
+    got = decode_files([mp3, mp3])
+    for (a, _), (b, _) in zip(ref, got):
+        n = min(len(a), len(b))
+        assert n > 10000
+        d = np.abs(a[:n].astype(np.int32) - b[:n].astype(np.int32))
+        assert d.max() <= 1  # scheduler path shares the window partition
+
+
 def test_trace_dir_produces_xplane(mp3, tmp_path, monkeypatch):
     """MP3TPU_TRACE_DIR wraps the decode windows in jax.profiler.trace
     and leaves an XPlane capture on disk."""
