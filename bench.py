@@ -176,6 +176,7 @@ def main():
     # a pathological stage is an infrastructure hiccup, not a property
     # of the pipeline — re-stage in-process (disclosed in `attempt`). ---
     attempt = 0
+    stage_attempts = []   # EVERY attempt's wall, visible in the JSON
     while True:
         attempt += 1
         ts0 = time.perf_counter()
@@ -192,12 +193,16 @@ def main():
         enqueue_t = time.perf_counter() - ts0
         jax.block_until_ready(dev_groups)
         t_stage = time.perf_counter() - ts0
+        stage_attempts.append(round(t_stage, 3))
         if t_stage <= 1.5 or attempt >= 3:  # ~3x good-weather cost
             break
         del dev_groups
         time.sleep(2.0)
     stage_drain_t = t_stage - enqueue_t
     t_pipe = t_unpack + t_stage
+    # the un-retried wall: what the pipeline cost INCLUDING the weather
+    # (discarded attempts stay visible; the headline uses the kept one)
+    t_pipe_unretried = t_unpack + sum(stage_attempts)
 
     # one-time jit compile (untimed warmup: once per deployment, served
     # from the persistent compilation cache in production; SURVEY.md §3.5)
@@ -249,6 +254,18 @@ def main():
 
     assert int(np.abs(np.asarray(pcm16[0, :1000])).max()) > 0, "silent output"
 
+    # ---- API-level figure: the public decode_files fast path on a
+    # 64-stream batch, D2H INCLUDED (downloads are this tunnel's wall,
+    # ~0.04 GB/s — the honest user-facing number the README discusses)
+    from mp3tpu.pipeline import decode_files
+    api_batch = [mp3] * 64
+    decode_files([mp3])  # warm that path's jit shapes (untimed)
+    ta = time.perf_counter()
+    api_out = decode_files(api_batch)
+    t_api = time.perf_counter() - ta
+    api_audio = sum(len(p) / s for p, s in api_out)
+    api_x = api_audio / t_api
+
     upload_gbps = staged_bytes / max(t_stage, 1e-9) / 1e9
     value = audio_seconds_total / wall
     result = {
@@ -269,8 +286,14 @@ def main():
             "device_compute_only_x": round(compute_x, 1),
             "upload_gbps": round(upload_gbps, 3),
             "plane_bits": plane_bits,
-        "exp_bytes": exp_bytes,
+            "exp_bytes": exp_bytes,
             "attempt": attempt,
+            "stage_attempts_s": stage_attempts,
+            "pipeline_unretried_s": round(t_pipe_unretried, 3),
+            "x_unretried": round(audio_seconds_total /
+                                 (t_pipe_unretried + t_dev), 1),
+            "api_decode_batch_x": round(api_x, 1),
+            "api_decode_batch_s": round(t_api, 3),
         },
     }
     print(json.dumps(result))
