@@ -94,19 +94,26 @@ def main():
            {"seeks": seeks})
 
     # config 5: encode path (analysis+MDCT+psymodel+rate loop+Huffman+mux)
-    from mp3tpu.encoder import encode_pcm
+    from mp3tpu.encoder import encode_batch, encode_pcm
     sig = pcm10[: 44100 * 2]
     encode_pcm(sig[: 44100 // 2], 44100)  # warm jit-free paths
     t0 = time.perf_counter()
     mp3 = encode_pcm(sig, 44100, bitrate=128)
     wall = time.perf_counter() - t0
-    report("5_encode_path", len(sig) / 44100, wall,
-           {"bytes": len(mp3), "device_transform": False})
-    t0 = time.perf_counter()
-    mp3 = encode_pcm(sig, 44100, bitrate=128, device_transform=True)
-    wall = time.perf_counter() - t0
-    report("5_encode_path_device_E1E2", len(sig) / 44100, wall,
+    report("5_encode_path_single", len(sig) / 44100, wall,
            {"bytes": len(mp3)})
+    # aggregate: 16 streams through the batched device encoder (the
+    # production throughput path — transforms/psymodel/rate loops on
+    # device, native emitter + packed mux). First call compiles; the
+    # second is the steady-state number.
+    streams = [pcm10 * (0.5 + 0.5 * i / 15) for i in range(16)]
+    encode_batch(streams, 44100, bitrate=128)
+    t0 = time.perf_counter()
+    outs = encode_batch(streams, 44100, bitrate=128)
+    wall = time.perf_counter() - t0
+    report("5_encode_batch_aggregate", 16 * 10.0, wall,
+           {"streams": 16, "noise_shaping": True,
+            "bytes": sum(len(o) for o in outs)})
 
 
 if __name__ == "__main__":

@@ -30,8 +30,9 @@ def _load():
     if os.environ.get("MP3TPU_NO_NATIVE"):
         return None
     try:
+        srcs = [os.path.join(_DIR, f) for f in ("unpack.cpp", "encode_rows.cpp")]
         if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(os.path.join(_DIR, "unpack.cpp"))):
+                os.path.getmtime(_SO) < max(os.path.getmtime(s) for s in srcs)):
             subprocess.run(["make", "-s", "-C", _DIR], check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
         lib.mp3tpu_probe.restype = ctypes.c_int

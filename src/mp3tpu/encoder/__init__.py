@@ -39,7 +39,7 @@ def _short_flat_map(sample_rate: int) -> np.ndarray:
 def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                gapless_tag: bool = True, short_blocks: bool = True,
                joint_stereo: bool = True, noise_shaping: bool = True,
-               device_transform: bool = False, reservoir: bool = True,
+               device_transform: bool | None = None, reservoir: bool = True,
                vbr_quality: int | None = None) -> bytes:
     """Encode float PCM [-1, 1], shape [n] or [n, ch], to MP3 bytes.
 
@@ -53,8 +53,9 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     short blocks. It trades plain SNR for masked-noise placement;
     disable it for maximum plain-SNR encodes.
     device_transform runs E1+E2 (analysis filterbank + MDCT) on the
-    TPU as one batched jitted call (SURVEY.md §3.4); the float64 numpy
-    transform is the default reference path.
+    TPU as one batched jitted call (SURVEY.md §3.4); None (default)
+    resolves to True when an accelerator backend is active, False on
+    CPU-only hosts (the float64 numpy reference path).
     reservoir enables bit-reservoir coding (granules borrow capacity
     that quieter earlier granules left unused, ISO §2.4.1.7).
     vbr_quality (0 best .. 9 smallest) switches to constant-quality VBR:
@@ -87,7 +88,15 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     bts = block_type_sequence(padded, sample_rate) if short_blocks \
         else np.zeros(G, np.int64)
 
-    # E1+E2 transform: all channels in one device batch, or numpy f64
+    # E1+E2 transform: all channels in one device batch, or numpy f64.
+    # Default: device when an accelerator is present (SURVEY.md §3.4),
+    # the f64 numpy reference path on CPU-only hosts.
+    if device_transform is None:
+        try:
+            import jax
+            device_transform = jax.default_backend() != "cpu"
+        except Exception:
+            device_transform = False
     if device_transform:
         from .device import granule_spectra_device_batch
         xr = granule_spectra_device_batch(
@@ -476,3 +485,11 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                                 encoder_padding=enc_padding, toc=toc)
         out = xing + out
     return out
+
+
+def encode_batch(pcms, sample_rate: int, **kwargs) -> list:
+    """Batched multi-stream encode (BASELINE config 5 aggregate path):
+    transforms, psymodel and the rate/distortion loops batch across ALL
+    streams on device; see encoder.batch for the architecture."""
+    from .batch import encode_batch as _impl
+    return _impl(pcms, sample_rate, **kwargs)

@@ -88,3 +88,29 @@ def granule_spectra_device_batch(pcm: np.ndarray, block_types: np.ndarray,
     xr = _jitted(sample_rate)(jnp.asarray(pcm[:, : G * SPF], jnp.float32),
                               jnp.asarray(bt_oh))
     return np.asarray(xr).astype(np.float64)
+
+
+def stage_chunked(arr: np.ndarray, piece_bytes: int = 2 << 20):
+    """Stage a host array to device in <=2 MB pieces along axis 0 +
+    one device-side concatenate — this tunnel sustains ~1 GB/s on small
+    transfers but collapses ~6-20x on single puts above ~2-4 MB
+    (CLAUDE.md, measured)."""
+    import jax
+    arr = np.ascontiguousarray(arr)
+    row_b = max(arr.nbytes // max(arr.shape[0], 1), 1)
+    rows = max(piece_bytes // row_b, 1)
+    if arr.shape[0] <= rows:
+        return jax.device_put(arr)
+    parts = [jax.device_put(arr[i:i + rows])
+             for i in range(0, arr.shape[0], rows)]
+    return jnp.concatenate(parts, axis=0)
+
+
+def granule_spectra_device_handle(pcm_dev, block_types: np.ndarray,
+                                  sample_rate: int):
+    """As granule_spectra_device_batch but takes an ALREADY-STAGED
+    device pcm [B, n] f32 and returns the DEVICE spectra handle
+    [B, G, 576] f32 (no host round-trip — the batch encoder keeps the
+    spectra device-resident through the rate loops)."""
+    bt_oh = (block_types[..., None] == np.arange(4)).astype(np.float32)
+    return _jitted(sample_rate)(pcm_dev, jnp.asarray(bt_oh))

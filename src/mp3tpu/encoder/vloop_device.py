@@ -1,0 +1,663 @@
+"""Device (TPU) lockstep rate & distortion loops (SURVEY.md E4, §3.4).
+
+The batched encoder's throughput core: the outer distortion loop and
+inner rate bisection run as ONE jitted dispatch per block-type group —
+fixed trip counts (bisection over gg in [0,255] is <= 8 steps; the
+outer loop is masked fori over its max_iters) with per-row convergence
+masks, so XLA sees static control flow (SURVEY.md §7.3).
+
+Division of labor (the lockstep invariant, memory/encoder-lockstep):
+  * the DEVICE searches (global_gain, scalefactors, subblock_gain) in
+    f32 — approximate at quantization-boundary ulps vs the f64 scalar
+    reference (a ±half-step rounding choice, still a valid quantizer);
+  * the DEVICE's final quantize at the chosen parameters IS the
+    emitted spectrum, and its integer bit count / table selection is
+    EXACT for that spectrum (integer math in f32's exact range,
+    bit-for-bit vcount/emitter parity — tested). The bisection
+    guarantee bits <= budget therefore transfers to emission directly:
+    count == emit, the contract the reservoir replay relies on.
+  * the HOST keeps all loop CONTROL (budgets, reservoir walks,
+    overdraft guards — SURVEY.md §7.5-5).
+
+The numpy vloop (scalar-exact) remains the reference and the default
+for single-stream encode_pcm; encode_batch uses this module.
+
+Bit counting here mirrors vcount.count_bits_rows_full: per-pair
+clamped-bin histogramming against the [289, T+1] length matrix becomes
+a LUT gather + region-masked einsum; table validity comes from region
+maxima (plain: max < xl; escape: overflow bit-length <= linbits;
+table 0: region all-zero) — no penalty matrix needed on device.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..tables import huffman as ht
+from ..tables.sfb import LONG, SLEN1, SLEN2
+from .quantize import IX_MAX, MAGIC
+from .vcount import TABLE_IDS, N_PLAIN, _hist_matrix, _long_region_tables
+
+SPF = 576
+_SLEN1 = np.asarray(SLEN1, np.int64)
+_SLEN2 = np.asarray(SLEN2, np.int64)
+
+# Row blocking + count formulation are platform-adaptive:
+#   TPU: 2048-row chunks, 8192-row dispatches (FIXED so every batch
+#        size reuses the same compiled program — one compile over the
+#        tunnel is ~100 s), and the fused compare-reduce histogram
+#        (0.63 ms/count vs 1.54 for a LUT gather, measured in-jit).
+#   CPU (hermetic tests): small blocks and the gather formulation —
+#        the 868-class compare-reduce is ~500 M ops/count, fine for
+#        the TPU's VPU, pathological for one host core.
+_DIMS = None
+
+
+def _dims():
+    """(CHUNK, MACRO, use_hist) for the active backend."""
+    global _DIMS
+    if _DIMS is None:
+        import jax
+        cpu = jax.default_backend() == "cpu"
+        _DIMS = (256, 512, False) if cpu else (2048, 8192, True)
+    return _DIMS
+
+
+@functools.lru_cache(maxsize=None)
+def _device_consts(sample_rate: int):
+    import jax.numpy as jnp
+    M, _ovp, M_len, _M_bad, _ovb = _hist_matrix()
+    T = len(TABLE_IDS)
+    # per-table validity params
+    xl = np.zeros(T, np.int32)
+    linbits = np.zeros(T, np.int32)
+    for col, tid in enumerate(TABLE_IDS):
+        if tid == 0:
+            xl[col] = 1          # codes only zeros
+            continue
+        _l, _c, x, _y, lb = ht.table_arrays(tid)
+        xl[col] = x
+        linbits[col] = lb if col >= N_PLAIN else 0
+    is_esc = np.arange(T) >= N_PLAIN
+    r1p, r2p = _long_region_tables(sample_rate)
+    bands = LONG[sample_rate]
+    band_of_line = np.zeros(576, np.int64)
+    for b in range(21):
+        band_of_line[bands[b]:bands[b + 1]] = b
+    band_of_line[bands[21]:] = 21
+    ind21 = np.zeros((576, 22), np.float32)
+    ind21[np.arange(576), band_of_line] = 1.0
+    from ..tables import maps as tmaps
+    bm = tmaps.band_map(sample_rate, tmaps.FLAVOR_SHORT)
+    wline = (bm - 22) // 13
+    sline = (bm - 22) % 13
+    flat39 = wline * 13 + sline
+    ind39 = np.zeros((576, 39), np.float32)
+    ind39[np.arange(576), np.minimum(flat39, 38)] = 1.0
+    from ..tables.huffman import COUNT1A_LENS
+    c1a = np.asarray(COUNT1A_LENS, np.int32)
+    pop4 = np.array([bin(i).count("1") for i in range(16)], np.int32)
+    f = lambda a, dt: jnp.asarray(a, dt)
+    return dict(
+        M_len=f(M_len, jnp.float32),            # [289, T+1]
+        xl=f(xl, jnp.int32), linbits=f(linbits, jnp.int32),
+        is_esc=f(is_esc, jnp.bool_),
+        r1p=f(r1p, jnp.int32), r2p=f(r2p, jnp.int32),
+        ind21=f(ind21, jnp.float32), ind39=f(ind39, jnp.float32),
+        band_of_line=f(np.minimum(band_of_line, 21), jnp.int32),
+        wline=f(wline, jnp.int32), sline=f(sline, jnp.int32),
+        c1a_sig=f(c1a + pop4, jnp.int32), c1b_sig=f(4 + pop4, jnp.int32),
+        slen1=f(_SLEN1, jnp.int32), slen2=f(_SLEN2, jnp.int32),
+    )
+
+
+def _count_rows(jnp, C, ix, short_split: bool):
+    """Exact big_values+count1 bit count for quantized rows [R,576] i32.
+
+    Integer-exact: lengths <= 19, histogram mass <= 288, all sums well
+    inside f32's 2^24 integer range. Mirrors vcount row-for-row."""
+    a = jnp.abs(ix[:, 0::2])
+    b = jnp.abs(ix[:, 1::2])
+    R = ix.shape[0]
+    nz = (a | b) > 0
+    big = jnp.maximum(a, b) > 1
+    anynz = nz.any(1)
+    rzp = jnp.where(anynz, 288 - jnp.argmax(nz[:, ::-1], axis=1), 0)
+    rzp = rzp + (rzp & 1)
+    anybig = big.any(1)
+    bigp = jnp.where(anybig, 288 - jnp.argmax(big[:, ::-1], axis=1), 0)
+    k = (rzp - bigp) // 2
+    bv = rzp - 2 * k                      # big-values region in pairs
+    if short_split:
+        r1 = jnp.minimum(18, bv)
+        r2 = bv
+    else:
+        r1 = C["r1p"][bv]
+        r2 = C["r2p"][bv]
+
+    pidx = jnp.arange(288, dtype=jnp.int32)
+    rid = ((pidx[None] >= r1[:, None]).astype(jnp.int32)
+           + (pidx[None] >= r2[:, None]) + (pidx[None] >= bv[:, None]))
+
+    bins = jnp.minimum(a, 16) * 17 + jnp.minimum(b, 16)
+    if _dims()[2]:
+        # TPU: (region, bin) histogram via fused compare-reduce
+        # (beyond-bv pairs land in dead class 867), then ONE
+        # [R*3, 289] @ [289, T+1] MXU matmul — measured 2.4x faster
+        # in-jit than the per-pair LUT gather below
+        cidx = jnp.where(rid < 3, rid * 289 + bins, 867)
+        cls = jnp.arange(868, dtype=jnp.int32)
+        hist = jnp.sum(
+            (cidx[:, :, None] == cls[None, None]).astype(jnp.float32),
+            axis=1)                                     # [R, 868]
+        region = (hist[:, :867].reshape(R * 3, 289) @ C["M_len"]).reshape(
+            R, 3, -1)                                   # [R, 3, T+1]
+    else:
+        # CPU tests: LUT gather (the 868-class compare-reduce is
+        # ~500 M ops/count — fine for a TPU VPU, not for one host core)
+        Mp = C["M_len"][bins]                           # [R, 288, T+1]
+        reg_oh = (rid[:, :, None] == jnp.arange(3)[None, None]).astype(
+            jnp.float32)
+        region = jnp.einsum("rpt,rps->rst", Mp, reg_oh)
+    bits_t = region[:, :, :-1]
+    signs = region[:, :, -1]
+
+    # validity from region maxima
+    mxab = jnp.maximum(a, b)
+    mxr = jnp.max(jnp.where(rid[:, :, None] == jnp.arange(3)[None, None],
+                            mxab[:, :, None], 0), axis=1)        # [R, 3]
+    ov = jnp.maximum(mxab - 15, 0)
+    # integer bit length via comparison ladder (f32 log2 is unsafe here)
+    bl = jnp.zeros_like(ov)
+    for kk in range(14):
+        bl = bl + (ov > ((1 << kk) - 1)).astype(ov.dtype)
+    blr = jnp.max(jnp.where(rid[:, :, None] == jnp.arange(3)[None, None],
+                            bl[:, :, None], 0), axis=1)          # [R, 3]
+    xl = C["xl"][None, None]               # [1,1,T]
+    lb = C["linbits"][None, None]
+    esc = C["is_esc"][None, None]
+    valid = jnp.where(
+        esc, blr[:, :, None] <= lb,
+        mxr[:, :, None] < xl)              # plain (and table 0: xl=1)
+    reg_cost = jnp.where(valid, bits_t, jnp.float32(1 << 26))
+    selr = jnp.argmin(reg_cost, axis=2)                      # [R, 3]
+    regmin = jnp.min(reg_cost, axis=2)
+    total = jnp.sum(regmin + signs, axis=1)
+
+    # count1: k quads on the quad grid after bv pairs
+    nzq = (ix != 0).reshape(R, 144, 4)
+    idxq = ((nzq[..., 0] << 3) | (nzq[..., 1] << 2)
+            | (nzq[..., 2] << 1) | nzq[..., 3]).astype(jnp.int32)
+    csa = jnp.cumsum(C["c1a_sig"][idxq], axis=1)
+    csb = jnp.cumsum(C["c1b_sig"][idxq], axis=1)
+    csa = jnp.concatenate([jnp.zeros((R, 1), csa.dtype), csa], axis=1)
+    csb = jnp.concatenate([jnp.zeros((R, 1), csb.dtype), csb], axis=1)
+    q0 = bv // 2
+    q1 = q0 + k
+    rows = jnp.arange(R)
+    ca = csa[rows, q1] - csa[rows, q0]
+    cb = csb[rows, q1] - csb[rows, q0]
+    total = total + jnp.minimum(ca, cb).astype(jnp.float32)
+    c1sel = (ca > cb).astype(jnp.int8)     # vcount tie-break: A on equal
+    return total.astype(jnp.int32), selr, bv, k, c1sel
+
+
+def _quantize(jnp, p34, sign, gg):
+    scale = jnp.exp2(-0.75 * (gg[:, None].astype(jnp.float32) - 210.0) / 4.0)
+    ix = jnp.floor(p34 * scale + jnp.float32(MAGIC)).astype(jnp.int32)
+    return sign * ix
+
+
+def _inner_bisect(jnp, C, p34, sign, budgets, lo0, short_split: bool):
+    """Fixed 8-step bisection for the smallest fitting gg per row.
+
+    Returns (gg [R] i32, has_best [R] bool)."""
+    import jax
+    R = p34.shape[0]
+    amax34 = jnp.max(p34, axis=1)
+    # closed form of the scalar "+4 stepping" lower bound: smallest
+    # lo0+4k with amax34 * 2^(-0.75(lo-210)/4) <= IX_MAX
+    # <=> lo >= 210 + (4/0.75) * log2(amax34 / IX_MAX)
+    need = 210.0 + (16.0 / 3.0) * (jnp.log2(jnp.maximum(amax34, 1e-30))
+                                   - jnp.log2(jnp.float32(IX_MAX)))
+    ksteps = jnp.maximum(jnp.ceil((need - lo0.astype(jnp.float32)) / 4.0), 0.0)
+    lo = jnp.where(amax34 > 0,
+                   jnp.minimum(lo0 + 4 * ksteps.astype(jnp.int32), 255),
+                   lo0).astype(jnp.int32)
+    hi = jnp.full((R,), 255, jnp.int32)
+    best = jnp.full((R,), 210, jnp.int32)
+    has = jnp.zeros((R,), jnp.bool_)
+
+    def body(_i, carry):
+        lo, hi, best, has = carry
+        act = lo <= hi
+        mid = (lo + hi) // 2
+        ix = _quantize(jnp, p34, sign, mid)
+        over = jnp.max(jnp.abs(ix), axis=1) > IX_MAX
+        bits, _selr, _bv, _k, _c1 = _count_rows(jnp, C, ix, short_split)
+        fits = act & ~over & (bits <= budgets)
+        best = jnp.where(fits, mid, best)
+        has = has | fits
+        hi = jnp.where(fits, mid - 1, hi)
+        lo = jnp.where(act & ~fits, mid + 1, lo)
+        return lo, hi, best, has
+
+    lo, hi, best, has = jax.lax.fori_loop(0, 8, body, (lo, hi, best, has))
+    return jnp.where(has, best, 210), has
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_outer_long(sample_rate: int, max_iters: int):
+    import jax
+    import jax.numpy as jnp
+    C = _device_consts(sample_rate)
+    CHUNK, _MACRO, _h = _dims()
+
+    def one_chunk(args):
+        xr, xmin, budget_bits = args
+        p34_base = jnp.abs(xr) ** 0.75
+        sign = jnp.sign(xr).astype(jnp.int32)
+        R = xr.shape[0]
+        sf_cap = jnp.asarray([15] * 11 + [7] * 10, jnp.int32)
+        bol = C["band_of_line"]            # [576] 0..21
+
+        def body(_i, carry):
+            sf, gg_lo, done, best_gg, best_sf, has_best = carry
+            # scalefactor side-info cost (vector argmin over the 16
+            # scalefac_compress codes)
+            m1 = jnp.max(sf[:, :11], axis=1)
+            m2 = jnp.max(sf[:, 11:21], axis=1)
+            need1 = jnp.zeros_like(m1)
+            need2 = jnp.zeros_like(m2)
+            for kk in range(1, 5):
+                need1 = jnp.where(m1 >= (1 << (kk - 1)), kk, need1)
+                need2 = jnp.where(m2 >= (1 << (kk - 1)), kk, need2)
+            ok = (C["slen1"][None] >= need1[:, None]) & \
+                 (C["slen2"][None] >= need2[:, None])
+            cost = 11 * C["slen1"] + 10 * C["slen2"]
+            sfc = jnp.argmin(jnp.where(ok, cost[None], 1 << 30), axis=1)
+            sfbits = 11 * C["slen1"][sfc] + 10 * C["slen2"][sfc]
+            budget = budget_bits - sfbits
+            done = done | (budget < 0)
+
+            sf21 = jnp.concatenate(
+                [sf, jnp.zeros((R, 1), sf.dtype)], axis=1)   # band 21 = 0
+            amp_line = jnp.exp2(sf21[:, bol].astype(jnp.float32) / 2.0)
+            p34 = p34_base * amp_line ** 0.75
+            gg, has = _inner_bisect(jnp, C, p34, sign, budget, gg_lo, False)
+            upd = ~done & has
+            best_gg = jnp.where(upd, gg, best_gg)
+            best_sf = jnp.where(upd[:, None], sf, best_sf)
+            has_best = has_best | upd
+            gg_lo = jnp.where(~done, gg, gg_lo)
+
+            # distortion per band at the found quantization
+            ix = _quantize(jnp, p34, sign, gg)
+            deq = (jnp.abs(ix).astype(jnp.float32) ** (4.0 / 3.0)) * \
+                jnp.exp2((gg[:, None].astype(jnp.float32) - 210.0) / 4.0) / \
+                amp_line
+            err = (jnp.abs(xr) - deq) ** 2
+            dist = (err @ C["ind21"])[:, :21]
+            over = (dist > xmin) & (sf < sf_cap[None]) & ~done[:, None] & \
+                has[:, None]
+            done = done | ~(over.any(1))
+            sf = sf + over.astype(sf.dtype)
+            return sf, gg_lo, done, best_gg, best_sf, has_best
+
+        sf0 = jnp.zeros((R, 21), jnp.int32)
+        init = (sf0, jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.bool_),
+                jnp.full((R,), 210, jnp.int32), sf0,
+                jnp.zeros((R,), jnp.bool_))
+        _sf, _gl, done_end, best_gg, best_sf, has_best = \
+            jax.lax.fori_loop(0, max_iters, body, init)
+        # rows that never fit under shaping: plain rate loop, sf = 0
+        gg_fb, has_fb = _inner_bisect(
+            jnp, C, p34_base, sign, budget_bits,
+            jnp.zeros((R,), jnp.int32), False)
+        best_gg = jnp.where(has_best, best_gg, gg_fb)
+        best_sf = jnp.where(has_best[:, None], best_sf, 0)
+        has_any = has_best | has_fb
+        # final quantize + exact count at the chosen parameters (the
+        # emitted spectrum IS this ix: the host never requantizes)
+        sf21 = jnp.concatenate(
+            [best_sf, jnp.zeros((R, 1), best_sf.dtype)], axis=1)
+        amp_line = jnp.exp2(sf21[:, bol].astype(jnp.float32) / 2.0)
+        ix = _quantize(jnp, p34_base * amp_line ** 0.75, sign, best_gg)
+        ix = jnp.where(has_any[:, None], ix, 0)
+        bits, selr, _bv, _k, c1sel = _count_rows(jnp, C, ix, False)
+        return (best_gg, best_sf, has_any, ix.astype(jnp.int16), bits,
+                selr.astype(jnp.int8), c1sel, done_end)
+
+    @jax.jit
+    def run(xr, xmin, budgets):
+        n = xr.shape[0] // CHUNK
+        xrc = xr.reshape(n, CHUNK, SPF)
+        xmc = xmin.reshape(n, CHUNK, 21)
+        bdc = budgets.reshape(n, CHUNK)
+        gg, sf, has, ix, bits, selr, c1, conv = \
+            jax.lax.map(one_chunk, (xrc, xmc, bdc))
+        return (gg.reshape(-1), sf.reshape(-1, 21), has.reshape(-1),
+                ix.reshape(-1, SPF), bits.reshape(-1),
+                selr.reshape(-1, 3), c1.reshape(-1), conv.reshape(-1))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_outer_short(sample_rate: int, max_iters: int):
+    import jax
+    import jax.numpy as jnp
+    C = _device_consts(sample_rate)
+    CHUNK, _MACRO, _h = _dims()
+    SF_CAP = jnp.asarray([15] * 6 + [7] * 6, jnp.int32)
+
+    def one_chunk(args):
+        xr, xmin, budget_bits = args
+        p34_base = jnp.abs(xr) ** 0.75
+        sign = jnp.sign(xr).astype(jnp.int32)
+        R = xr.shape[0]
+        wl, sl = C["wline"], C["sline"]
+
+        def body(_i, carry):
+            (sf, sbg, gg_lo, done, best_gg, best_sf, best_sbg,
+             has_best) = carry
+            m1 = jnp.max(sf[:, :, :6], axis=(1, 2))
+            m2 = jnp.max(sf[:, :, 6:12], axis=(1, 2))
+            need1 = jnp.zeros_like(m1)
+            need2 = jnp.zeros_like(m2)
+            for kk in range(1, 5):
+                need1 = jnp.where(m1 >= (1 << (kk - 1)), kk, need1)
+                need2 = jnp.where(m2 >= (1 << (kk - 1)), kk, need2)
+            ok = (C["slen1"][None] >= need1[:, None]) & \
+                 (C["slen2"][None] >= need2[:, None])
+            cost = 18 * (C["slen1"] + C["slen2"])
+            sfc = jnp.argmin(jnp.where(ok, cost[None], 1 << 30), axis=1)
+            sfbits = 18 * (C["slen1"][sfc] + C["slen2"][sfc])
+            budget = budget_bits - sfbits
+            done = done | (budget < 0)
+
+            sf13 = jnp.concatenate(
+                [sf, jnp.zeros((R, 3, 1), sf.dtype)], axis=2)
+            q = 8 * sbg[:, :, None] + 2 * sf13                  # [R,3,13]
+            amp = jnp.exp2(q[:, wl, sl].astype(jnp.float32) / 4.0)
+            p34 = p34_base * amp ** 0.75
+            gg, has = _inner_bisect(jnp, C, p34, sign, budget, gg_lo, True)
+            upd = ~done & has
+            best_gg = jnp.where(upd, gg, best_gg)
+            best_sf = jnp.where(upd[:, None, None], sf, best_sf)
+            best_sbg = jnp.where(upd[:, None], sbg, best_sbg)
+            has_best = has_best | upd
+            gg_lo = jnp.where(~done, gg, gg_lo)
+
+            ix = _quantize(jnp, p34, sign, gg)
+            deq = (jnp.abs(ix).astype(jnp.float32) ** (4.0 / 3.0)) * \
+                jnp.exp2((gg[:, None].astype(jnp.float32) - 210.0) / 4.0) / amp
+            err = (jnp.abs(xr) - deq) ** 2
+            dist = (err @ C["ind39"]).reshape(R, 3, 13)[:, :, :12]
+            over = (dist > xmin) & \
+                ((sf < SF_CAP[None, None]) | (sbg[:, :, None] < 7)) & \
+                ~done[:, None, None] & has[:, None, None]
+            done = done | ~(over.reshape(R, -1).any(1))
+            sf = sf + over.astype(sf.dtype)
+            exceed = (sf > SF_CAP[None, None]).any(2)           # [R,3]
+            bump = exceed & (sbg < 7)
+            sbg = sbg + bump.astype(sbg.dtype)
+            sf = jnp.where(bump[:, :, None], jnp.maximum(sf - 4, 0), sf)
+            sf = jnp.where(exceed[:, :, None],
+                           jnp.minimum(sf, SF_CAP[None, None]), sf)
+            return sf, sbg, gg_lo, done, best_gg, best_sf, best_sbg, has_best
+
+        sf0 = jnp.zeros((R, 3, 12), jnp.int32)
+        sbg0 = jnp.zeros((R, 3), jnp.int32)
+        init = (sf0, sbg0, jnp.zeros((R,), jnp.int32),
+                jnp.zeros((R,), jnp.bool_), jnp.full((R,), 210, jnp.int32),
+                sf0, sbg0, jnp.zeros((R,), jnp.bool_))
+        out = jax.lax.fori_loop(0, max_iters, body, init)
+        _sf, _sbg, _gl, done_end, best_gg, best_sf, best_sbg, has_best = out
+        gg_fb, has_fb = _inner_bisect(
+            jnp, C, p34_base, sign, budget_bits,
+            jnp.zeros((R,), jnp.int32), True)
+        best_gg = jnp.where(has_best, best_gg, gg_fb)
+        best_sf = jnp.where(has_best[:, None, None], best_sf, 0)
+        best_sbg = jnp.where(has_best[:, None], best_sbg, 0)
+        has_any = has_best | has_fb
+        sf13 = jnp.concatenate(
+            [best_sf, jnp.zeros((R, 3, 1), best_sf.dtype)], axis=2)
+        q = 8 * best_sbg[:, :, None] + 2 * sf13
+        amp = jnp.exp2(q[:, wl, sl].astype(jnp.float32) / 4.0)
+        ix = _quantize(jnp, p34_base * amp ** 0.75, sign, best_gg)
+        ix = jnp.where(has_any[:, None], ix, 0)
+        bits, selr, _bv, _k, c1sel = _count_rows(jnp, C, ix, True)
+        return (best_gg, best_sf, best_sbg, has_any,
+                ix.astype(jnp.int16), bits, selr.astype(jnp.int8), c1sel,
+                done_end)
+
+    @jax.jit
+    def run(xr, xmin, budgets):
+        n = xr.shape[0] // CHUNK
+        gg, sf, sbg, has, ix, bits, selr, c1, conv = jax.lax.map(
+            one_chunk, (xr.reshape(n, CHUNK, SPF),
+                        xmin.reshape(n, CHUNK, 3, 12),
+                        budgets.reshape(n, CHUNK)))
+        return (gg.reshape(-1), sf.reshape(-1, 3, 12),
+                sbg.reshape(-1, 3), has.reshape(-1),
+                ix.reshape(-1, SPF), bits.reshape(-1),
+                selr.reshape(-1, 3), c1.reshape(-1), conv.reshape(-1))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_rate_only(sample_rate: int, short_split: bool):
+    import jax
+    import jax.numpy as jnp
+    C = _device_consts(sample_rate)
+    CHUNK, _MACRO, _h = _dims()
+
+    def one_chunk(args):
+        xr, budgets = args
+        p34 = jnp.abs(xr) ** 0.75
+        sign = jnp.sign(xr).astype(jnp.int32)
+        gg, has = _inner_bisect(jnp, C, p34, sign, budgets,
+                                jnp.zeros((xr.shape[0],), jnp.int32),
+                                short_split)
+        ix = _quantize(jnp, p34, sign, gg)
+        ix = jnp.where(has[:, None], ix, 0)
+        bits, selr, _bv, _k, c1sel = _count_rows(jnp, C, ix, short_split)
+        return gg, has, ix.astype(jnp.int16), bits, \
+            selr.astype(jnp.int8), c1sel
+
+    @jax.jit
+    def run(xr, budgets):
+        n = xr.shape[0] // CHUNK
+        gg, has, ix, bits, selr, c1 = jax.lax.map(
+            one_chunk, (xr.reshape(n, CHUNK, SPF),
+                        budgets.reshape(n, CHUNK)))
+        return (gg.reshape(-1), has.reshape(-1), ix.reshape(-1, SPF),
+                bits.reshape(-1), selr.reshape(-1, 3), c1.reshape(-1))
+
+    return run
+
+
+def _pad(a, R):
+    if a.shape[0] == R:
+        return a
+    pad = np.zeros((R - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _run_padded(fn, n_rows, *arrays):
+    """Dispatch in fixed MACRO-row blocks (stable compiled shapes)."""
+    import jax.numpy as jnp
+    MACRO = _dims()[1]
+    outs = None
+    for lo in range(0, max(n_rows, 1), MACRO):
+        hi = min(lo + MACRO, n_rows)
+        args = [jnp.asarray(_pad(np.ascontiguousarray(a[lo:hi]), MACRO))
+                for a in arrays]
+        block = fn(*args)
+        block = tuple(np.asarray(o)[: hi - lo] for o in block)
+        if outs is None:
+            outs = [[b] for b in block]
+        else:
+            for acc, b in zip(outs, block):
+                acc.append(b)
+    return tuple(np.concatenate(acc) for acc in outs)
+
+
+_TID = np.asarray(TABLE_IDS)
+
+
+def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets):
+    """Run MACRO blocks gathering rows from DEVICE-resident tensors
+    (no host round-trip of the spectra): idx/budgets are small host
+    arrays; xr_dev [N,576] f32 and optional xmin_dev [N,...] f32 live
+    on device (SURVEY.md §3.4 — one host/device boundary per batch)."""
+    import jax.numpy as jnp
+    MACRO = _dims()[1]
+    outs = None
+    n = len(idx)
+    for lo in range(0, max(n, 1), MACRO):
+        hi = min(lo + MACRO, n)
+        sel = np.zeros(MACRO, np.int64)
+        sel[: hi - lo] = idx[lo:hi]
+        sel_j = jnp.asarray(sel)
+        args = [jnp.take(xr_dev, sel_j, axis=0)]
+        if xmin_dev is not None:
+            args.append(jnp.take(xmin_dev, sel_j, axis=0))
+        bud = np.zeros(MACRO, np.int32)
+        bud[: hi - lo] = budgets[lo:hi]
+        args.append(jnp.asarray(bud))
+        block = fn(*args)
+        block = tuple(np.asarray(o)[: hi - lo] for o in block)
+        if outs is None:
+            outs = [[b] for b in block]
+        else:
+            for acc, b in zip(outs, block):
+                acc.append(b)
+    return tuple(np.concatenate(acc) for acc in outs)
+
+
+def outer_rows_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
+                        max_iters=16, first_pass=4):
+    """Two-phase convergence compaction: run a SHORT outer loop for
+    all rows (most converge in <=4 amplification steps), then rerun
+    only the unconverged rows at the full iteration count — the loop
+    trajectory is deterministic, so the rerun replays and extends it.
+    Identical results to a single max_iters pass at ~40% of the
+    device work."""
+    fn = _jit_outer_long(sample_rate, first_pass)
+    gg, sf, has, ix, bits, selr, c1, conv = _run_gathered(
+        fn, xr_dev, xmin_dev, idx, budgets)
+    redo = np.nonzero(~conv)[0]
+    if len(redo):
+        fn2 = _jit_outer_long(sample_rate, max_iters)
+        g2, s2, h2, i2, b2, se2, c2, _ = _run_gathered(
+            fn2, xr_dev, xmin_dev, idx[redo], budgets[redo])
+        gg[redo], sf[redo], has[redo] = g2, s2, h2
+        ix[redo], bits[redo], selr[redo], c1[redo] = i2, b2, se2, c2
+    return gg, sf, has, ix, bits.astype(np.int64), \
+        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+
+
+def outer_rows_short_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
+                              max_iters=12, first_pass=4):
+    fn = _jit_outer_short(sample_rate, first_pass)
+    gg, sf, sbg, has, ix, bits, selr, c1, conv = _run_gathered(
+        fn, xr_dev, xmin_dev, idx, budgets)
+    redo = np.nonzero(~conv)[0]
+    if len(redo):
+        fn2 = _jit_outer_short(sample_rate, max_iters)
+        g2, s2, sb2, h2, i2, b2, se2, c2, _ = _run_gathered(
+            fn2, xr_dev, xmin_dev, idx[redo], budgets[redo])
+        gg[redo], sf[redo], sbg[redo], has[redo] = g2, s2, sb2, h2
+        ix[redo], bits[redo], selr[redo], c1[redo] = i2, b2, se2, c2
+    return gg, sf, sbg, has, ix, bits.astype(np.int64), \
+        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+
+
+def rate_rows_gathered(xr_dev, idx, budgets, sample_rate, block_type):
+    fn = _jit_rate_only(sample_rate, bool(block_type))
+    gg, has, ix, bits, selr, c1 = _run_gathered(
+        fn, xr_dev, None, idx, budgets)
+    return gg, has, ix, bits.astype(np.int64), \
+        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+
+
+def outer_rows_device(xr, xmin, budget_bits, sample_rate, max_iters=16):
+    """Device outer loop (long blocks).
+
+    Returns (gg, sf [R,21], has_best, ix [R,576] i16 — the spectrum to
+    EMIT — bits [R] exact huffman+sign bits, tsel [R,3] table ids,
+    c1table [R])."""
+    fn = _jit_outer_long(sample_rate, max_iters)
+    gg, sf, has, ix, bits, selr, c1, _conv = _run_padded(
+        fn, len(xr), xr.astype(np.float32), xmin.astype(np.float32),
+        budget_bits.astype(np.int32))
+    return gg, sf, has, ix, bits.astype(np.int64), \
+        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+
+
+def outer_rows_short_device(xr, xmin, budget_bits, sample_rate,
+                            max_iters=12):
+    """As outer_rows_device for short (window-switched) blocks; adds
+    sbg [R,3]."""
+    fn = _jit_outer_short(sample_rate, max_iters)
+    gg, sf, sbg, has, ix, bits, selr, c1, _conv = _run_padded(
+        fn, len(xr), xr.astype(np.float32), xmin.astype(np.float32),
+        budget_bits.astype(np.int32))
+    return gg, sf, sbg, has, ix, bits.astype(np.int64), \
+        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+
+
+def rate_rows_device(xr, budget_bits, sample_rate, block_type):
+    """Rate-only device bisection (no shaping / window-switched rows)."""
+    fn = _jit_rate_only(sample_rate, bool(block_type))
+    gg, has, ix, bits, selr, c1 = _run_padded(
+        fn, len(xr), xr.astype(np.float32), budget_bits.astype(np.int32))
+    return gg, has, ix, bits.astype(np.int64), \
+        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+
+
+# ---------------------------------------------------------------- host
+# exact finalization: f64 requantize at device-found parameters + exact
+# recount, bumping gg on rows the f32 search left over budget.
+
+def _host_quantize(xr_amp, gg):
+    from .vloop import quantize_rows
+    p34 = np.abs(xr_amp) ** 0.75
+    return quantize_rows(p34, np.sign(xr_amp), gg.astype(np.int64))
+
+
+def finalize_rows(xr, gg, amp, budget_net, sample_rate, block_type):
+    """Host-exact ix for device-found (gg, amplification), with a
+    safety bump loop: any row whose EXACT count exceeds its net budget
+    (f32 boundary flips; rare) steps gg up until it fits. Returns
+    (ix [R,576] i32, gg [R] i64)."""
+    from .vcount import count_bits_rows
+    gg = gg.astype(np.int64).copy()
+    xr_amp = xr * amp
+    ix = _host_quantize(xr_amp, gg)
+    over_ix = np.abs(ix).max(1) > IX_MAX
+    bits = count_bits_rows(ix, sample_rate, block_type)
+    over = over_ix | (bits > budget_net)
+    guard = 0
+    while over.any() and guard < 64:
+        bump = over & (gg < 255)
+        dead = over & ~bump
+        if dead.any():
+            ix[dead] = 0
+            gg[dead] = 210
+            over[dead] = False
+        if not bump.any():
+            break
+        gg[bump] += 1
+        ix[bump] = _host_quantize(xr_amp[bump], gg[bump])
+        bits_b = count_bits_rows(ix[bump], sample_rate, block_type)
+        still = (np.abs(ix[bump]).max(1) > IX_MAX) | (bits_b > budget_net[bump])
+        nxt = np.zeros_like(over)
+        nxt[np.nonzero(bump)[0]] = still
+        over = nxt
+        guard += 1
+    return ix, gg
