@@ -48,6 +48,69 @@ def test_sharded_decode_matches_single_device():
     assert (d == 0).mean() > 0.999
 
 
+def test_sharded_packed_scan_matches_single_device():
+    """The PRODUCTION fast path (packed 4-bit planes + scan + fused
+    resample — what bench.py and decode_files actually run) under the
+    8-device mesh produces the same rows as single-device (VERDICT
+    round-2 item 6)."""
+    pytest.importorskip("lameref")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mp3tpu.bitstream import native as nat
+    from mp3tpu.bitstream.native import unpack_native_into12
+    if not nat.available():
+        pytest.skip("native unpacker unavailable")
+    import ctypes
+    mp3 = fixtures.lame_fixture("sweep", ch=2, bitrate=128, mode="jstereo")
+    lib = nat._load()
+    meta4 = (ctypes.c_int32 * 4)()
+    G = lib.mp3tpu_probe(mp3, len(mp3), meta4)
+    S, win = 8, 8
+    n_win = -(-G // win)   # pad window: zero planes in both paths
+    # production widening chain (the fast path's): 4-bit plane first,
+    # widen if a granule-channel overflows its sideband
+    for plane_bits in (4, 8, 12):
+        shp = {4: 288, 8: 576, 12: 864}[plane_bits]
+        dt = {4: np.uint8, 8: np.int8, 12: np.uint8}[plane_bits]
+        esc_shape = {4: (80,), 8: (16, 2), 12: (16, 2)}[plane_bits]
+        esc_dt = np.int8 if plane_bits == 4 else np.int16
+        b = {
+            "is12": np.zeros((n_win, S, win, 2, shp), dt),
+            "esc": np.zeros((n_win, S, win, 2) + esc_shape, esc_dt),
+            "exp": np.zeros((n_win, S, win, 2, 65), np.uint8),
+            "bt": np.zeros((n_win, S, win, 2), np.int8),
+            "mx": np.zeros((n_win, S, win, 2), np.uint8),
+            "smode": np.zeros((n_win, S, win, 64), np.uint8),
+        }
+        ok = all(unpack_native_into12(
+            mp3, G, None, b["exp"], b["bt"], b["mx"], b["smode"],
+            b["is12"], b["esc"], k, S, win, plane_bits=plane_bits | 0x10)
+            for k in range(S))
+        if ok:
+            break
+    assert ok
+    sr = 44100
+    args = tuple(jnp.asarray(b[k])
+                 for k in ("is12", "exp", "esc", "bt", "mx", "smode"))
+    ref, _, _ = kp.decode_all_windows_flat_resampled_i16(
+        *args, kp.init_state(S), kp.init_resample_state(S, sr), sr,
+        48000, plane_bits=plane_bits)
+    ref = np.asarray(ref)
+
+    mesh = make_stream_mesh(8)
+    win_sh = NamedSharding(mesh, P(None, "streams"))
+    row_sh = NamedSharding(mesh, P("streams"))
+    sargs = tuple(jax.device_put(a, win_sh) for a in args)
+    sstate = jax.tree.map(lambda a: jax.device_put(a, row_sh),
+                          kp.init_state(S))
+    srs = jax.device_put(kp.init_resample_state(S, sr), row_sh)
+    got, _, _ = kp.decode_all_windows_flat_resampled_i16(
+        *sargs, sstate, srs, sr, 48000, plane_bits=plane_bits)
+    assert len(got.sharding.device_set) == 8
+    d = np.abs(ref.astype(np.int32) - np.asarray(got).astype(np.int32))
+    assert d.max() <= 1
+    assert (d == 0).mean() > 0.999
+
+
 def test_graft_dryrun_multichip():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
