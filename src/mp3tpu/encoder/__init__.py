@@ -12,7 +12,7 @@ from ..container.frames import BITRATES_V1_L3
 from .huffcode import encode_granule
 from .mux import (FrameSizer, ReservoirMux, build_frame, build_xing_frame,
                   frame_capacity_bits)
-from .psymodel import block_type_sequence, get_model
+from .psymodel import align_to_mdct, block_type_sequence, get_model
 from .quantize import (inner_rate_loop, outer_distortion_loop,
                        outer_distortion_loop_short)
 from .transform import granule_spectra
@@ -85,7 +85,12 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
 
     sr_idx = SR_IDX[sample_rate]
     br_idx = BITRATES_V1_L3.index(bitrate)
-    bts = block_type_sequence(padded, sample_rate) if short_blocks \
+    # transient labels and masking analysis run on the MDCT-aligned copy
+    # (psymodel.MDCT_ALIGN): granule g's spectrum holds time content
+    # delayed by the analysis chain, so unshifted labels switch windows
+    # one granule early and leave the attack granule long (= pre-echo)
+    aligned = align_to_mdct(padded)
+    bts = block_type_sequence(aligned, sample_rate) if short_blocks \
         else np.zeros(G, np.int64)
 
     # E1+E2 transform: all channels in one device batch, or numpy f64.
@@ -111,7 +116,7 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     psy = None
     if noise_shaping and vbr_quality is None:
         model = get_model(sample_rate)
-        psy = [model.analyze(padded[:, c], bts) for c in range(nch)]
+        psy = [model.analyze(aligned[:, c], bts) for c in range(nch)]
 
     vbr = vbr_quality is not None
     if vbr:
@@ -174,18 +179,23 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
         out_ssf = np.zeros((len(gc_idx), 3, 12), np.int64)
         out_sbg = np.zeros((len(gc_idx), 3), np.int64)
         if psy is not None:
-            lmask = bt_rows == 0
             smask = bt_rows == 2
-            pmask = ~lmask & ~smask
+            pmask = np.zeros(len(gc_idx), bool)
         else:
-            lmask = np.zeros(len(gc_idx), bool)
             smask = np.zeros(len(gc_idx), bool)
             pmask = np.ones(len(gc_idx), bool)
-        if lmask.any():
-            sel = np.nonzero(lmask)[0]
-            ix, gg, lsf = vloop.outer_rows(
-                rows[sel], xmin_l[gc_idx[sel]], budgets[sel], sample_rate)
-            out_ix[sel], out_gg[sel], out_lsf[sel] = ix, gg, lsf
+        if psy is not None:
+            # long-LAYOUT rows (0 plus start/stop 1/3 — they keep the
+            # long spectrum and long sfb partition) all get the shaped
+            # outer loop; block_type only switches the counter's region
+            # split. Grouped per type because the split is per-call.
+            for bt in (0, 1, 3):
+                sel = np.nonzero(bt_rows == bt)[0]
+                if len(sel):
+                    ix, gg, lsf = vloop.outer_rows(
+                        rows[sel], xmin_l[gc_idx[sel]], budgets[sel],
+                        sample_rate, block_type=bt)
+                    out_ix[sel], out_gg[sel], out_lsf[sel] = ix, gg, lsf
         if smask.any():
             sel = np.nonzero(smask)[0]
             ix, gg, ssf, sbg = vloop.outer_rows_short(
@@ -204,9 +214,9 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
         return out_ix, out_gg, out_lsf, out_ssf, out_sbg, bt_rows
 
     def emit_gc(ix, gg, lsf, ssf, sbg, bt, tsel=None, c1t=None):
-        if psy is not None and bt == 0:
-            return encode_granule(ix, int(gg), sample_rate, 0, long_sf=lsf,
-                                  tsel=tsel, c1table=c1t)
+        if psy is not None and bt != 2:
+            return encode_granule(ix, int(gg), sample_rate, int(bt),
+                                  long_sf=lsf, tsel=tsel, c1table=c1t)
         if psy is not None and bt == 2:
             return encode_granule(ix, int(gg), sample_rate, 2, short_sf=ssf,
                                   subblock_gain=tuple(int(s) for s in sbg),
@@ -370,7 +380,7 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
                     tsel[m, 2] = sel["t2"]
                     c1t[m] = sel["c1table"]
             if psy is not None:
-                lm = bt_all == 0
+                lm = bt_all != 2
                 if lm.any():
                     sfc = vloop.pick_sfc_rows(lsf_rows[lm])
                     p23[lm] += 11 * vloop._SLEN1[sfc] + 10 * vloop._SLEN2[sfc]

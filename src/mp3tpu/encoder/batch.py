@@ -39,7 +39,7 @@ from . import vloop, vloop_device
 from .huffcode import encode_granule
 from .mux import FrameSizer, ReservoirMux, build_xing_frame, \
     frame_capacity_bits
-from .psymodel import block_type_sequence
+from .psymodel import MDCT_ALIGN, align_to_mdct, block_type_sequence
 from ..tables.sfb import LONG
 from . import ENCODER_DELAY, SPF, SR_IDX, _short_flat_map
 
@@ -152,7 +152,10 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
         G_s.append(G)
         pad_s.append(padded)
         encpad_s.append(G * SPF - ENCODER_DELAY - n)
-        bts_s.append(block_type_sequence(padded, sample_rate)
+        # labels on the MDCT-aligned copy (see psymodel.MDCT_ALIGN):
+        # granule g's spectrum holds time content delayed by the
+        # analysis chain, so unshifted labels switch one granule early
+        bts_s.append(block_type_sequence(align_to_mdct(padded), sample_rate)
                      if short_blocks else np.zeros(G, np.int64))
     Gmax = max(G_s)
 
@@ -171,7 +174,10 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
     X = granule_spectra_device_handle(pcm_dev, bts_b, sample_rate)
     if noise_shaping:
         from .psy_device import analyze_batch_handle
-        rl_dev, rs_dev = analyze_batch_handle(pcm_dev, Gpad, sample_rate)
+        # align: the staged pcm is unshifted (the MDCT shares it); the
+        # psymodel's gather windows shift back by MDCT_ALIGN instead
+        rl_dev, rs_dev = analyze_batch_handle(pcm_dev, Gpad, sample_rate,
+                                              align=MDCT_ALIGN)
     else:
         rl_dev = jnp.zeros((Bpad, Gpad, 21), jnp.float32)
         rs_dev = jnp.zeros((Bpad, Gpad, 3, 12), jnp.float32)
@@ -274,7 +280,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
         """idx: gc indices (0..n_gc); budgets aligned with idx."""
         b = budgets.astype(np.int64)
         btr = bt_all[idx]
-        shaped_l = (btr == 0) & noise_shaping
+        shaped_l = (btr != 2) & noise_shaping
         shaped_s = (btr == 2) & noise_shaping
         plain = ~shaped_l & ~shaped_s
         o_ix = np.zeros((len(idx), 576), np.int16)
@@ -286,12 +292,18 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
         o_ts = np.zeros((len(idx), 3), np.int64)
         o_c1 = np.zeros(len(idx), np.int64)
         if shaped_l.any():
-            sel = np.nonzero(shaped_l)[0]
-            gg, sf, _has, ix, bits, ts, c1 = \
-                vloop_device.outer_rows_gathered(
-                    rows_dev, xminl_dev, vid[idx[sel]], b[sel], sample_rate)
-            o_ix[sel], o_gg[sel], o_lsf[sel] = ix, gg, sf
-            o_bits[sel], o_ts[sel], o_c1[sel] = bits, ts, c1
+            # long-LAYOUT rows: 0 plus start/stop 1/3 (long spectrum +
+            # long sfb shaping; block_type switches the region split)
+            for bt in (0, 1, 3):
+                sel = np.nonzero(shaped_l & (btr == bt))[0]
+                if not len(sel):
+                    continue
+                gg, sf, _has, ix, bits, ts, c1 = \
+                    vloop_device.outer_rows_gathered(
+                        rows_dev, xminl_dev, vid[idx[sel]], b[sel],
+                        sample_rate, block_type=int(bt))
+                o_ix[sel], o_gg[sel], o_lsf[sel] = ix, gg, sf
+                o_bits[sel], o_ts[sel], o_c1[sel] = bits, ts, c1
         if shaped_s.any():
             sel = np.nonzero(shaped_s)[0]
             gg, sf, sbg, _has, ix, bits, ts, c1 = \
@@ -316,7 +328,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
         p = hbits_a[idx].copy()
         btr = bt_all[idx]
         if noise_shaping:
-            lm = btr == 0
+            lm = btr != 2
             if lm.any():
                 sfc = vloop.pick_sfc_rows(lsf_a[idx[lm]])
                 p[lm] += 11 * vloop._SLEN1[sfc] + 10 * vloop._SLEN2[sfc]
@@ -380,7 +392,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
             p23[uidx] = p23_of(uidx)
 
     # ---- emission: native batched emitter -------------------------------
-    use_sf = noise_shaping & ((bt_all == 0) | (bt_all == 2))
+    use_sf = np.full(n_gc, bool(noise_shaping))
     from . import native_emit
     from ..bitstream import native as _nat
     import ctypes
@@ -409,7 +421,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
         for i in range(n_gc):
             b = int(bt_all[i])
             kw = {}
-            if use_sf[i] and b == 0:
+            if use_sf[i] and b != 2:
                 kw = dict(long_sf=lsf_a[i])
             if use_sf[i] and b == 2:
                 kw = dict(short_sf=ssf_a[i],

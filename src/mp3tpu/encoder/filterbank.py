@@ -75,11 +75,17 @@ def mdct_matrices() -> np.ndarray:
     """[4, 36, 18] forward windowed MDCT per block type: input is 36
     subband time samples (previous granule's 18 + current 18), output 18
     spectral lines. Built as the scaled transpose of the decoder's
-    windowed IMDCT — the sine-window MDCT/IMDCT pair is TDAC, so
-    analysis = (4/36) * synthesis^T gives exact reconstruction through
-    overlap-add."""
+    windowed IMDCT — the ISO window sequence is a lapped orthogonal
+    transform, so analysis = (4/2N) * synthesis^T reconstructs exactly
+    through overlap-add, where 2N is the MDCT size of the block: 36 for
+    long/start/stop, 12 for each of the short block's three sub-MDCTs
+    (the composite [18,36] short matrix stacks three size-12 transforms,
+    so its transpose needs 4/12, NOT 4/36 — verified by the legal-
+    sequence perfect-reconstruction test in test_encoder.py)."""
     inv = dfb.imdct_block_matrices()     # [4, 18, 36]
-    return (4.0 / 36.0) * inv.transpose(0, 2, 1)
+    fwd = (4.0 / 36.0) * inv.transpose(0, 2, 1)
+    fwd[2] *= 3.0                        # 4/12 for the short sub-MDCTs
+    return fwd
 
 
 @lru_cache(maxsize=None)

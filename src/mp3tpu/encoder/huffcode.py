@@ -246,7 +246,9 @@ def encode_granule(ix: np.ndarray, gg: int, sample_rate: int,
     g.big_values = bv
     bv2 = bv * 2
     w = BitWriter()
-    if long_sf is not None and block_type == 0 and long_sf.any():
+    # long scalefactor layout applies to block types 0/1/3 (start/stop
+    # granules keep the 576-line long spectrum and long sfb partition)
+    if long_sf is not None and block_type != 2 and long_sf.any():
         g.scalefac_compress = pick_scalefac_compress(long_sf)
         s1, s2 = int(SLEN1[g.scalefac_compress]), int(SLEN2[g.scalefac_compress])
         for b in range(11):

@@ -23,7 +23,13 @@ from .psymodel import (NFFT_L, NFFT_S, NMT_DB, RPELEV1, RPELEV2, SNR_S_DB,
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted(sample_rate: int, G: int):
+def _jitted(sample_rate: int, G: int, align: int = 0):
+    """align > 0 analyzes a copy of the signal delayed by that many
+    samples (psymodel.MDCT_ALIGN) WITHOUT materializing it: the
+    analysis-frame gather indices shift back instead, so the staged
+    device PCM is shared with the MDCT (which must see the unshifted
+    signal). Equivalent to analyze(align_to_mdct(pcm)) up to the
+    zero-fill at the start (asserted by tests)."""
     import jax
     import jax.numpy as jnp
     m = get_model(sample_rate)
@@ -36,14 +42,16 @@ def _jitted(sample_rate: int, G: int):
     w_s12 = f32(m.w_s[:, :12])
     win_l, win_s = f32(m.win_l), f32(m.win_s)
 
-    # analysis-frame gather indices (host-precomputed, shared across B)
+    # analysis-frame gather indices (host-precomputed, shared across B);
+    # both paths pad by NFFT_L so an aligned (shifted-back) start stays
+    # in range: min start = -(NFFT_L-SPF)//2 - align = -752 > -1024
     g = np.arange(G)
-    starts_l = g * SPF - (NFFT_L - SPF) // 2
+    starts_l = g * SPF - (NFFT_L - SPF) // 2 - align
     idx_l = jnp.asarray(starts_l[:, None] + NFFT_L + np.arange(NFFT_L)[None])
     sg = np.repeat(g, 3)
     wv = np.tile(np.arange(3), G)
-    starts_s = sg * SPF + wv * 192 - (NFFT_S - 192) // 2
-    idx_s = jnp.asarray(starts_s[:, None] + NFFT_S + np.arange(NFFT_S)[None])
+    starts_s = sg * SPF + wv * 192 - (NFFT_S - 192) // 2 - align
+    idx_s = jnp.asarray(starts_s[:, None] + NFFT_L + np.arange(NFFT_S)[None])
 
     @jax.jit
     def run(pcm):
@@ -84,10 +92,9 @@ def _jitted(sample_rate: int, G: int):
         en_sfb = eb @ w_l
         ratio_l = thm_sfb / jnp.maximum(en_sfb, 1e-30)
 
-        # short path for every granule (host masks non-short)
-        xs = jnp.concatenate([jnp.zeros((B, NFFT_S), jnp.float32), pcm,
-                              jnp.zeros((B, NFFT_S), jnp.float32)], axis=1)
-        frs = xs[:, idx_s] * win_s                   # [B, 3G, 256]
+        # short path for every granule (host masks non-short); shares
+        # the long path's NFFT_L-padded signal (aligned starts need it)
+        frs = x[:, idx_s] * win_s                    # [B, 3G, 256]
         es = jnp.abs(jnp.fft.rfft(frs, axis=2)) ** 2
         ebs = es @ red_s                             # [B, 3G, np_s]
         ecbs = ebs @ spread_s.T
@@ -104,24 +111,27 @@ def _jitted(sample_rate: int, G: int):
 
 
 def analyze_batch(pcm: np.ndarray, block_types: np.ndarray,
-                  sample_rate: int):
+                  sample_rate: int, align: int = 0):
     """pcm [B, G*576] (channels as rows), block_types [B, G].
 
     Returns (ratio_l [B,G,21] f64, ratio_s [B,G,3,12] f64) with the
-    non-short granules' ratio_s at the reference's unused sentinel."""
+    non-short granules' ratio_s at the reference's unused sentinel.
+    align: see _jitted (pass psymodel.MDCT_ALIGN when pcm is the raw
+    signal rather than an already-delayed copy)."""
     import jax.numpy as jnp
     B, n = pcm.shape
     G = n // SPF
-    rl, rs = _jitted(sample_rate, G)(jnp.asarray(pcm, jnp.float32))
+    rl, rs = _jitted(sample_rate, G, align)(jnp.asarray(pcm, jnp.float32))
     rl = np.asarray(rl, np.float64)
     rs = np.asarray(rs, np.float64)
     rs[block_types != 2] = 1e9
     return rl, rs
 
 
-def analyze_batch_handle(pcm_dev, G: int, sample_rate: int):
+def analyze_batch_handle(pcm_dev, G: int, sample_rate: int,
+                         align: int = 0):
     """As analyze_batch but takes a STAGED device pcm [B, G*576] f32
     and returns DEVICE ratio handles (the batch encoder combines them
     with band energies into xmin rows without a host round-trip).
     Non-short masking happens downstream on device."""
-    return _jitted(sample_rate, G)(pcm_dev)
+    return _jitted(sample_rate, G, align)(pcm_dev)

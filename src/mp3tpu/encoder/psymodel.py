@@ -43,6 +43,24 @@ SNR_S_DB = 14.5  # fixed short-block offset (mid tonality)
 RPELEV1 = 2.0   # pre-echo: vs previous granule/window threshold
 RPELEV2 = 16.0  # pre-echo: vs the one before
 
+# The E1+E2 analysis chain delays content: polyphase group delay
+# ((512-32)/2 = 240) + MDCT half-window (16 subband steps x 32 + centering
+# = 288), so granule g's MDCT spectrum holds the time range
+# [g*576 - 528, (g+1)*576 - 528). Psychoacoustic analysis and transient
+# labels must be computed on a 528-sample-delayed copy of the signal or
+# every block-switch/threshold decision lands one granule early (measured:
+# attack energy of an onset at granule-offset 219 appears in MDCT granule
+# g+1, which the unshifted labeler marked STOP — the pre-echo defect).
+MDCT_ALIGN = 528
+
+
+def align_to_mdct(pcm: np.ndarray) -> np.ndarray:
+    """Delay `pcm` ([n] or [n, ch]) by MDCT_ALIGN samples so that
+    time-granule indexing matches where content lands in MDCT granules."""
+    out = np.zeros_like(pcm)
+    out[MDCT_ALIGN:] = pcm[:-MDCT_ALIGN]
+    return out
+
 
 def _bark(f_hz: np.ndarray) -> np.ndarray:
     return 13.0 * np.arctan(0.00076 * f_hz) + \
@@ -252,22 +270,24 @@ def block_type_sequence(pcm: np.ndarray, sample_rate: int,
     G = len(x) // SPF
     # high-pass emphasizes attacks
     hp = np.diff(x, prepend=x[:1])
-    attack = np.zeros(G, bool)
-    prev_mean = floor
-    for g in range(G):
-        seg = hp[g * SPF:(g + 1) * SPF]
-        sub = seg.reshape(9, 64)
-        e = (sub ** 2).sum(axis=1) + floor
-        # rise vs the quietest earlier sub-block in the granule: catches
-        # windowed (gradual) onsets that adjacent-block ratios miss.
-        # The inter-granule condition (vs the previous granule's mean)
-        # rejects steady tones whose sub-block energies merely beat
-        # against the 64-sample analysis grid.
-        base = np.minimum.accumulate(np.concatenate([[e[0]], e[:-1]]))
-        attack[g] = bool((e / base > attack_ratio).any()
-                         and e.max() > 3.0 * prev_mean
-                         and e.max() > 1e-4)
-        prev_mean = max(float(e.mean()), floor)
+    # sub-block (64-sample) energies over the WHOLE signal: detection at
+    # sub-block level with a trailing cross-granule context window, so an
+    # attack straddling a granule boundary (tail inflating the previous
+    # granule, head starting the next) is never missed — the per-granule
+    # formulation reset its baseline at each boundary and lost exactly
+    # those onsets.
+    e = (hp[: G * SPF].reshape(G * 9, 64) ** 2).sum(axis=1) + floor
+    from numpy.lib.stride_tricks import sliding_window_view
+    prev = np.concatenate([np.full(9, e[0]), e[:-1]])
+    ctx = sliding_window_view(prev, 9)            # [G*9, 9] trailing blocks
+    base = ctx.min(axis=1)
+    tmean = ctx.mean(axis=1)
+    # rise vs the quietest recent sub-block catches windowed (gradual)
+    # onsets; the 3x-trailing-mean condition rejects steady tones whose
+    # sub-block energies merely beat against the 64-sample analysis grid
+    # (beat peak/mean stays well under 3 for any sinusoidal AM).
+    attack_sub = (e / base > attack_ratio) & (e > 3.0 * tmean) & (e > 1e-4)
+    attack = attack_sub.reshape(G, 9).any(axis=1)
     bt = np.zeros(G, np.int64)
     bt[attack] = 2
     # a short granule needs a start before and a stop after

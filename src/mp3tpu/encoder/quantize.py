@@ -67,13 +67,17 @@ def inner_rate_loop(xr: np.ndarray, budget_bits: int, sample_rate: int,
 
 
 def outer_distortion_loop(xr: np.ndarray, xmin: np.ndarray, budget_bits: int,
-                          sample_rate: int, max_iters: int = 16):
+                          sample_rate: int, max_iters: int = 16,
+                          block_type: int = 0):
     """Outer (distortion) + inner (rate) loops [Annex C.1.5.4]: raise
     per-band scalefactors (sqrt(2) amplification steps) on bands whose
     quantization noise exceeds the psymodel's allowed distortion, then
     re-run the rate loop, until bands fit or scalefactors saturate.
 
-    Long blocks only. Returns (ix, gg, long_sf[21]).
+    Long-layout blocks (block_type 0, 1 = start, 3 = stop — start/stop
+    granules keep the 576-line long spectrum and long scalefactor
+    bands; only the Huffman region split differs, which the bit counter
+    handles via block_type). Returns (ix, gg, long_sf[21]).
     """
     bands = LONG[sample_rate]
     sf = np.zeros(21, np.int32)
@@ -86,7 +90,8 @@ def outer_distortion_loop(xr: np.ndarray, xmin: np.ndarray, budget_bits: int,
         budget = budget_bits - scalefac_bits(sfc)
         if budget < 0:
             break
-        ix, gg = inner_rate_loop(xr * amp, budget, sample_rate, 0, lo=gg_lo)
+        ix, gg = inner_rate_loop(xr * amp, budget, sample_rate, block_type,
+                                 lo=gg_lo)
         gg_lo = gg
         deq = (np.abs(ix).astype(np.float64) ** (4.0 / 3.0)) *             2.0 ** ((gg - 210) / 4.0) / amp
         err = (np.abs(xr) - deq) ** 2
@@ -99,7 +104,7 @@ def outer_distortion_loop(xr: np.ndarray, xmin: np.ndarray, budget_bits: int,
         for b in np.nonzero(over)[0]:
             amp[bands[b]:bands[b + 1]] *= np.sqrt(2.0)
     if best is None:
-        ix, gg = inner_rate_loop(xr, budget_bits, sample_rate, 0)
+        ix, gg = inner_rate_loop(xr, budget_bits, sample_rate, block_type)
         return ix, gg, np.zeros(21, np.int32)
     return best
 

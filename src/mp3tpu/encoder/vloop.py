@@ -101,8 +101,10 @@ def pick_sfc_short_rows(short_sf: np.ndarray) -> np.ndarray:
 
 
 def outer_rows(xr: np.ndarray, xmin: np.ndarray, budget_bits: np.ndarray,
-               sample_rate: int, max_iters: int = 16):
-    """Lockstep outer_distortion_loop (long blocks).
+               sample_rate: int, max_iters: int = 16, block_type: int = 0):
+    """Lockstep outer_distortion_loop (long-layout blocks: 0/1/3 —
+    start/stop granules keep the long spectrum + long scalefactor
+    bands; block_type only changes the counter's region split).
 
     xr [R,576], xmin [R,21], budget_bits [R].
     Returns (ix [R,576], gg [R], long_sf [R,21])."""
@@ -136,7 +138,7 @@ def outer_rows(xr: np.ndarray, xmin: np.ndarray, budget_bits: np.ndarray,
             break
         budget = budget[~neg]
         ix, gg = inner_rate_rows(xr[act] * amp[act], budget,
-                                 sample_rate, 0, lo=gg_lo[act])
+                                 sample_rate, block_type, lo=gg_lo[act])
         # mirror the scalar loop exactly (gg_lo = gg, not max): after an
         # inner-loop no-fit (gg=210) the scalar bound RESETS, and a later
         # iteration may legitimately fit below the stale bound
@@ -160,7 +162,8 @@ def outer_rows(xr: np.ndarray, xmin: np.ndarray, budget_bits: np.ndarray,
     # falls back to the plain rate loop at full budget
     fb = ~has_best
     if fb.any():
-        ixf, ggf = inner_rate_rows(xr[fb], budget_bits[fb], sample_rate, 0)
+        ixf, ggf = inner_rate_rows(xr[fb], budget_bits[fb], sample_rate,
+                                   block_type)
         best_ix[fb] = ixf
         best_gg[fb] = ggf
         best_sf[fb] = 0

@@ -248,7 +248,11 @@ def _inner_bisect(jnp, C, p34, sign, budgets, lo0, short_split: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_outer_long(sample_rate: int, max_iters: int):
+def _jit_outer_long(sample_rate: int, max_iters: int,
+                    switched: bool = False):
+    """switched=True counts with the window-switched 2-region split
+    (start/stop granules, block types 1/3 — long spectrum + long sfb
+    shaping, switched Huffman regions)."""
     import jax
     import jax.numpy as jnp
     C = _device_consts(sample_rate)
@@ -285,7 +289,8 @@ def _jit_outer_long(sample_rate: int, max_iters: int):
                 [sf, jnp.zeros((R, 1), sf.dtype)], axis=1)   # band 21 = 0
             amp_line = jnp.exp2(sf21[:, bol].astype(jnp.float32) / 2.0)
             p34 = p34_base * amp_line ** 0.75
-            gg, has = _inner_bisect(jnp, C, p34, sign, budget, gg_lo, False)
+            gg, has = _inner_bisect(jnp, C, p34, sign, budget, gg_lo,
+                                    switched)
             upd = ~done & has
             best_gg = jnp.where(upd, gg, best_gg)
             best_sf = jnp.where(upd[:, None], sf, best_sf)
@@ -314,7 +319,7 @@ def _jit_outer_long(sample_rate: int, max_iters: int):
         # rows that never fit under shaping: plain rate loop, sf = 0
         gg_fb, has_fb = _inner_bisect(
             jnp, C, p34_base, sign, budget_bits,
-            jnp.zeros((R,), jnp.int32), False)
+            jnp.zeros((R,), jnp.int32), switched)
         best_gg = jnp.where(has_best, best_gg, gg_fb)
         best_sf = jnp.where(has_best[:, None], best_sf, 0)
         has_any = has_best | has_fb
@@ -325,7 +330,7 @@ def _jit_outer_long(sample_rate: int, max_iters: int):
         amp_line = jnp.exp2(sf21[:, bol].astype(jnp.float32) / 2.0)
         ix = _quantize(jnp, p34_base * amp_line ** 0.75, sign, best_gg)
         ix = jnp.where(has_any[:, None], ix, 0)
-        bits, selr, _bv, _k, c1sel = _count_rows(jnp, C, ix, False)
+        bits, selr, _bv, _k, c1sel = _count_rows(jnp, C, ix, switched)
         return (best_gg, best_sf, has_any, ix.astype(jnp.int16), bits,
                 selr.astype(jnp.int8), c1sel, done_end)
 
@@ -540,19 +545,20 @@ def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets):
 
 
 def outer_rows_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
-                        max_iters=16, first_pass=4):
+                        max_iters=16, first_pass=4, block_type=0):
     """Two-phase convergence compaction: run a SHORT outer loop for
     all rows (most converge in <=4 amplification steps), then rerun
     only the unconverged rows at the full iteration count — the loop
     trajectory is deterministic, so the rerun replays and extends it.
     Identical results to a single max_iters pass at ~40% of the
-    device work."""
-    fn = _jit_outer_long(sample_rate, first_pass)
+    device work. block_type 1/3 selects the window-switched region
+    split for the bit counter (start/stop shaping)."""
+    fn = _jit_outer_long(sample_rate, first_pass, bool(block_type))
     gg, sf, has, ix, bits, selr, c1, conv = _run_gathered(
         fn, xr_dev, xmin_dev, idx, budgets)
     redo = np.nonzero(~conv)[0]
     if len(redo):
-        fn2 = _jit_outer_long(sample_rate, max_iters)
+        fn2 = _jit_outer_long(sample_rate, max_iters, bool(block_type))
         g2, s2, h2, i2, b2, se2, c2, _ = _run_gathered(
             fn2, xr_dev, xmin_dev, idx[redo], budgets[redo])
         gg[redo], sf[redo], has[redo] = g2, s2, h2

@@ -166,7 +166,9 @@ int mp3tpu_encode_rows(const int16_t* ix, const uint8_t* block_type,
         split_spectrum(row, &bv, &c1n);
         int bv2 = bv * 2;
         int sfc = 0;
-        if (use_sf[r] && bt == 0) {
+        // long scalefactor layout covers block types 0/1/3
+        // (start/stop keep the long spectrum + long sfb bands)
+        if (use_sf[r] && bt != 2) {
             const int16_t* sf = long_sf + size_t(r) * 21;
             bool anysf = false;
             for (int b = 0; b < 21; b++) anysf |= sf[b] != 0;

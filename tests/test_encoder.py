@@ -315,3 +315,72 @@ def test_conformance_sweep_configs():
         assert k > 10000, cfg
         d = float(np.abs(a[:k] - b[:k]).max())
         assert d < 5e-6, (cfg, d)
+
+
+def test_mdct_legal_sequence_perfect_reconstruction():
+    """The forward MDCT matrices invert the decoder's windowed IMDCT
+    through overlap-add for a LEGAL block sequence (long, start, short,
+    stop) — pins the 4/12 short sub-MDCT scale (a 4/36 transpose is
+    only exact for long blocks; shorts came out at 1/3 amplitude)."""
+    from mp3tpu.encoder.filterbank import mdct_matrices
+    from mp3tpu.tables import filterbank as dfb
+    inv = dfb.imdct_block_matrices()
+    fwd = mdct_matrices()
+    rng = np.random.default_rng(0)
+    seq = [0, 0, 1, 2, 2, 2, 3, 0, 1, 2, 3, 0]
+    sub = rng.standard_normal((len(seq), 18))
+    ov = np.zeros(18)
+    for g, bt in enumerate(seq):
+        prev = sub[g - 1] if g else np.zeros(18)
+        X = np.concatenate([prev, sub[g]]) @ fwd[bt]
+        z = X @ inv[bt]
+        out = z[:18] + ov
+        ov = z[18:].copy()
+        if g >= 2:
+            assert np.abs(out - sub[g - 1]).max() < 1e-12, (g, bt)
+
+
+def test_attack_granule_reconstructs():
+    """End-to-end: an abrupt interior onset decodes cleanly through the
+    short-block granules — pins MDCT_ALIGN label alignment (labels land
+    on the granule whose SPECTRUM holds the attack) plus the short MDCT
+    scale. Both bugs made the onset granules decode as garbage."""
+    sig = np.zeros(SR)
+    sig[5000:] = 0.5 * np.sin(2 * np.pi * 440 * np.arange(SR - 5000) / SR)
+    mp3 = encode_pcm(sig, SR, bitrate=192, short_blocks=True)
+    pcm, _ = decode_file(mp3, output="float32")
+    d = pcm[:, 0] - sig
+    G = len(sig) // 576
+    eg = (d[: G * 576].reshape(G, 576) ** 2).mean(1)
+    sg = (sig[: G * 576].reshape(G, 576) ** 2).mean(1)
+    # every granule with signal decodes within -17 dB of its energy
+    # (the attack granule itself is the binding case)
+    m = sg > 1e-6
+    assert (eg[m] < 0.02 * sg[m]).all(), \
+        np.nonzero(~(eg[m] < 0.02 * sg[m]))[0]
+
+
+def test_psy_device_align_matches_host_shift():
+    """Device psymodel with align=MDCT_ALIGN == host analyze on an
+    align_to_mdct-shifted copy (the batch path shares the staged
+    unshifted PCM with the MDCT and shifts gather indices instead)."""
+    jax = pytest.importorskip("jax")
+    from mp3tpu.encoder.psy_device import analyze_batch
+    from mp3tpu.encoder.psymodel import (MDCT_ALIGN, align_to_mdct,
+                                         get_model)
+    rng = np.random.default_rng(1)
+    G = 8
+    pcm = rng.standard_normal(G * 576) * 0.2
+    # encoder inputs always end in >= ENCODER_DELAY+529 padding zeros;
+    # a zero tail is where host shift (drops samples) and device index
+    # shift (reads them) agree
+    pcm[-1024:] = 0.0
+    bts = np.zeros((1, G), np.int64)
+    bts[0, 3] = 2
+    rl_dev, rs_dev = analyze_batch(pcm[None], bts, SR, align=MDCT_ALIGN)
+    model = get_model(SR)
+    host = model.analyze(align_to_mdct(pcm), bts[0])
+    assert np.allclose(rl_dev[0], host.ratio_l, rtol=1e-2, atol=2e-5)
+    sm = bts[0] == 2
+    assert np.allclose(rs_dev[0, sm], host.ratio_s[sm], rtol=1e-2,
+                       atol=2e-5)

@@ -136,3 +136,26 @@ def test_put_array_equals_put():
     b.put_array(vals, lens)
     assert a.bits == b.bits
     assert a.to_bytes() == b.to_bytes()
+
+
+def test_outer_rows_switched_equals_scalar():
+    """Start/stop (bt 1/3) shaping: lockstep outer loop == scalar with
+    the window-switched region split in the bit counter."""
+    rng = np.random.default_rng(7)
+    R = 16
+    xr = np.zeros((R, 576))
+    for i in range(R):
+        n = int(rng.integers(30, 576))
+        xr[i, :n] = rng.normal(0, rng.uniform(0.05, 5.0), n)
+    budgets = rng.integers(500, 3500, R)
+    xmin = np.abs(rng.normal(0, 1e-3, (R, 21))) * \
+        10 ** rng.uniform(-3, 2, (R, 21))
+    for bt in (1, 3):
+        vix, vgg, vsf = vloop.outer_rows(xr, xmin, budgets, SR,
+                                         block_type=bt)
+        for i in range(R):
+            six, sgg, ssf = outer_distortion_loop(
+                xr[i], xmin[i], int(budgets[i]), SR, block_type=bt)
+            assert sgg == vgg[i]
+            assert np.array_equal(ssf, vsf[i])
+            assert np.array_equal(six, vix[i])
