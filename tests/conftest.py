@@ -31,3 +31,8 @@ if _platform == "cpu":
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_platform_name", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running soak/session tests")
