@@ -108,14 +108,18 @@ def _pow43(a: jax.Array) -> jax.Array:
 def granule_pipeline(is_, exp, block_type, mixed, smode, state, tables: DeviceTables,
                      use_pallas: bool = False):
     if use_pallas:
-        from .pallas_fused import fused_frontend
+        # RETIRED EXPERIMENT (M7): full C1-C5 fusion — reorder+alias+
+        # IMDCT as one composed block-diagonal matmul inside the
+        # kernel; XLA keeps only the scan-carried overlap-add and the
+        # synthesis FIR. Measured 6.7% SLOWER than the XLA path at
+        # 3 LSB parity (see pallas_fused.py header), so there is no
+        # production toggle — this branch exists for the parity test
+        # and future re-measurement only.
+        from .pallas_fused import fused_pipeline_z
         S, G = is_.shape[:2]
-        bt = block_type.astype(jnp.int32)
-        short = bt == 2
-        nat = fused_frontend(is_, exp, block_type, mixed, smode, tables,
+        z = fused_pipeline_z(is_, exp, block_type, mixed, smode, tables,
                              _SR_BY_TABLES[id(tables)])
-        v = nat.reshape(S, G, 2, 32, 18)
-        return _imdct_and_backend(v, bt, short, mixed, state, tables, S, G)
+        return _backend(z, state, tables, S, G)
     return _granule_pipeline_xla(is_, exp, block_type, mixed, smode, state, tables)
 
 
@@ -215,12 +219,10 @@ def quantize_i16(pcm: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_for(sample_rate: int, i16: bool = False, use_pallas: bool | None = None):
+def _jitted_for(sample_rate: int, i16: bool = False, use_pallas: bool = False):
     # tables are built eagerly (outside any trace) and captured as
-    # closure constants of the per-samplerate jitted function
-    if use_pallas is None:
-        import os
-        use_pallas = os.environ.get("MP3TPU_PALLAS") == "1"
+    # closure constants of the per-samplerate jitted function.
+    # use_pallas drives the retired M7 experiment (parity test only).
     tables = build_tables(sample_rate)
 
     @jax.jit

@@ -1,5 +1,8 @@
-"""Pallas fused front-end parity (TPU only; Pallas TPU kernels do not
-run on the CPU test backend — set MP3TPU_TEST_PLATFORM=tpu)."""
+"""Parity test for the RETIRED Pallas fusion experiment (SURVEY.md
+§7.3 M7 — see kernels/pallas_fused.py header for the measurements
+that retired it). Kept so the kernel stays re-measurable: it pins the
+full C1-C5 fused path (fused_pipeline_z) against the production XLA
+path. TPU only — set MP3TPU_TEST_PLATFORM=tpu."""
 import os
 
 import numpy as np
