@@ -105,11 +105,16 @@ class _RingConsumer:
         self.thread.start()
 
     def _run(self):
+        # NB: RingBuffer.pop(n) always returns n samples (zero-padded on
+        # underrun — realtime-callback semantics), so a consumer must
+        # drain by `fill`, not by chunk length: popping blindly spins at
+        # 100% CPU forever and never observes emptiness.
         while True:
-            chunk = self.ring.pop(1024)
-            self.samples += len(chunk)
-            if len(chunk) == 0:
-                if self.done.is_set() and self.ring.fill == 0:
+            avail = self.ring.fill
+            if avail:
+                self.samples += len(self.ring.pop(min(1024, avail)))
+            else:
+                if self.done.is_set():
                     return
                 time.sleep(0.0005)
 
@@ -161,6 +166,7 @@ def run_soak(total_audio_s: float = 3600.0, n_slots: int = 8,
         # ---- submit one wave (elastic refill: the scheduler is already
         # draining previous waves while these enqueue)
         wave_ids = []
+        wave_consumers = []
         for _ in range(wave_streams):
             if submitted_audio >= total_audio_s:
                 break
@@ -173,7 +179,9 @@ def run_soak(total_audio_s: float = 3600.0, n_slots: int = 8,
             if sid % ring_every == ring_every - 1 and not corrupted:
                 ring = RingBuffer(1 << 15, 2)
                 sink = RingSink(ring)
-                consumers.append(_RingConsumer(ring))
+                c = _RingConsumer(ring)
+                consumers.append(c)
+                wave_consumers.append(c)
                 report["n_ring_consumers"] += 1
             else:
                 sink = CollectSink()
@@ -192,6 +200,14 @@ def run_soak(total_audio_s: float = 3600.0, n_slots: int = 8,
         sched.run()
         w = time.time() - t0
         d = sched.metrics.samples_out - s0
+        # release this wave's ring consumers once its streams are fully
+        # routed — they drain the tail and exit. (Leaving every consumer
+        # spinning until session end monotonically degraded the measured
+        # realtime factor ~3x over an hour on the 1-core host — a
+        # harness artifact, not scheduler decay: RSS stayed flat and the
+        # decay tracked live-thread count, not session length.)
+        for c in wave_consumers:
+            c.done.set()
         report["waves"].append({
             "streams": len(wave_ids),
             "audio_s": round(d / SR, 2),
