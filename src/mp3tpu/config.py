@@ -23,6 +23,15 @@ class DecodeConfig:
     batch_max_mb: int = 512        # host staging cap per chunk; longer
     #                                chunks stream via the scheduler path
     plane_bits: int = 4            # initial packed spectrum plane (4/8/12)
+    d2h_segments: int = 4          # split the batch scan into K dispatches
+    #                                and overlap segment k-1's PCM download
+    #                                (copy_to_host_async) with segment k's
+    #                                compute (P4). Measured on the dev
+    #                                tunnel (tools/d2h_overlap_timing.py,
+    #                                interleaved): K=4 lifts decode_batch
+    #                                from ~97-99x to ~146x median (~1.5x),
+    #                                ~1.15x best-case; K=8 is on par, K=1
+    #                                = single dispatch.
 
 
 @dataclass(frozen=True)

@@ -312,14 +312,42 @@ def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg):
         for k in keys:
             win_dev[k].append(jnp.asarray(np.ascontiguousarray(b[k][w]))
                               if w < n_win else zeros[k])
-    pcm_dev, _st = kp.decode_windows_scan_i16(
-        win_dev["is12"], win_dev["esc"], win_dev["exp"], win_dev["bt"],
-        win_dev["mx"], win_dev["smode"], state, rate,
-        plane_bits=plane_bits)
-    # slice the bucket padding off ON DEVICE before the transfer — D2H
-    # over this tunnel is the API's wall (~0.04 GB/s measured; H2D runs
-    # >10x faster), so every downloaded byte counts
-    pcm = np.asarray(pcm_dev[:, : n_win * win * 576])  # [S, Gpad*576, 2]
+    segs = cfg.d2h_segments
+    if segs > 1 and nb % segs == 0 and nb > segs:
+        # P4 D2H overlap: K scan dispatches over contiguous window
+        # segments (state threads through — bit-identical to the single
+        # scan), with each finished segment's PCM download started
+        # asynchronously while the next segment computes. Fully-padded
+        # segments are never dispatched, and the last live segment is
+        # trimmed on device so pad windows are never downloaded.
+        per = nb // segs
+        parts = []
+        st = state
+        for j in range(segs):
+            lo = j * per
+            live = min(n_win - lo, per)   # windows with real content
+            if live <= 0:
+                break                     # rest is bucket padding
+            args = [win_dev[k][lo: lo + per] for k in keys]
+            pcm_j, st = kp.decode_windows_scan_i16(
+                *args, st, rate, plane_bits=plane_bits)
+            if live < per:
+                pcm_j = pcm_j[:, : live * win * 576]
+            try:
+                pcm_j.copy_to_host_async()
+            except Exception:
+                pass
+            parts.append(pcm_j)
+        pcm = np.concatenate([np.asarray(p) for p in parts], axis=1)
+    else:
+        pcm_dev, _st = kp.decode_windows_scan_i16(
+            win_dev["is12"], win_dev["esc"], win_dev["exp"], win_dev["bt"],
+            win_dev["mx"], win_dev["smode"], state, rate,
+            plane_bits=plane_bits)
+        # slice the bucket padding off ON DEVICE before the transfer —
+        # D2H over this tunnel is the API's wall (~0.04 GB/s measured;
+        # H2D runs >10x faster), so every downloaded byte counts
+        pcm = np.asarray(pcm_dev[:, : n_win * win * 576])  # [S, Gpad*576, 2]
 
     from .dsp.gapless import gapless_bounds
     for k, i in enumerate(chunk):

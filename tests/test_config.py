@@ -116,6 +116,25 @@ def test_fast_batch_path_obeys_config(mp3):
         assert np.array_equal(a, b)
 
 
+def test_fast_batch_d2h_segments_bit_identical(mp3):
+    """The segmented-dispatch D2H-overlap path (d2h_segments > 1)
+    threads decode state across segment dispatches, never downloads
+    pad windows, and stays bit-identical to the single-dispatch scan."""
+    from mp3tpu.bitstream import native
+    from mp3tpu.pipeline import decode_files
+    if not native.available():
+        pytest.skip("native unpacker unavailable")
+    ref = decode_files([mp3, mp3])
+    # win=16 -> n_win=3, bucket nb=4; segs=2 exercises a trimmed final
+    # live segment AND the state carry across the segment boundary
+    set_active(Config(decode=DecodeConfig(
+        window_granules=16, d2h_segments=2)))
+    got = decode_files([mp3, mp3])
+    for (a, sra), (b, srb) in zip(ref, got):
+        assert sra == srb
+        assert np.array_equal(a, b)
+
+
 def test_fast_batch_memory_cap_falls_back(mp3):
     """A chunk whose staging buffers would exceed batch_max_mb streams
     through the scheduler path instead — same PCM, no fast-path OOM."""
