@@ -119,7 +119,20 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
     count and sample rate) to MP3 bytes. See module docstring."""
     if sample_rate not in SR_IDX or bitrate not in BITRATES_V1_L3:
         raise ValueError("unsupported sample rate or bitrate")
+    import os
+    import time
     import jax.numpy as jnp
+    _prof = os.environ.get("MP3TPU_ENCODE_PROFILE") == "1"
+    _t0 = time.perf_counter()
+    _ph: dict = {}
+
+    def _mark(name):
+        # phase walls (downloads inside each phase act as sync points)
+        nonlocal _t0
+        if _prof:
+            t = time.perf_counter()
+            _ph[name] = _ph.get(name, 0.0) + t - _t0
+            _t0 = t
     arrs = []
     for p in pcms:
         a = np.asarray(p, np.float64)
@@ -158,6 +171,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
         bts_s.append(block_type_sequence(align_to_mdct(padded), sample_rate)
                      if short_blocks else np.zeros(G, np.int64))
     Gmax = max(G_s)
+    _mark('host_prep_labels')
 
     # ---- stage once; transform + psymodel on device ---------------------
     from .device import granule_spectra_device_handle, stage_chunked
@@ -171,6 +185,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
             pcm_b[s * nch + c, : G_s[s] * SPF] = pad_s[s][:, c]
             bts_b[s * nch + c, : G_s[s]] = bts_s[s]
     pcm_dev = stage_chunked(pcm_b)
+    _mark('stage')
     X = granule_spectra_device_handle(pcm_dev, bts_b, sample_rate)
     if noise_shaping:
         from .psy_device import analyze_batch_handle
@@ -181,6 +196,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
     else:
         rl_dev = jnp.zeros((Bpad, Gpad, 21), jnp.float32)
         rs_dev = jnp.zeros((Bpad, Gpad, 3, 12), jnp.float32)
+    _mark('transform_psy_dispatch')
 
     # ---- MS decision from device energies -------------------------------
     energies, prep = _prep_jits(sample_rate, nch)
@@ -188,6 +204,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
     e_m = np.asarray(e_m)
     e_s = np.asarray(e_s)
     e_gc = np.asarray(e_gc, np.float64)                    # [B', nch, G]
+    _mark('energies_download')
     ms_s = []
     msg_b = np.zeros((Bpad // nch if nch == 2 else Bpad, Gpad), bool)
     for s in range(B):
@@ -208,6 +225,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
     short_row = (bt_pad.reshape(-1) == 2)
     rows_dev, xminl_dev, xmins_dev = prep(
         X, jnp.asarray(msg_b), rl_dev, rs_dev, jnp.asarray(short_row))
+    _mark('prep_dispatch')
 
     # valid-row ids (skips pad streams/granules), aligned with the
     # frame-major gc order the mux consumes
@@ -265,6 +283,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
         loud_s.append(loud_f)
         feed_s.append(feed_f)
         granted_s.append(granted)
+    _mark('passA_walk')
 
     # ---- device quantization --------------------------------------------
     ix_a = np.zeros((n_gc, 576), np.int16)
@@ -344,6 +363,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
     (ix_a[:], gg_a[:], lsf_a[:], ssf_a[:], sbg_a[:], hbits_a[:],
      tsel_a[:], c1t_a[:]) = quantize_rows_dev(idx_all, budgets_a)
     p23 = p23_of(idx_all)
+    _mark('quantize_all')
 
     # ---- pass-B upgrade walk per stream, one batched re-quantize --------
     if reservoir:
@@ -390,6 +410,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
              hbits_a[uidx], tsel_a[uidx], c1t_a[uidx]) = \
                 quantize_rows_dev(uidx, ubud)
             p23[uidx] = p23_of(uidx)
+    _mark('passB_upgrade')
 
     # ---- emission: native batched emitter -------------------------------
     use_sf = np.full(n_gc, bool(noise_shaping))
@@ -437,6 +458,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
     # count == emit contract the reservoir replay depends on
     assert np.array_equal(meta[:, 0].astype(np.int64), p23), \
         "emitter/count drift"
+    _mark('emit')
 
     def rows_host(gi):
         """Download the few rows a refit needs (rare overdrafts)."""
@@ -503,4 +525,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
                                     encoder_padding=encpad_s[s])
             body = xing + body
         out.append(body)
+    _mark('mux')
+    if _prof:
+        print('MP3TPU_ENCODE_PROFILE', {k: round(v, 3) for k, v in _ph.items()}, flush=True)
     return out

@@ -492,23 +492,39 @@ def _pad(a, R):
     return np.concatenate([a, pad], axis=0)
 
 
+def _materialize(blocks):
+    """[(n_valid, device_outputs)] -> host tuples, one concat per output.
+    Downloads were started async right after each dispatch, so device
+    compute of later blocks overlaps earlier blocks' D2H (the dominant
+    cost on a tunneled host: per-download latency is ~100-200 ms)."""
+    outs = [[] for _ in blocks[0][1]]
+    for cnt, block in blocks:
+        for acc, o in zip(outs, block):
+            acc.append(np.asarray(o)[:cnt])
+    return tuple(np.concatenate(acc) for acc in outs)
+
+
+def _async_copy(block):
+    for o in block:
+        try:
+            o.copy_to_host_async()
+        except Exception:
+            pass
+
+
 def _run_padded(fn, n_rows, *arrays):
     """Dispatch in fixed MACRO-row blocks (stable compiled shapes)."""
     import jax.numpy as jnp
     MACRO = _dims()[1]
-    outs = None
+    blocks = []
     for lo in range(0, max(n_rows, 1), MACRO):
         hi = min(lo + MACRO, n_rows)
         args = [jnp.asarray(_pad(np.ascontiguousarray(a[lo:hi]), MACRO))
                 for a in arrays]
         block = fn(*args)
-        block = tuple(np.asarray(o)[: hi - lo] for o in block)
-        if outs is None:
-            outs = [[b] for b in block]
-        else:
-            for acc, b in zip(outs, block):
-                acc.append(b)
-    return tuple(np.concatenate(acc) for acc in outs)
+        _async_copy(block)
+        blocks.append((hi - lo, block))
+    return _materialize(blocks)
 
 
 _TID = np.asarray(TABLE_IDS)
@@ -521,7 +537,7 @@ def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets):
     on device (SURVEY.md §3.4 — one host/device boundary per batch)."""
     import jax.numpy as jnp
     MACRO = _dims()[1]
-    outs = None
+    blocks = []
     n = len(idx)
     for lo in range(0, max(n, 1), MACRO):
         hi = min(lo + MACRO, n)
@@ -535,50 +551,34 @@ def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets):
         bud[: hi - lo] = budgets[lo:hi]
         args.append(jnp.asarray(bud))
         block = fn(*args)
-        block = tuple(np.asarray(o)[: hi - lo] for o in block)
-        if outs is None:
-            outs = [[b] for b in block]
-        else:
-            for acc, b in zip(outs, block):
-                acc.append(b)
-    return tuple(np.concatenate(acc) for acc in outs)
+        _async_copy(block)
+        blocks.append((hi - lo, block))
+    return _materialize(blocks)
 
 
 def outer_rows_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
-                        max_iters=16, first_pass=4, block_type=0):
-    """Two-phase convergence compaction: run a SHORT outer loop for
-    all rows (most converge in <=4 amplification steps), then rerun
-    only the unconverged rows at the full iteration count — the loop
-    trajectory is deterministic, so the rerun replays and extends it.
-    Identical results to a single max_iters pass at ~40% of the
-    device work. block_type 1/3 selects the window-switched region
-    split for the bit counter (start/stop shaping)."""
-    fn = _jit_outer_long(sample_rate, first_pass, bool(block_type))
-    gg, sf, has, ix, bits, selr, c1, conv = _run_gathered(
+                        max_iters=16, block_type=0):
+    """One full-depth outer-loop pass for all rows. (An earlier
+    two-phase convergence compaction — 4 iters for everyone, full
+    replay for the unconverged tail — was retired after tunnel
+    profiling: on shaped music content <1% of rows converge in 4
+    iters, so the short pass only added a second full set of
+    dispatches and ~28 MB of discarded ix downloads; encode_batch
+    quantize wall dropped ~2x without it.) block_type 1/3 selects the
+    window-switched region split for the bit counter (start/stop
+    shaping)."""
+    fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
+    gg, sf, has, ix, bits, selr, c1, _conv = _run_gathered(
         fn, xr_dev, xmin_dev, idx, budgets)
-    redo = np.nonzero(~conv)[0]
-    if len(redo):
-        fn2 = _jit_outer_long(sample_rate, max_iters, bool(block_type))
-        g2, s2, h2, i2, b2, se2, c2, _ = _run_gathered(
-            fn2, xr_dev, xmin_dev, idx[redo], budgets[redo])
-        gg[redo], sf[redo], has[redo] = g2, s2, h2
-        ix[redo], bits[redo], selr[redo], c1[redo] = i2, b2, se2, c2
     return gg, sf, has, ix, bits.astype(np.int64), \
         _TID[selr.astype(np.int64)], c1.astype(np.int64)
 
 
 def outer_rows_short_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
-                              max_iters=12, first_pass=4):
-    fn = _jit_outer_short(sample_rate, first_pass)
-    gg, sf, sbg, has, ix, bits, selr, c1, conv = _run_gathered(
+                              max_iters=12):
+    fn = _jit_outer_short(sample_rate, max_iters)
+    gg, sf, sbg, has, ix, bits, selr, c1, _conv = _run_gathered(
         fn, xr_dev, xmin_dev, idx, budgets)
-    redo = np.nonzero(~conv)[0]
-    if len(redo):
-        fn2 = _jit_outer_short(sample_rate, max_iters)
-        g2, s2, sb2, h2, i2, b2, se2, c2, _ = _run_gathered(
-            fn2, xr_dev, xmin_dev, idx[redo], budgets[redo])
-        gg[redo], sf[redo], sbg[redo], has[redo] = g2, s2, sb2, h2
-        ix[redo], bits[redo], selr[redo], c1[redo] = i2, b2, se2, c2
     return gg, sf, sbg, has, ix, bits.astype(np.int64), \
         _TID[selr.astype(np.int64)], c1.astype(np.int64)
 
