@@ -295,27 +295,46 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
     tsel_a = np.zeros((n_gc, 3), np.int64)
     c1t_a = np.zeros(n_gc, np.int64)
 
-    def quantize_rows_dev(idx, budgets):
-        """idx: gc indices (0..n_gc); budgets aligned with idx."""
+    def quantize_rows_dev(idx, budgets, defer=False):
+        """idx: gc indices (0..n_gc); budgets aligned with idx.
+
+        defer=True dispatches the same device loops but downloads ONLY
+        the pass-B planning outputs (bits + scalefactors); the spectra
+        stay on device. Returns ((bits, lsf, ssf), pend_list) where
+        pend_list entries are (sel_local, kind, _Pending) for
+        finalize_pending — on this tunnel D2H is the dominant encode
+        cost and ~99% of pass-A rows are re-quantized by pass B, so
+        eager full downloads would be almost entirely wasted bytes."""
         b = budgets.astype(np.int64)
         btr = bt_all[idx]
         shaped_l = (btr != 2) & noise_shaping
         shaped_s = (btr == 2) & noise_shaping
         plain = ~shaped_l & ~shaped_s
-        o_ix = np.zeros((len(idx), 576), np.int16)
-        o_gg = np.full(len(idx), 210, np.int64)
         o_lsf = np.zeros((len(idx), 21), np.int64)
         o_ssf = np.zeros((len(idx), 3, 12), np.int64)
-        o_sbg = np.zeros((len(idx), 3), np.int64)
         o_bits = np.zeros(len(idx), np.int64)
-        o_ts = np.zeros((len(idx), 3), np.int64)
-        o_c1 = np.zeros(len(idx), np.int64)
+        if defer:
+            pend_list = []
+        else:
+            o_ix = np.zeros((len(idx), 576), np.int16)
+            o_gg = np.full(len(idx), 210, np.int64)
+            o_sbg = np.zeros((len(idx), 3), np.int64)
+            o_ts = np.zeros((len(idx), 3), np.int64)
+            o_c1 = np.zeros(len(idx), np.int64)
         if shaped_l.any():
             # long-LAYOUT rows: 0 plus start/stop 1/3 (long spectrum +
             # long sfb shaping; block_type switches the region split)
             for bt in (0, 1, 3):
                 sel = np.nonzero(shaped_l & (btr == bt))[0]
                 if not len(sel):
+                    continue
+                if defer:
+                    (sf, bits), pend = \
+                        vloop_device.outer_rows_gathered_light(
+                            rows_dev, xminl_dev, vid[idx[sel]], b[sel],
+                            sample_rate, block_type=int(bt))
+                    o_lsf[sel], o_bits[sel] = sf, bits
+                    pend_list.append((sel, "long", pend))
                     continue
                 gg, sf, _has, ix, bits, ts, c1 = \
                     vloop_device.outer_rows_gathered(
@@ -325,22 +344,63 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
                 o_bits[sel], o_ts[sel], o_c1[sel] = bits, ts, c1
         if shaped_s.any():
             sel = np.nonzero(shaped_s)[0]
-            gg, sf, sbg, _has, ix, bits, ts, c1 = \
-                vloop_device.outer_rows_short_gathered(
-                    rows_dev, xmins_dev, vid[idx[sel]], b[sel], sample_rate)
-            o_ix[sel], o_gg[sel] = ix, gg
-            o_ssf[sel], o_sbg[sel] = sf, sbg
-            o_bits[sel], o_ts[sel], o_c1[sel] = bits, ts, c1
+            if defer:
+                (sf, bits), pend = \
+                    vloop_device.outer_rows_short_gathered_light(
+                        rows_dev, xmins_dev, vid[idx[sel]], b[sel],
+                        sample_rate)
+                o_ssf[sel], o_bits[sel] = sf, bits
+                pend_list.append((sel, "short", pend))
+            else:
+                gg, sf, sbg, _has, ix, bits, ts, c1 = \
+                    vloop_device.outer_rows_short_gathered(
+                        rows_dev, xmins_dev, vid[idx[sel]], b[sel],
+                        sample_rate)
+                o_ix[sel], o_gg[sel] = ix, gg
+                o_ssf[sel], o_sbg[sel] = sf, sbg
+                o_bits[sel], o_ts[sel], o_c1[sel] = bits, ts, c1
         if plain.any():
             for bt in np.unique(btr[plain]):
                 sel = np.nonzero(plain & (btr == bt))[0]
+                if defer:
+                    (bits,), pend = vloop_device.rate_rows_gathered_light(
+                        rows_dev, vid[idx[sel]], b[sel], sample_rate,
+                        int(bt))
+                    o_bits[sel] = bits
+                    pend_list.append((sel, "rate", pend))
+                    continue
                 gg, _has, ix, bits, ts, c1 = \
                     vloop_device.rate_rows_gathered(
                         rows_dev, vid[idx[sel]], b[sel], sample_rate,
                         int(bt))
                 o_ix[sel], o_gg[sel] = ix, gg
                 o_bits[sel], o_ts[sel], o_c1[sel] = bits, ts, c1
+        if defer:
+            return (o_bits, o_lsf, o_ssf), pend_list
         return o_ix, o_gg, o_lsf, o_ssf, o_sbg, o_bits, o_ts, o_c1
+
+    def finalize_pending(pend_list, keep_mask):
+        """Download pass-A results for the rows pass B will NOT
+        re-quantize (identical values to the eager path: same device
+        Arrays, post-processed by the same post_* helpers)."""
+        for sel, kind, pend in pend_list:
+            loc = np.nonzero(keep_mask[sel])[0]
+            if not len(loc):
+                continue
+            tgt = sel[loc]
+            raw = pend.fetch_rows(loc)
+            if kind == "long":
+                gg, sf, _has, ix, bits, ts, c1 = vloop_device.post_long(raw)
+                ix_a[tgt], gg_a[tgt], lsf_a[tgt] = ix, gg, sf
+            elif kind == "short":
+                gg, sf, sbg, _has, ix, bits, ts, c1 = \
+                    vloop_device.post_short(raw)
+                ix_a[tgt], gg_a[tgt] = ix, gg
+                ssf_a[tgt], sbg_a[tgt] = sf, sbg
+            else:
+                gg, _has, ix, bits, ts, c1 = vloop_device.post_rate(raw)
+                ix_a[tgt], gg_a[tgt] = ix, gg
+            hbits_a[tgt], tsel_a[tgt], c1t_a[tgt] = bits, ts, c1
 
     def p23_of(idx):
         """part2_3_length = exact huffman bits + scalefactor side bits."""
@@ -360,8 +420,15 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
     idx_all = np.arange(n_gc)
     budgets_a = np.concatenate([np.repeat(granted_s[s], 2 * nch)
                                 for s in range(B)])
-    (ix_a[:], gg_a[:], lsf_a[:], ssf_a[:], sbg_a[:], hbits_a[:],
-     tsel_a[:], c1t_a[:]) = quantize_rows_dev(idx_all, budgets_a)
+    if reservoir:
+        # pass A downloads only what the upgrade walk consumes (bits +
+        # scalefactors, ~90 B/row); spectra stay on device until we
+        # know which rows pass B re-quantizes (typically ~99%)
+        (hbits_a[:], lsf_a[:], ssf_a[:]), pend_a = \
+            quantize_rows_dev(idx_all, budgets_a, defer=True)
+    else:
+        (ix_a[:], gg_a[:], lsf_a[:], ssf_a[:], sbg_a[:], hbits_a[:],
+         tsel_a[:], c1t_a[:]) = quantize_rows_dev(idx_all, budgets_a)
     p23 = p23_of(idx_all)
     _mark('quantize_all')
 
@@ -403,8 +470,18 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
                 upg_idx_parts.append(gidx)
                 upg_bud_parts.append(np.repeat(final[upg_f], 2 * nch))
                 granted_s[s] = final
+        keep_mask = np.ones(n_gc, bool)
         if upg_idx_parts:
             uidx = np.concatenate(upg_idx_parts)
+            keep_mask[uidx] = False
+            if _prof:
+                _ph['upgraded_rows'] = len(uidx)
+                _ph['total_rows'] = n_gc
+        # rows pass B leaves alone: download their pass-A results now
+        # (pass A's idx is arange(n_gc), so local positions == gc ids)
+        finalize_pending(pend_a, keep_mask)
+        pend_a = None
+        if upg_idx_parts:
             ubud = np.concatenate(upg_bud_parts)
             (ix_a[uidx], gg_a[uidx], lsf_a[uidx], ssf_a[uidx], sbg_a[uidx],
              hbits_a[uidx], tsel_a[uidx], c1t_a[uidx]) = \

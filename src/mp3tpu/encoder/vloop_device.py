@@ -492,31 +492,140 @@ def _pad(a, R):
     return np.concatenate([a, pad], axis=0)
 
 
+#: wall-clock split of the block runners, populated when
+#: MP3TPU_ENCODE_PROFILE=1 (keys: dispatch_s, materialize_s, rows,
+#: dl_bytes) — read by tools/ profiling probes.
+PROF: dict = {}
+
+
+def _prof_add(key, v):
+    import os
+    if os.environ.get("MP3TPU_ENCODE_PROFILE") == "1":
+        PROF[key] = PROF.get(key, 0) + v
+
+
 def _materialize(blocks):
     """[(n_valid, device_outputs)] -> host tuples, one concat per output.
     Downloads were started async right after each dispatch, so device
     compute of later blocks overlaps earlier blocks' D2H (the dominant
     cost on a tunneled host: per-download latency is ~100-200 ms)."""
+    import time
+    t0 = time.perf_counter()
     outs = [[] for _ in blocks[0][1]]
+    nbytes = 0
     for cnt, block in blocks:
         for acc, o in zip(outs, block):
-            acc.append(np.asarray(o)[:cnt])
+            h = np.asarray(o)
+            nbytes += h.nbytes
+            acc.append(h[:cnt])
+    _prof_add("materialize_s", time.perf_counter() - t0)
+    _prof_add("dl_bytes", nbytes)
     return tuple(np.concatenate(acc) for acc in outs)
 
 
-def _async_copy(block):
-    for o in block:
+def _async_copy(block, only=None):
+    for i, o in enumerate(block):
+        if only is not None and i not in only:
+            continue
         try:
             o.copy_to_host_async()
         except Exception:
             pass
 
 
+@functools.lru_cache(maxsize=None)
+def _gather_fn(n_blocks: int, n_outs: int):
+    """One-dispatch device gather over per-output block lists: concat
+    the MACRO blocks and take the requested rows. Compiled per
+    (block-count, output-count) structure; jax re-specializes per
+    row-bucket size (buckets are powers of two, so the set is small)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def g(rows, *flat):
+        outs = []
+        for o in range(n_outs):
+            parts = [flat[b * n_outs + o] for b in range(n_blocks)]
+            cat = parts[0] if n_blocks == 1 else jnp.concatenate(parts)
+            outs.append(jnp.take(cat, rows, axis=0))
+        return tuple(outs)
+
+    return g
+
+
+class _Pending:
+    """Deferred block results: device Arrays kept un-downloaded so the
+    caller can decide LATER which outputs/rows to pay D2H for (on this
+    tunnel D2H is ~0.04 GB/s at every size — the dominant encode cost).
+    Used by encode_batch's two-pass reservoir walk: pass A only needs
+    per-row bit counts + scalefactors to plan upgrades, and ~99% of
+    rows are re-quantized in pass B, so downloading pass-A spectra
+    up front is almost entirely wasted bytes."""
+
+    def __init__(self, blocks, n):
+        self.blocks = blocks          # [(valid_count, tuple(Array))]
+        self.n = n
+
+    def take(self, *out_idx):
+        """Download ONLY the selected outputs (per-output Arrays are
+        independent, so untouched outputs never cross the tunnel)."""
+        import time
+        t0 = time.perf_counter()
+        for _cnt, blk in self.blocks:
+            _async_copy(blk, only=set(out_idx))
+        outs = []
+        nbytes = 0
+        for i in out_idx:
+            parts = []
+            for cnt, blk in self.blocks:
+                h = np.asarray(blk[i])
+                nbytes += h.nbytes
+                parts.append(h[:cnt])
+            outs.append(np.concatenate(parts))
+        _prof_add("materialize_s", time.perf_counter() - t0)
+        _prof_add("dl_bytes", nbytes)
+        return tuple(outs)
+
+    def fetch_rows(self, rows):
+        """Full outputs for the given local row positions. Small row
+        sets ride a one-dispatch device gather (padded to a power-of-two
+        bucket); large ones just materialize the blocks."""
+        import time
+        rows = np.asarray(rows, np.int64)
+        total = sum(cnt for cnt, _ in self.blocks)
+        if len(rows) > total // 4:
+            full = _materialize(self.blocks)
+            return tuple(o[rows] for o in full)
+        import jax.numpy as jnp
+        t0 = time.perf_counter()
+        n_outs = len(self.blocks[0][1])
+        bucket = max(256, 1 << int(len(rows) - 1).bit_length())
+        rp = np.zeros(bucket, np.int64)
+        rp[: len(rows)] = rows
+        flat = [a for _, blk in self.blocks for a in blk]
+        out = _gather_fn(len(self.blocks), n_outs)(jnp.asarray(rp), *flat)
+        _async_copy(out)
+        _prof_add("dispatch_s", time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        hs = []
+        nbytes = 0
+        for o in out:
+            h = np.asarray(o)
+            nbytes += h.nbytes
+            hs.append(h[: len(rows)])
+        _prof_add("materialize_s", time.perf_counter() - t0)
+        _prof_add("dl_bytes", nbytes)
+        return tuple(hs)
+
+
 def _run_padded(fn, n_rows, *arrays):
     """Dispatch in fixed MACRO-row blocks (stable compiled shapes)."""
+    import time
     import jax.numpy as jnp
     MACRO = _dims()[1]
     blocks = []
+    t0 = time.perf_counter()
     for lo in range(0, max(n_rows, 1), MACRO):
         hi = min(lo + MACRO, n_rows)
         args = [jnp.asarray(_pad(np.ascontiguousarray(a[lo:hi]), MACRO))
@@ -524,21 +633,28 @@ def _run_padded(fn, n_rows, *arrays):
         block = fn(*args)
         _async_copy(block)
         blocks.append((hi - lo, block))
+    _prof_add("dispatch_s", time.perf_counter() - t0)
+    _prof_add("rows", n_rows)
     return _materialize(blocks)
 
 
 _TID = np.asarray(TABLE_IDS)
 
 
-def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets):
+def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=False):
     """Run MACRO blocks gathering rows from DEVICE-resident tensors
     (no host round-trip of the spectra): idx/budgets are small host
     arrays; xr_dev [N,576] f32 and optional xmin_dev [N,...] f32 live
-    on device (SURVEY.md §3.4 — one host/device boundary per batch)."""
+    on device (SURVEY.md §3.4 — one host/device boundary per batch).
+
+    defer=True returns a _Pending instead of downloading: no D2H is
+    started, so the caller can pay only for the outputs/rows it needs."""
+    import time
     import jax.numpy as jnp
     MACRO = _dims()[1]
     blocks = []
     n = len(idx)
+    t0 = time.perf_counter()
     for lo in range(0, max(n, 1), MACRO):
         hi = min(lo + MACRO, n)
         sel = np.zeros(MACRO, np.int64)
@@ -551,9 +667,34 @@ def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets):
         bud[: hi - lo] = budgets[lo:hi]
         args.append(jnp.asarray(bud))
         block = fn(*args)
-        _async_copy(block)
+        if not defer:
+            _async_copy(block)
         blocks.append((hi - lo, block))
+    _prof_add("dispatch_s", time.perf_counter() - t0)
+    _prof_add("rows", n)
+    if defer:
+        return _Pending(blocks, n)
     return _materialize(blocks)
+
+
+def post_long(raw):
+    """Raw long-jit outputs -> the public tuple (shared by the eager
+    wrappers and _Pending.fetch_rows so post-processing cannot drift)."""
+    gg, sf, has, ix, bits, selr, c1, _conv = raw
+    return gg, sf, has, ix, bits.astype(np.int64), \
+        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+
+
+def post_short(raw):
+    gg, sf, sbg, has, ix, bits, selr, c1, _conv = raw
+    return gg, sf, sbg, has, ix, bits.astype(np.int64), \
+        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+
+
+def post_rate(raw):
+    gg, has, ix, bits, selr, c1 = raw
+    return gg, has, ix, bits.astype(np.int64), \
+        _TID[selr.astype(np.int64)], c1.astype(np.int64)
 
 
 def outer_rows_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
@@ -568,27 +709,49 @@ def outer_rows_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
     window-switched region split for the bit counter (start/stop
     shaping)."""
     fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
-    gg, sf, has, ix, bits, selr, c1, _conv = _run_gathered(
-        fn, xr_dev, xmin_dev, idx, budgets)
-    return gg, sf, has, ix, bits.astype(np.int64), \
-        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+    return post_long(_run_gathered(fn, xr_dev, xmin_dev, idx, budgets))
 
 
 def outer_rows_short_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
                               max_iters=12):
     fn = _jit_outer_short(sample_rate, max_iters)
-    gg, sf, sbg, has, ix, bits, selr, c1, _conv = _run_gathered(
-        fn, xr_dev, xmin_dev, idx, budgets)
-    return gg, sf, sbg, has, ix, bits.astype(np.int64), \
-        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+    return post_short(_run_gathered(fn, xr_dev, xmin_dev, idx, budgets))
 
 
 def rate_rows_gathered(xr_dev, idx, budgets, sample_rate, block_type):
     fn = _jit_rate_only(sample_rate, bool(block_type))
-    gg, has, ix, bits, selr, c1 = _run_gathered(
-        fn, xr_dev, None, idx, budgets)
-    return gg, has, ix, bits.astype(np.int64), \
-        _TID[selr.astype(np.int64)], c1.astype(np.int64)
+    return post_rate(_run_gathered(fn, xr_dev, None, idx, budgets))
+
+
+# Deferred variants: dispatch the same jits but download ONLY the light
+# planning outputs (scalefactors + exact bit counts — what the pass-B
+# reservoir walk consumes); the full spectra stay on device inside the
+# returned _Pending until the caller knows which rows survive pass B.
+# Raw output layouts: long (gg, sf, has, ix, bits, selr, c1, conv),
+# short (gg, sf, sbg, has, ix, bits, selr, c1, conv),
+# rate (gg, has, ix, bits, selr, c1).
+
+def outer_rows_gathered_light(xr_dev, xmin_dev, idx, budgets, sample_rate,
+                              max_iters=16, block_type=0):
+    fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
+    pend = _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True)
+    sf, bits = pend.take(1, 4)
+    return (sf, bits.astype(np.int64)), pend
+
+
+def outer_rows_short_gathered_light(xr_dev, xmin_dev, idx, budgets,
+                                    sample_rate, max_iters=12):
+    fn = _jit_outer_short(sample_rate, max_iters)
+    pend = _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True)
+    sf, bits = pend.take(1, 5)
+    return (sf, bits.astype(np.int64)), pend
+
+
+def rate_rows_gathered_light(xr_dev, idx, budgets, sample_rate, block_type):
+    fn = _jit_rate_only(sample_rate, bool(block_type))
+    pend = _run_gathered(fn, xr_dev, None, idx, budgets, defer=True)
+    (bits,) = pend.take(3)
+    return (bits.astype(np.int64),), pend
 
 
 def outer_rows_device(xr, xmin, budget_bits, sample_rate, max_iters=16):
