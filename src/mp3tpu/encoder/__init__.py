@@ -94,12 +94,17 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
         else np.zeros(G, np.int64)
 
     # E1+E2 transform: all channels in one device batch, or numpy f64.
-    # Default: device when an accelerator is present (SURVEY.md §3.4),
-    # the f64 numpy reference path on CPU-only hosts.
+    # Default: device when an accelerator is present (SURVEY.md §3.4)
+    # AND the signal is long enough to amortize the accelerator's fixed
+    # costs (staging + dispatch + spectra download latency ~0.3-0.6 s
+    # on a tunneled host — measured to LOSE below ~4 s of audio; batch
+    # throughput lives in encode_batch, not here); the f64 numpy
+    # reference path otherwise.
     if device_transform is None:
         try:
             import jax
-            device_transform = jax.default_backend() != "cpu"
+            device_transform = (jax.default_backend() != "cpu"
+                                and G >= 256)
         except Exception:
             device_transform = False
     if device_transform:

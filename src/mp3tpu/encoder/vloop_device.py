@@ -492,6 +492,34 @@ def _pad(a, R):
     return np.concatenate([a, pad], axis=0)
 
 
+def _block_plan(n: int):
+    """Block sizes covering n rows: full MACROs plus a tail from
+    {MACRO, MACRO/2, MACRO/4} (each a CHUNK multiple, so the jits just
+    re-specialize — at most 2 extra compiles per fn, cached
+    persistently). Tail padding dominates small categories' D2H on the
+    ~0.04 GB/s download tunnel: a 1.2k-row start/stop or short-block
+    category padded to a full 8192 MACRO downloads 6.8x the bytes it
+    needs."""
+    CHUNK, MACRO, _h = _dims()
+    half, quarter = MACRO // 2, MACRO // 4
+    out = []
+    rem = max(n, 1)
+    while rem >= MACRO:
+        out.append(MACRO)
+        rem -= MACRO
+    if rem == 0:
+        return out
+    if quarter >= CHUNK and rem <= quarter:
+        out.append(quarter)
+    elif half >= CHUNK and rem <= half:
+        out.append(half)
+    elif quarter >= CHUNK and half >= CHUNK and rem <= half + quarter:
+        out.extend([half, quarter])
+    else:
+        out.append(MACRO)
+    return out
+
+
 #: wall-clock split of the block runners, populated when
 #: MP3TPU_ENCODE_PROFILE=1 (keys: dispatch_s, materialize_s, rows,
 #: dl_bytes) — read by tools/ profiling probes.
@@ -623,16 +651,17 @@ def _run_padded(fn, n_rows, *arrays):
     """Dispatch in fixed MACRO-row blocks (stable compiled shapes)."""
     import time
     import jax.numpy as jnp
-    MACRO = _dims()[1]
     blocks = []
     t0 = time.perf_counter()
-    for lo in range(0, max(n_rows, 1), MACRO):
-        hi = min(lo + MACRO, n_rows)
-        args = [jnp.asarray(_pad(np.ascontiguousarray(a[lo:hi]), MACRO))
+    lo = 0
+    for size in _block_plan(n_rows):
+        hi = min(lo + size, n_rows)
+        args = [jnp.asarray(_pad(np.ascontiguousarray(a[lo:hi]), size))
                 for a in arrays]
         block = fn(*args)
         _async_copy(block)
         blocks.append((hi - lo, block))
+        lo += size
     _prof_add("dispatch_s", time.perf_counter() - t0)
     _prof_add("rows", n_rows)
     return _materialize(blocks)
@@ -651,25 +680,26 @@ def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=False):
     started, so the caller can pay only for the outputs/rows it needs."""
     import time
     import jax.numpy as jnp
-    MACRO = _dims()[1]
     blocks = []
     n = len(idx)
     t0 = time.perf_counter()
-    for lo in range(0, max(n, 1), MACRO):
-        hi = min(lo + MACRO, n)
-        sel = np.zeros(MACRO, np.int64)
+    lo = 0
+    for size in _block_plan(n):
+        hi = min(lo + size, n)
+        sel = np.zeros(size, np.int64)
         sel[: hi - lo] = idx[lo:hi]
         sel_j = jnp.asarray(sel)
         args = [jnp.take(xr_dev, sel_j, axis=0)]
         if xmin_dev is not None:
             args.append(jnp.take(xmin_dev, sel_j, axis=0))
-        bud = np.zeros(MACRO, np.int32)
+        bud = np.zeros(size, np.int32)
         bud[: hi - lo] = budgets[lo:hi]
         args.append(jnp.asarray(bud))
         block = fn(*args)
         if not defer:
             _async_copy(block)
         blocks.append((hi - lo, block))
+        lo += size
     _prof_add("dispatch_s", time.perf_counter() - t0)
     _prof_add("rows", n)
     if defer:
