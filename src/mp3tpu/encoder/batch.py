@@ -301,21 +301,28 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
         defer=True dispatches the same device loops but downloads ONLY
         the pass-B planning outputs (bits + scalefactors); the spectra
         stay on device. Returns ((bits, lsf, ssf), pend_list) where
-        pend_list entries are (sel_local, kind, _Pending) for
+        pend_list entries are (gc_ids, kind, _Pending) for
         finalize_pending — on this tunnel D2H is the dominant encode
-        cost and ~99% of pass-A rows are re-quantized by pass B, so
-        eager full downloads would be almost entirely wasted bytes."""
+        cost and most pass-A rows are re-quantized by pass B, so eager
+        full downloads would be largely wasted bytes.
+
+        defer="pending" dispatches and returns pend_list alone with NO
+        downloads at all (not even the light outputs): the caller can
+        run other tunnel traffic while the device computes, then
+        finalize_pending everything."""
         b = budgets.astype(np.int64)
         btr = bt_all[idx]
         shaped_l = (btr != 2) & noise_shaping
         shaped_s = (btr == 2) & noise_shaping
         plain = ~shaped_l & ~shaped_s
+        light = defer is True
+        pend_only = defer == "pending"
+        if light or pend_only:
+            pend_list = []
         o_lsf = np.zeros((len(idx), 21), np.int64)
         o_ssf = np.zeros((len(idx), 3, 12), np.int64)
         o_bits = np.zeros(len(idx), np.int64)
-        if defer:
-            pend_list = []
-        else:
+        if not (light or pend_only):
             o_ix = np.zeros((len(idx), 576), np.int16)
             o_gg = np.full(len(idx), 210, np.int64)
             o_sbg = np.zeros((len(idx), 3), np.int64)
@@ -328,13 +335,18 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
                 sel = np.nonzero(shaped_l & (btr == bt))[0]
                 if not len(sel):
                     continue
-                if defer:
-                    (sf, bits), pend = \
-                        vloop_device.outer_rows_gathered_light(
+                if light or pend_only:
+                    if pend_only:
+                        pend = vloop_device.outer_rows_gathered_pending(
                             rows_dev, xminl_dev, vid[idx[sel]], b[sel],
                             sample_rate, block_type=int(bt))
-                    o_lsf[sel], o_bits[sel] = sf, bits
-                    pend_list.append((sel, "long", pend))
+                    else:
+                        (sf, bits), pend = \
+                            vloop_device.outer_rows_gathered_light(
+                                rows_dev, xminl_dev, vid[idx[sel]], b[sel],
+                                sample_rate, block_type=int(bt))
+                        o_lsf[sel], o_bits[sel] = sf, bits
+                    pend_list.append((idx[sel], "long", pend))
                     continue
                 gg, sf, _has, ix, bits, ts, c1 = \
                     vloop_device.outer_rows_gathered(
@@ -344,13 +356,18 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
                 o_bits[sel], o_ts[sel], o_c1[sel] = bits, ts, c1
         if shaped_s.any():
             sel = np.nonzero(shaped_s)[0]
-            if defer:
-                (sf, bits), pend = \
-                    vloop_device.outer_rows_short_gathered_light(
+            if light or pend_only:
+                if pend_only:
+                    pend = vloop_device.outer_rows_short_gathered_pending(
                         rows_dev, xmins_dev, vid[idx[sel]], b[sel],
                         sample_rate)
-                o_ssf[sel], o_bits[sel] = sf, bits
-                pend_list.append((sel, "short", pend))
+                else:
+                    (sf, bits), pend = \
+                        vloop_device.outer_rows_short_gathered_light(
+                            rows_dev, xmins_dev, vid[idx[sel]], b[sel],
+                            sample_rate)
+                    o_ssf[sel], o_bits[sel] = sf, bits
+                pend_list.append((idx[sel], "short", pend))
             else:
                 gg, sf, sbg, _has, ix, bits, ts, c1 = \
                     vloop_device.outer_rows_short_gathered(
@@ -362,12 +379,18 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
         if plain.any():
             for bt in np.unique(btr[plain]):
                 sel = np.nonzero(plain & (btr == bt))[0]
-                if defer:
-                    (bits,), pend = vloop_device.rate_rows_gathered_light(
-                        rows_dev, vid[idx[sel]], b[sel], sample_rate,
-                        int(bt))
-                    o_bits[sel] = bits
-                    pend_list.append((sel, "rate", pend))
+                if light or pend_only:
+                    if pend_only:
+                        pend = vloop_device.rate_rows_gathered_pending(
+                            rows_dev, vid[idx[sel]], b[sel], sample_rate,
+                            int(bt))
+                    else:
+                        (bits,), pend = \
+                            vloop_device.rate_rows_gathered_light(
+                                rows_dev, vid[idx[sel]], b[sel],
+                                sample_rate, int(bt))
+                        o_bits[sel] = bits
+                    pend_list.append((idx[sel], "rate", pend))
                     continue
                 gg, _has, ix, bits, ts, c1 = \
                     vloop_device.rate_rows_gathered(
@@ -375,19 +398,22 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
                         int(bt))
                 o_ix[sel], o_gg[sel] = ix, gg
                 o_bits[sel], o_ts[sel], o_c1[sel] = bits, ts, c1
-        if defer:
+        if pend_only:
+            return pend_list
+        if light:
             return (o_bits, o_lsf, o_ssf), pend_list
         return o_ix, o_gg, o_lsf, o_ssf, o_sbg, o_bits, o_ts, o_c1
 
     def finalize_pending(pend_list, keep_mask):
-        """Download pass-A results for the rows pass B will NOT
-        re-quantize (identical values to the eager path: same device
-        Arrays, post-processed by the same post_* helpers)."""
-        for sel, kind, pend in pend_list:
-            loc = np.nonzero(keep_mask[sel])[0]
+        """Download deferred results for the rows keep_mask selects
+        (identical values to the eager path: same device Arrays,
+        post-processed by the same post_* helpers). Entries carry the
+        GLOBAL gc ids of their rows; fetch_rows takes local positions."""
+        for gids, kind, pend in pend_list:
+            loc = np.nonzero(keep_mask[gids])[0]
             if not len(loc):
                 continue
-            tgt = sel[loc]
+            tgt = gids[loc]
             raw = pend.fetch_rows(loc)
             if kind == "long":
                 gg, sf, _has, ix, bits, ts, c1 = vloop_device.post_long(raw)
@@ -434,6 +460,24 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
 
     # ---- pass-B upgrade walk per stream, one batched re-quantize --------
     if reservoir:
+        # Upgrade only frames whose budget bump is MATERIAL (> margin
+        # bits per granule-channel). Pass A's reservoir walk is a lower
+        # bound that loses ~3-7 bits/frame to worst-case byte-alignment
+        # pessimism, so with margin=0 nearly every frame "upgrades" by a
+        # few bits and gets re-quantized on device for no audible gain
+        # (measured: 99.5% of rows, ~half the encode_batch device+D2H
+        # wall). Kept frames stay coded at their pass-A budget — always
+        # conformant (coding under budget is legal) — and their EXACT
+        # coded size feeds the walk, which is what actually grows the
+        # reservoir for the loud frames that need real upgrades.
+        # Measured on the chirp-mix bench fixture: want-granted deltas are
+        # p50=25/p90=29/max=37 bits — pure alignment slack (a steady-
+        # loudness stream saturates the 3000-bit avail cap in both walks,
+        # so want==granted modulo the -7/frame lower-bound pessimism).
+        # Genuine reclaims (quiet stretch -> transient) are hundreds of
+        # bits and sail over the margin.
+        margin = int(os.environ.get("MP3TPU_UPGRADE_MARGIN", "64"))
+        _deltas = [] if _prof else None
         upg_idx_parts, upg_bud_parts = [], []
         for s in range(B):
             n_frames = G_s[s] // 2
@@ -452,7 +496,9 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
                 else:
                     want = base_f[f] - feed_f[f] + (avail // 8) // (2 * nch)
                 want = int(min(want, 3900))
-                if want > granted[f]:
+                if _deltas is not None and want > granted[f]:
+                    _deltas.append(want - granted[f])
+                if want > granted[f] + margin:
                     final[f] = want
                     used = 2 * nch * want
                 else:
@@ -471,22 +517,35 @@ def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
                 upg_bud_parts.append(np.repeat(final[upg_f], 2 * nch))
                 granted_s[s] = final
         keep_mask = np.ones(n_gc, bool)
+        if _deltas is not None and _deltas:
+            d = np.sort(np.asarray(_deltas))
+            _ph['upg_want_gt_granted'] = len(d)
+            _ph['upg_delta_p50'] = int(d[len(d) // 2])
+            _ph['upg_delta_p90'] = int(d[(len(d) * 9) // 10])
+            _ph['upg_delta_max'] = int(d[-1])
         if upg_idx_parts:
             uidx = np.concatenate(upg_idx_parts)
             keep_mask[uidx] = False
             if _prof:
                 _ph['upgraded_rows'] = len(uidx)
                 _ph['total_rows'] = n_gc
-        # rows pass B leaves alone: download their pass-A results now
-        # (pass A's idx is arange(n_gc), so local positions == gc ids)
-        finalize_pending(pend_a, keep_mask)
-        pend_a = None
+        # Ordering matters on the single serial tunnel: enqueue ALL
+        # pass-B dispatches first (their H2D index uploads must not
+        # queue behind bulk downloads), only then start the pass-A
+        # downloads — those bytes stream while the device computes the
+        # upgrades. Prefetching before the pass-B dispatches measured
+        # SLOWER (head-of-line blocking of the dispatch traffic).
         if upg_idx_parts:
             ubud = np.concatenate(upg_bud_parts)
-            (ix_a[uidx], gg_a[uidx], lsf_a[uidx], ssf_a[uidx], sbg_a[uidx],
-             hbits_a[uidx], tsel_a[uidx], c1t_a[uidx]) = \
-                quantize_rows_dev(uidx, ubud)
+            pend_b = quantize_rows_dev(uidx, ubud, defer="pending")
+            for _g, _k, pend in pend_a:
+                pend.prefetch()
+            finalize_pending(pend_a, keep_mask)
+            finalize_pending(pend_b, ~keep_mask)
             p23[uidx] = p23_of(uidx)
+        else:
+            finalize_pending(pend_a, keep_mask)
+        pend_a = None
     _mark('passB_upgrade')
 
     # ---- emission: native batched emitter -------------------------------

@@ -314,8 +314,15 @@ def _jit_outer_long(sample_rate: int, max_iters: int,
         init = (sf0, jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.bool_),
                 jnp.full((R,), 210, jnp.int32), sf0,
                 jnp.zeros((R,), jnp.bool_))
-        _sf, _gl, done_end, best_gg, best_sf, has_best = \
-            jax.lax.fori_loop(0, max_iters, body, init)
+        # early-exit while_loop: iterations after every row converges are
+        # exact no-ops (all updates are masked by `done`), so stopping at
+        # all(done) is bit-identical to the fixed-depth fori_loop while
+        # skipping the tail iterations (typ. convergence << max_iters)
+        _i, (_sf, _gl, done_end, best_gg, best_sf, has_best) = \
+            jax.lax.while_loop(
+                lambda c: (c[0] < max_iters) & ~jnp.all(c[1][2]),
+                lambda c: (c[0] + 1, body(c[0], c[1])),
+                (jnp.int32(0), init))
         # rows that never fit under shaping: plain rate loop, sf = 0
         gg_fb, has_fb = _inner_bisect(
             jnp, C, p34_base, sign, budget_bits,
@@ -418,7 +425,11 @@ def _jit_outer_short(sample_rate: int, max_iters: int):
         init = (sf0, sbg0, jnp.zeros((R,), jnp.int32),
                 jnp.zeros((R,), jnp.bool_), jnp.full((R,), 210, jnp.int32),
                 sf0, sbg0, jnp.zeros((R,), jnp.bool_))
-        out = jax.lax.fori_loop(0, max_iters, body, init)
+        # early-exit while_loop — see _jit_outer_long (bit-identical)
+        _i, out = jax.lax.while_loop(
+            lambda c: (c[0] < max_iters) & ~jnp.all(c[1][3]),
+            lambda c: (c[0] + 1, body(c[0], c[1])),
+            (jnp.int32(0), init))
         _sf, _sbg, _gl, done_end, best_gg, best_sf, best_sbg, has_best = out
         gg_fb, has_fb = _inner_bisect(
             jnp, C, p34_base, sign, budget_bits,
@@ -536,9 +547,15 @@ def _materialize(blocks):
     """[(n_valid, device_outputs)] -> host tuples, one concat per output.
     Downloads were started async right after each dispatch, so device
     compute of later blocks overlaps earlier blocks' D2H (the dominant
-    cost on a tunneled host: per-download latency is ~100-200 ms)."""
+    cost on a tunneled host: per-download latency is ~100-200 ms).
+    Deferred (_Pending) blocks arrive with only their light outputs
+    copied — start every remaining copy NOW, before the first blocking
+    np.asarray, or each output pays the full per-download latency
+    serially (measured: ~2x the whole encode_batch wall)."""
     import time
     t0 = time.perf_counter()
+    for _cnt, block in blocks:
+        _async_copy(block)
     outs = [[] for _ in blocks[0][1]]
     nbytes = 0
     for cnt, block in blocks:
@@ -594,6 +611,13 @@ class _Pending:
     def __init__(self, blocks, n):
         self.blocks = blocks          # [(valid_count, tuple(Array))]
         self.n = n
+
+    def prefetch(self):
+        """Start async D2H of every output now (non-blocking). Call
+        before dispatching other device work so these bytes stream over
+        the tunnel while that work computes."""
+        for _cnt, blk in self.blocks:
+            _async_copy(blk)
 
     def take(self, *out_idx):
         """Download ONLY the selected outputs (per-output Arrays are
@@ -782,6 +806,28 @@ def rate_rows_gathered_light(xr_dev, idx, budgets, sample_rate, block_type):
     pend = _run_gathered(fn, xr_dev, None, idx, budgets, defer=True)
     (bits,) = pend.take(3)
     return (bits.astype(np.int64),), pend
+
+
+# Pending-only variants: dispatch and return the _Pending with ZERO
+# downloads started — the caller overlaps other tunnel traffic with the
+# device compute, then fetch_rows/finalize when it needs the results.
+
+def outer_rows_gathered_pending(xr_dev, xmin_dev, idx, budgets,
+                                sample_rate, max_iters=16, block_type=0):
+    fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
+    return _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True)
+
+
+def outer_rows_short_gathered_pending(xr_dev, xmin_dev, idx, budgets,
+                                      sample_rate, max_iters=12):
+    fn = _jit_outer_short(sample_rate, max_iters)
+    return _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True)
+
+
+def rate_rows_gathered_pending(xr_dev, idx, budgets, sample_rate,
+                               block_type):
+    fn = _jit_rate_only(sample_rate, bool(block_type))
+    return _run_gathered(fn, xr_dev, None, idx, budgets, defer=True)
 
 
 def outer_rows_device(xr, xmin, budget_bits, sample_rate, max_iters=16):
