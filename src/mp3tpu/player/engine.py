@@ -64,6 +64,23 @@ def _emit_dsp(x, gain0, gain1, eq_state, kernel):
 _emit_dsp_jit = None
 
 
+def _emit_dsp_pair(prev, cur, off, gain0, gain1, eq_state, kernel, nch):
+    """Device-resident emit: one EMIT_BLOCK starting `off` samples into
+    window `prev`, spilling into window `cur` (lax.dynamic_slice with a
+    TRACED start and a STATIC size, so every block offset shares one
+    executable). The DSP body is _emit_dsp itself on the same float
+    values the host path would upload — the int16 output is identical;
+    PCM never leaves the device as float32."""
+    import jax.numpy as jnp
+    from jax import lax
+    cat = jnp.concatenate([prev[:, :nch], cur[:, :nch]], axis=0)
+    x = lax.dynamic_slice(cat, (off, 0), (prev.shape[0], nch))
+    return _emit_dsp(x, gain0, gain1, eq_state, kernel)
+
+
+_emit_dsp_pair_jit = None
+
+
 @dataclass
 class Track:
     """Parsed container + streaming symbol source for one stream.
@@ -146,6 +163,7 @@ class Player:
         self._pending_n = 0
         self._state = None
         self._state_granule = None    # granule the device state is valid for
+        self._win_cache = None        # (w, device_pcm [E, CH], n_granules)
         self.stopped = False
 
     # ------------------------------------------------------------- info
@@ -196,7 +214,49 @@ class Player:
                 prep(st.mixed), prep(st.smode), self._state, st.sample_rate)
         self._state_granule = g0 + W
         self.metrics.granules_decoded += n
+        self._win_cache = (w, pcm[0], n)
         return np.asarray(pcm[0, : n * 576, : st.channels])
+
+    def _decode_window_dev(self, w: int):
+        """As _decode_window_idx but keeps the PCM on device: returns
+        (device_pcm [E, CH], n_granules). Also caches the window so a
+        following host-path access (the sub-block tail of a play())
+        downloads it instead of re-decoding."""
+        src = self.track.source
+        W = WINDOW_GRANULES
+        g0 = w * W
+        assert self._state is not None and self._state_granule == g0
+        n = min(W, src.n_granules - g0)
+        import jax.numpy as jnp
+        with self.metrics.span("host"):
+            st = src.granules(g0, g0 + n)
+
+        def prep(a):
+            if n != W:
+                width = ((0, W - n),) + tuple((0, 0) for _ in a.shape[1:])
+                a = np.pad(a, width)
+            return jnp.asarray(a[None])
+
+        from ..utils.profiling import annotate
+        with annotate(f"mp3tpu.player_window[{w}]"):
+            pcm, self._state = kp.decode_window(
+                prep(st.is_), prep(st.exp), prep(st.block_type),
+                prep(st.mixed), prep(st.smode), self._state, st.sample_rate)
+        self._state_granule = g0 + W
+        self.metrics.granules_decoded += n
+        dev = pcm[0]
+        self._win_cache = (w, dev, n)
+        return dev, n
+
+    def _window_pcm(self, w: int) -> np.ndarray:
+        """Host PCM for window w: served from the device window cache
+        when possible (no re-decode, no state reset), else decoded."""
+        st = self.track.source
+        if self._win_cache is not None and self._win_cache[0] == w:
+            _w, dev, n = self._win_cache
+            return np.asarray(dev)[: n * 576, : st.channels]
+        self._ensure_state_at_window(w)
+        return self._decode_window_idx(w)
 
     def _ensure_state_at_window(self, w: int):
         """Make device state valid at window w's start: either it is
@@ -256,25 +316,68 @@ class Player:
         self._applied_gain_db = self.gain_db
         if self._eq is not None:
             self._eq_state = new_eq_state
-        i16 = np.asarray(i16)
+        self._push_i16(np.asarray(i16))
+
+    def _push_i16(self, i16: np.ndarray):
         self.sink.push(i16)
         self.metrics.samples_out += len(i16)
+
+    def _emit_pair_dev(self, prev, cur, off: int):
+        """Dispatch one EMIT_BLOCK through the device-resident DSP chain
+        (same values and executable body as _emit_block, minus the
+        float32 device->host->device round trip). Returns the int16
+        device array; the caller downloads it asynchronously."""
+        import jax
+        import jax.numpy as jnp
+        global _emit_dsp_pair_jit
+        if _emit_dsp_pair_jit is None:
+            _emit_dsp_pair_jit = jax.jit(_emit_dsp_pair,
+                                         static_argnums=(7,))
+        nch = self.track.source.channels
+        gain0 = jnp.float32(10.0 ** (self._applied_gain_db / 20.0))
+        gain1 = jnp.float32(10.0 ** (self.gain_db / 20.0))
+        if self._eq is not None:
+            if self._eq_state is None:
+                self._eq_state = self._eq.init_state(nch)
+            kernel = self._eq.h
+            eq_state = self._eq_state
+        else:
+            kernel = jnp.ones((1,), jnp.float32)
+            eq_state = jnp.zeros((0, nch), jnp.float32)
+        i16, new_eq = _emit_dsp_pair_jit(prev, cur, jnp.int32(off),
+                                         gain0, gain1, eq_state, kernel,
+                                         nch)
+        self._applied_gain_db = self.gain_db
+        if self._eq is not None:
+            self._eq_state = new_eq
+        return i16
 
     # -------------------------------------------------------------- api
     def play(self, until_sample: int | None = None, max_samples: int | None = None):
         """Decode from the current position to `until_sample` (absolute,
         default end), pushing PCM to the sink. `max_samples` bounds how
-        many samples this call emits."""
+        many samples this call emits.
+
+        Every complete EMIT_BLOCK is produced by the device fast path
+        (_play_blocks_device): PCM stays on device through the DSP
+        chain, only int16 crosses to host, and one block's download is
+        kept in flight behind the next block's dispatch (SURVEY.md
+        §2.4 P4). The sub-block tail (and sub-block requests) use the
+        per-window host path below; both paths share the 32-granule
+        window partition and the _emit_dsp math, so output is
+        bit-identical either way."""
         end = self._end if until_sample is None else min(until_sample, self._end)
         if max_samples is not None:
             end = min(end, self._pos + max_samples)
         wspan = WINDOW_GRANULES * self.spf
         emitted = 0
         self.stopped = False
+        if (not self._pending_n and self.EMIT_BLOCK == wspan
+                and end - self._pos >= self.EMIT_BLOCK):
+            emitted += self._play_blocks_device(end)
         while self._pos < end and not self.stopped:
             w = self._pos // wspan
-            self._ensure_state_at_window(w)
-            pcm = self._decode_window_idx(w)
+            pcm = self._window_pcm(w)
             if len(pcm) == 0:
                 break
             lo = self._pos - w * wspan
@@ -285,6 +388,60 @@ class Player:
             self._pos = min((w + 1) * wspan, end)
         # deliver everything the caller asked for before returning
         self._flush_pending()
+        return emitted
+
+    def _play_blocks_device(self, end: int) -> int:
+        """Emit every complete EMIT_BLOCK in [self._pos, end) via the
+        device pair-slice path. Advances self._pos per PUSHED block, so
+        a stop() from a sink callback leaves the cursor exactly after
+        the last delivered block (the one block dispatched ahead is
+        discarded and its DSP state unwound)."""
+        E = self.EMIT_BLOCK
+        wspan = WINDOW_GRANULES * self.spf
+        n_blocks = (end - self._pos) // E
+        w = self._pos // wspan
+        off = self._pos - w * wspan
+        self._ensure_state_at_window(w)
+        prev, _n = self._decode_window_dev(w)
+        inflight = None   # (i16_dev, eq_state_before, applied_gain_before)
+        emitted = 0
+        for k in range(n_blocks):
+            if self.stopped:
+                break
+            eq_before = self._eq_state
+            gain_before = self._applied_gain_db
+            if off == 0:
+                cur = prev
+            else:
+                cur, _n = self._decode_window_dev(w + 1)
+            i16 = self._emit_pair_dev(prev, cur, off)
+            try:
+                i16.copy_to_host_async()
+            except Exception:
+                pass
+            if inflight is not None:
+                self._push_i16(np.asarray(inflight[0]))
+                self._pos += E
+                emitted += E
+            if off == 0:
+                w += 1
+                if k + 1 < n_blocks and not self.stopped:
+                    self._ensure_state_at_window(w)
+                    prev, _n = self._decode_window_dev(w)
+            else:
+                prev = cur
+                w += 1
+            inflight = (i16, eq_before, gain_before)
+        if inflight is not None:
+            if self.stopped:
+                # the look-ahead block was never pushed: unwind its DSP
+                # state so a resumed play() re-emits it identically
+                self._eq_state = inflight[1]
+                self._applied_gain_db = inflight[2]
+            else:
+                self._push_i16(np.asarray(inflight[0]))
+                self._pos += E
+                emitted += E
         return emitted
 
     def seek(self, seconds: float):
