@@ -367,7 +367,7 @@ def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg):
 
 
 def decode_symbols_chunked(st: SymbolTensors, chunk_granules: int = 128,
-                           halo: int = 2) -> np.ndarray:
+                           halo: int = 2, output: str = "float32") -> np.ndarray:
     """Sequence-parallel decode of ONE long stream (SURVEY.md P3, §5.7).
 
     The granule chain is finite-window linear: IMDCT overlap-add couples
@@ -377,6 +377,16 @@ def decode_symbols_chunked(st: SymbolTensors, chunk_granules: int = 128,
     whose output is discarded. One device call decodes the whole file;
     no collectives, no scan — the ring-attention analog is a static halo
     (SURVEY.md §2.4 P3).
+
+    output="int16" quantizes INSIDE the same dispatch and downloads 4x
+    fewer bytes — on a D2H-constrained link the download is the
+    single-stream wall (CLAUDE.md tunnel facts). Quantization is
+    elementwise, so slicing commutes with it; the only delta vs
+    quantize_i16 of the float output is that XLA may fuse the combined
+    program's float arithmetic differently (<=1 LSB at rounding
+    boundaries on the TPU backend, measured 0.05% of samples; the CPU
+    backend compiles both identically). Same <=1 LSB decode contract
+    as every other path.
     """
     G = st.n_granules
     n_chunks = max(1, -(-G // chunk_granules))
@@ -394,9 +404,10 @@ def decode_symbols_chunked(st: SymbolTensors, chunk_granules: int = 128,
         return jnp.asarray(out)
 
     state = kp.init_state(S)
-    pcm, _ = kp.decode_window(gather(st.is_), gather(st.exp),
-                              gather(st.block_type), gather(st.mixed),
-                              gather(st.smode), state, st.sample_rate)
+    fn = kp.decode_window_i16 if output == "int16" else kp.decode_window
+    pcm, _ = fn(gather(st.is_), gather(st.exp),
+                gather(st.block_type), gather(st.mixed),
+                gather(st.smode), state, st.sample_rate)
     pcm = np.asarray(pcm)[:, halo * 576:]          # drop halo output
     out = pcm.reshape(S * chunk_granules * 576, 2)[: G * 576]
     return out[:, : st.channels]

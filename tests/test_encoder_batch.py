@@ -232,3 +232,25 @@ def test_encode_batch_vs_libmpg123():
     r = mpg123ref.decode(bytes(out))
     dec = np.asarray(r[0] if isinstance(r, tuple) else r)
     assert len(dec) > n  # decodes (includes codec delay padding)
+
+
+def test_encode_pcm_device_loops_routing():
+    """encode_pcm(device_loops=True) is byte-identical to the B=1
+    batch path (the routing is pure delegation, no second policy), and
+    the default resolution keeps the host reference path on CPU-only
+    backends."""
+    sr = SR
+    n = sr  # 1 s stereo
+    t = np.arange(n) / sr
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * np.sin(2 * np.pi * 3000 * t)
+    pcm = np.stack([sig, 0.7 * sig], 1)
+    routed = encode_pcm(pcm, sr, bitrate=128, device_loops=True)
+    direct = encode_batch([pcm], sr, bitrate=128)[0]
+    assert routed == direct
+    # VBR stays host-only through the routing gate
+    with pytest.raises(ValueError):
+        encode_pcm(pcm, sr, vbr_quality=4, device_loops=True)
+    if jax.default_backend() == "cpu":
+        host = encode_pcm(pcm, sr, bitrate=128)
+        ref = encode_pcm(pcm, sr, bitrate=128, device_loops=False)
+        assert host == ref

@@ -85,3 +85,12 @@ def test_chunk_parallel_matches_sequential(mp3):
     n = min(len(ref), len(par16))
     d = np.abs(ref[:n].astype(np.int32) - par16[:n].astype(np.int32))
     assert d.max() <= 1 and (d == 0).mean() > 0.999
+    # the fused int16 output (quantize inside the dispatch, one 4x
+    # smaller download) honors the same <=1 LSB contract; XLA may fuse
+    # the combined program's float math differently than the float-only
+    # program (observed: identical on CPU, 0.05% of samples 1 LSB off
+    # on the TPU backend)
+    par16_dev = decode_symbols_chunked(st, chunk_granules=32, halo=2,
+                                       output="int16")
+    dd = np.abs(par16_dev.astype(np.int32) - par16.astype(np.int32))
+    assert dd.max() <= 1 and (dd == 0).mean() > 0.999
