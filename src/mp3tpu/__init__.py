@@ -48,4 +48,5 @@ def _enable_jit_cache():
 
 _enable_jit_cache()
 
-from .api import decode, decode_batch, encode, init, play  # noqa: F401
+from .api import (decode, decode_batch, encode, encode_batch,  # noqa: F401
+                  init, play)

@@ -54,6 +54,14 @@ def encode(pcm, sample_rate, **kw):
     return encode_pcm(pcm, sample_rate, **kw)
 
 
+def encode_batch(pcms, sample_rate, **kw):
+    """Batched multi-stream encode (SURVEY.md §3.4, the encoder's
+    aggregate-throughput path): spectra stay device-resident from the
+    analysis transform through the rate loops."""
+    from .encoder import encode_batch as _impl
+    return _impl(pcms, sample_rate, **kw)
+
+
 def play(path_or_bytes, sink=None, **kw):
     """Open a playback session (SURVEY.md §3.3): returns a Player with
     play/seek/loop/stop/snapshot; decodes to the given sink (default:

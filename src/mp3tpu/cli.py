@@ -60,7 +60,8 @@ def _cmd_encode(args):
     else:
         raise SystemExit("encode expects a 16-bit PCM WAV input")
     t0 = time.perf_counter()
-    mp3 = encode_pcm(pcm, sr, bitrate=args.bitrate)
+    mp3 = encode_pcm(pcm, sr, bitrate=args.bitrate,
+                     vbr_quality=args.vbr_quality)
     dt = time.perf_counter() - t0
     out = args.output or (args.input.rsplit(".", 1)[0] + ".mp3")
     open(out, "wb").write(mp3)
@@ -118,7 +119,10 @@ def main(argv=None):
     e = sub.add_parser("encode", help="encode WAV to MP3")
     e.add_argument("input")
     e.add_argument("-o", "--output")
-    e.add_argument("-b", "--bitrate", type=int, default=128)
+    e.add_argument("-b", "--bitrate", type=int, default=None,
+                   help="CBR kbps (default: active config, 128)")
+    e.add_argument("--vbr-quality", type=int, default=None,
+                   help="constant-quality VBR, 0 (best) .. 9 (smallest)")
     e.set_defaults(fn=_cmd_encode)
 
     i = sub.add_parser("info", help="stream/tag info as JSON")

@@ -46,6 +46,13 @@ class EncodeConfig:
     bitrate: int = 128
     short_blocks: bool = True
     gapless_tag: bool = True
+    joint_stereo: bool = True
+    noise_shaping: bool = True
+    device_loops: str = "auto"     # auto | on | off: route single-stream
+    #                                encodes through the B=1 device batch
+    #                                path (encoder.encode_pcm device_loops;
+    #                                auto = accelerator present and >=128
+    #                                granules)
 
 
 @dataclass(frozen=True)

@@ -36,9 +36,11 @@ def _short_flat_map(sample_rate: int) -> np.ndarray:
     return (tmaps.band_map(sample_rate, tmaps.FLAVOR_SHORT) - 22).astype(np.int64)
 
 
-def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
-               gapless_tag: bool = True, short_blocks: bool = True,
-               joint_stereo: bool = True, noise_shaping: bool = True,
+def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int | None = None,
+               gapless_tag: bool | None = None,
+               short_blocks: bool | None = None,
+               joint_stereo: bool | None = None,
+               noise_shaping: bool | None = None,
                device_transform: bool | None = None, reservoir: bool = True,
                vbr_quality: int | None = None,
                device_loops: bool | None = None) -> bytes:
@@ -76,6 +78,18 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int = 128,
     if sample_rate not in SR_IDX:
         raise ValueError(f"unsupported sample rate {sample_rate} "
                          f"(MPEG-1: 44100/48000/32000)")
+    # unset parameters fall back to the active EncodeConfig (SURVEY.md
+    # §5.6 — same layering as decode_file)
+    from ..config import get_active
+    ecfg = get_active().encode
+    bitrate = ecfg.bitrate if bitrate is None else bitrate
+    gapless_tag = ecfg.gapless_tag if gapless_tag is None else gapless_tag
+    short_blocks = ecfg.short_blocks if short_blocks is None else short_blocks
+    joint_stereo = ecfg.joint_stereo if joint_stereo is None else joint_stereo
+    noise_shaping = (ecfg.noise_shaping if noise_shaping is None
+                     else noise_shaping)
+    if device_loops is None and ecfg.device_loops != "auto":
+        device_loops = ecfg.device_loops == "on"
     if bitrate not in BITRATES_V1_L3:
         raise ValueError(f"unsupported bitrate {bitrate}")
     pcm = np.asarray(pcm, np.float64)

@@ -111,12 +111,25 @@ def _prep_jits(sample_rate: int, nch: int):
     return energies, prep
 
 
-def encode_batch(pcms, sample_rate: int, bitrate: int = 128,
-                 gapless_tag: bool = True, short_blocks: bool = True,
-                 joint_stereo: bool = True, noise_shaping: bool = True,
+def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
+                 gapless_tag: bool | None = None,
+                 short_blocks: bool | None = None,
+                 joint_stereo: bool | None = None,
+                 noise_shaping: bool | None = None,
                  reservoir: bool = True) -> list[bytes]:
     """Encode a batch of float PCM arrays ([n] or [n, ch], same channel
-    count and sample rate) to MP3 bytes. See module docstring."""
+    count and sample rate) to MP3 bytes. See module docstring.
+
+    Unset parameters fall back to the active EncodeConfig (SURVEY.md
+    §5.6), mirroring encode_pcm."""
+    from ..config import get_active
+    ecfg = get_active().encode
+    bitrate = ecfg.bitrate if bitrate is None else bitrate
+    gapless_tag = ecfg.gapless_tag if gapless_tag is None else gapless_tag
+    short_blocks = ecfg.short_blocks if short_blocks is None else short_blocks
+    joint_stereo = ecfg.joint_stereo if joint_stereo is None else joint_stereo
+    noise_shaping = (ecfg.noise_shaping if noise_shaping is None
+                     else noise_shaping)
     if sample_rate not in SR_IDX or bitrate not in BITRATES_V1_L3:
         raise ValueError("unsupported sample rate or bitrate")
     import os

@@ -161,3 +161,35 @@ def test_trace_dir_produces_xplane(mp3, tmp_path, monkeypatch):
     assert captures, "no profiler capture written"
     assert any("xplane" in p.name or p.suffix == ".pb" for p in captures), \
         [p.name for p in captures]
+
+
+def test_encode_config_reaches_encoder():
+    """encode_pcm/encode_batch with no kwargs obey the active
+    EncodeConfig (bitrate + noise shaping + device_loops gate)."""
+    from mp3tpu.config import EncodeConfig
+    from mp3tpu.container import frames as fr
+    from mp3tpu.encoder import encode_pcm
+
+    t = np.arange(44100 // 2) / 44100.0
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t)
+    set_active(Config(encode=EncodeConfig(bitrate=192, noise_shaping=False,
+                                          device_loops="off")))
+    mp3 = encode_pcm(sig, 44100)
+    idx = fr.scan_frames(np.frombuffer(mp3, np.uint8))
+    # every audio frame carries the configured bitrate (skip Xing frame)
+    assert all(h.bitrate == 192000 for h in idx.headers[1:])
+    # explicit kwarg still wins over the config
+    mp3b = encode_pcm(sig, 44100, bitrate=96)
+    idxb = fr.scan_frames(np.frombuffer(mp3b, np.uint8))
+    assert all(h.bitrate == 96000 for h in idxb.headers[1:])
+    # device_loops="on" must be byte-identical to the explicit kwarg
+    import mp3tpu
+    set_active(Config(encode=EncodeConfig(device_loops="on")))
+    routed_cfg = mp3tpu.encode(sig, 44100)
+    routed_kw = encode_pcm(sig, 44100, device_loops=True)
+    assert routed_cfg == routed_kw
+    # package-level batch API exists and honors the config bitrate
+    set_active(Config(encode=EncodeConfig(bitrate=192)))
+    outs = mp3tpu.encode_batch([np.stack([sig, sig], 1)], 44100)
+    idx2 = fr.scan_frames(np.frombuffer(outs[0], np.uint8))
+    assert all(h.bitrate == 192000 for h in idx2.headers[1:])
