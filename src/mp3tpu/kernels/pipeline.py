@@ -277,6 +277,53 @@ def decode_batch_scan(is_, exp, block_type, mixed, smode, state, sample_rate: in
     return _jitted_scan_for(sample_rate, win)(is_, exp, block_type, mixed, smode, state)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_group_scan_for(sample_rate: int, win: int, k: int):
+    """THE single-stream decode program: lax.scan over k windows of
+    `win` granules with the {overlap, hist} state carry, float32 PCM
+    out [S, k*win*576, 2] in ONE dispatch.
+
+    decode_file and the Player both run this program EXCLUSIVELY, which
+    is what makes their PCM bit-identical (XLA numerics are only stable
+    within one compiled executable — SURVEY.md §7.5). Two properties of
+    the scan make partial work exact with the same program:
+
+    * prefix property: scan step i's PCM depends only on windows <= i,
+      so a request for the first m windows can zero-pad the rest and
+      the m real windows' PCM is bit-identical to a full-group run;
+    * state locality: the carried state after a window is a pure
+      function of THAT window's symbols (overlap = z tail, hist = seq
+      tail, both derived from the current window only), so a seek
+      pre-roll places one real window in the LAST scan slot and takes
+      the returned state — O(window) host unpack, one dispatch.
+    """
+    tables = build_tables(sample_rate)
+
+    @jax.jit
+    def run(is_, exp, block_type, mixed, smode, state):
+        def to_xs(a):
+            return a.reshape((a.shape[0], k, win) + a.shape[2:]).swapaxes(0, 1)
+        xs = tuple(to_xs(a) for a in (is_, exp, block_type, mixed, smode))
+
+        def step(st, x):
+            pcm, st2 = granule_pipeline(*x, st, tables)
+            return st2, pcm
+
+        state, pcm = jax.lax.scan(step, state, xs)
+        S = is_.shape[0]
+        return pcm.swapaxes(0, 1).reshape(S, k * win * 576, 2), state
+
+    return run
+
+
+def decode_window_group(is_, exp, block_type, mixed, smode, state,
+                        sample_rate: int, k: int):
+    """k-window group decode, one dispatch (inputs [S, k*win, ...])."""
+    win = is_.shape[1] // k
+    return _jitted_group_scan_for(sample_rate, win, k)(
+        is_, exp, block_type, mixed, smode, state)
+
+
 def unpack12(is12, esc_pos, esc_val):
     """Device-side decode of the 12-bit packed spectrum plane.
 

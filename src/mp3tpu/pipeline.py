@@ -18,6 +18,12 @@ from .kernels import pipeline as kp
 # executables produce bit-identical PCM (XLA reduction order varies with
 # shape, so shape consistency IS the determinism contract; SURVEY.md §7.5).
 WINDOW = 32
+# Windows per device dispatch: the single-stream decode program is ONE
+# lax.scan over GROUP_WINDOWS windows (kp.decode_window_group). The scan's
+# prefix property lets the player decode partial groups / pre-roll with
+# the SAME executable, so play/seek/decode stay bit-identical while long
+# decodes cost 1 dispatch per 8 windows instead of 8.
+GROUP_WINDOWS = 8
 
 
 def _read(path_or_bytes) -> bytes:
@@ -28,8 +34,14 @@ def _read(path_or_bytes) -> bytes:
 
 
 def decode_symbols_device(st: SymbolTensors, state=None,
-                          window: int = WINDOW) -> np.ndarray:
+                          window: int = WINDOW,
+                          group: int = GROUP_WINDOWS) -> np.ndarray:
     """Run the TPU pipeline over all granules of one stream.
+
+    Decodes in groups of `group` windows — ONE dispatch per group via
+    the shared single-stream scan program (kp.decode_window_group); the
+    final partial group is zero-padded (the scan's prefix property makes
+    the real windows' PCM independent of the padding).
 
     Returns float32 PCM [n, channels].
     """
@@ -37,22 +49,23 @@ def decode_symbols_device(st: SymbolTensors, state=None,
     G = st.n_granules
     if state is None:
         state = kp.init_state(1)
+    span = window * group
     out = []
-    for start in range(0, G, window):
-        g = min(window, G - start)
+    for start in range(0, G, span):
+        g = min(span, G - start)
         sl = slice(start, start + g)
 
         def prep(a):
             a = a[sl]
-            if g != window:  # zero-pad the final partial window
-                width = ((0, window - g),) + tuple((0, 0) for _ in a.shape[1:])
+            if g != span:  # zero-pad the final partial group
+                width = ((0, span - g),) + tuple((0, 0) for _ in a.shape[1:])
                 a = np.pad(a, width)
             return jnp.asarray(a[None])  # add S axis
 
-        with annotate(f"mp3tpu.decode_window[{start}:{start + g}]"):
-            pcm, state = kp.decode_window(
+        with annotate(f"mp3tpu.decode_group[{start}:{start + g}]"):
+            pcm, state = kp.decode_window_group(
                 prep(st.is_), prep(st.exp), prep(st.block_type), prep(st.mixed),
-                prep(st.smode), state, st.sample_rate)
+                prep(st.smode), state, st.sample_rate, group)
         out.append(np.asarray(pcm[0, : g * 576]))
     pcm = np.concatenate(out, axis=0)
     return pcm[:, : st.channels]

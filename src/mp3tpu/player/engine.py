@@ -27,6 +27,7 @@ from ..metrics import Metrics
 from .sink import CollectSink, Sink
 
 WINDOW_GRANULES = 32  # must match pipeline.WINDOW for bit-identity
+GROUP_WINDOWS = 8     # must match pipeline.GROUP_WINDOWS (shared scan program)
 
 
 GAIN_RAMP = 256  # samples of linear amplitude ramp on a gain change (D3)
@@ -64,21 +65,35 @@ def _emit_dsp(x, gain0, gain1, eq_state, kernel):
 _emit_dsp_jit = None
 
 
-def _emit_dsp_pair(prev, cur, off, gain0, gain1, eq_state, kernel, nch):
-    """Device-resident emit: one EMIT_BLOCK starting `off` samples into
-    window `prev`, spilling into window `cur` (lax.dynamic_slice with a
-    TRACED start and a STATIC size, so every block offset shares one
-    executable). The DSP body is _emit_dsp itself on the same float
-    values the host path would upload — the int16 output is identical;
+def _emit_dsp_multi(prev, cur, off, gain0, gain1, eq_state, kernel, nch,
+                    e, m):
+    """Device-resident emit: m consecutive e-sample blocks starting
+    `off` samples into group buffer `prev`, spilling into group `cur`
+    (lax.dynamic_slice with a TRACED start and STATIC size/count, so
+    every block offset shares one executable per m; for blocks fully
+    inside one group the caller passes the same buffer twice). The DSP
+    body is _emit_dsp itself, applied per block with the EQ tail (and
+    the gain ramp's completion) carried block to block — exactly the
+    sequence m per-block dispatches would compute, in ONE dispatch and
+    one int16 download. Every intermediate EQ tail is returned so a
+    stop() between pushed blocks can rewind to any block boundary.
     PCM never leaves the device as float32."""
     import jax.numpy as jnp
     from jax import lax
     cat = jnp.concatenate([prev[:, :nch], cur[:, :nch]], axis=0)
-    x = lax.dynamic_slice(cat, (off, 0), (prev.shape[0], nch))
-    return _emit_dsp(x, gain0, gain1, eq_state, kernel)
+
+    def step(carry, i):
+        eq, g0 = carry
+        x = lax.dynamic_slice(cat, (off + i * e, 0), (e, nch))
+        i16, eq2 = _emit_dsp(x, g0, gain1, eq, kernel)
+        return (eq2, gain1), (i16, eq2)
+
+    (eq_fin, _), (i16s, eqs) = lax.scan(
+        step, (eq_state, gain0), jnp.arange(m))
+    return i16s, eqs, eq_fin
 
 
-_emit_dsp_pair_jit = None
+_emit_dsp_multi_jit = None
 
 
 @dataclass
@@ -163,7 +178,12 @@ class Player:
         self._pending_n = 0
         self._state = None
         self._state_granule = None    # granule the device state is valid for
-        self._win_cache = None        # (w, device_pcm [E, CH], n_granules)
+        # one decoded group kept on device:
+        #   (q, device_pcm [K*32*576, 2], n_valid_granules, upto_windows)
+        self._group_cache = None
+        # incrementally accumulated symbols for ONE group (host unpack
+        # stays linear when a group is decoded in growing prefixes):
+        self._group_syms = None       # (q, SymbolTensors, n_granules)
         self.stopped = False
 
     # ------------------------------------------------------------- info
@@ -184,92 +204,143 @@ class Player:
 
     # ------------------------------------------------------------ decode
     # The file is decoded in fixed window partitions [w*32, (w+1)*32) of
-    # granules — the same partition decode_file uses, so play/seek output
-    # is bit-identical to full-file decode (XLA reduction order is only
-    # stable for identical executables+shapes; SURVEY.md §7.5).
-    def _decode_window_idx(self, w: int) -> np.ndarray:
-        """Decode window w; device state must sit at w*32. Returns PCM of
-        the window's real granules and advances state to (w+1)*32. Host
-        symbols for the window are pulled from the streaming source here
-        (the §3.3 refill step)."""
+    # granules, grouped GROUP_WINDOWS windows per device dispatch — the
+    # same single scan program decode_file runs, so play/seek output is
+    # bit-identical to full-file decode (XLA numerics are only stable
+    # within one compiled executable; SURVEY.md §7.5). Partial groups
+    # ride the scan's prefix property: zero-pad the unrequested windows,
+    # the real windows' PCM is unchanged.
+    def _group_symbols(self, q: int, n: int):
+        """Symbols for the first n granules of group q, accumulated
+        incrementally so repeated prefix requests unpack each granule
+        once (SymbolSource does not cache)."""
+        src = self.track.source
+        GG = GROUP_WINDOWS * WINDOW_GRANULES
+        g0 = q * GG
+        cached = self._group_syms
+        if cached is not None and cached[0] == q and cached[2] >= n:
+            return cached[1].slice_granules(0, n) if cached[2] != n else cached[1]
+        with self.metrics.span("host"):
+            if cached is not None and cached[0] == q:
+                ext = src.granules(g0 + cached[2], g0 + n)
+                old = cached[1]
+                cat = lambda f: np.concatenate(
+                    [getattr(old, f), getattr(ext, f)])
+                st = SymbolTensors(
+                    is_=cat("is_"), exp=cat("exp"),
+                    block_type=cat("block_type"), mixed=cat("mixed"),
+                    smode=cat("smode"), errors=cat("errors"),
+                    huff_slack=cat("huff_slack"),
+                    lines_used=cat("lines_used"),
+                    sample_rate=old.sample_rate, channels=old.channels,
+                    version=old.version)
+            else:
+                st = src.granules(g0, g0 + n)
+        self._group_syms = (q, st, n)
+        return st
+
+    def _decode_group_dev(self, q: int, upto: int):
+        """Decode the first `upto` windows of group q via the shared
+        group-scan program; device state must sit at the group start.
+        Returns (device_pcm [GROUP*32*576, 2], n_valid_granules). State
+        advances to group q+1 ONLY when the full group was real (a
+        prefix decode pads with zero windows, whose state is garbage but
+        never consumed — re-requests rerun from the same state-in)."""
         import jax.numpy as jnp
         src = self.track.source
-        W = WINDOW_GRANULES
-        g0 = w * W
+        W, K = WINDOW_GRANULES, GROUP_WINDOWS
+        GG = K * W
+        g0 = q * GG
         assert self._state is not None and self._state_granule == g0
-        n = min(W, src.n_granules - g0)
-        with self.metrics.span("host"):
-            st = src.granules(g0, g0 + n)
+        n_avail = min(GG, src.n_granules - g0)
+        n = min(upto * W, n_avail)
+        st = self._group_symbols(q, n)
 
         def prep(a):
-            if n != W:  # zero-pad the final partial window
-                width = ((0, W - n),) + tuple((0, 0) for _ in a.shape[1:])
+            if n != GG:  # zero-pad unrequested windows / the EOF tail
+                width = ((0, GG - n),) + tuple((0, 0) for _ in a.shape[1:])
                 a = np.pad(a, width)
             return jnp.asarray(a[None])
 
         from ..utils.profiling import annotate
-        with annotate(f"mp3tpu.player_window[{w}]"):
-            pcm, self._state = kp.decode_window(
+        with annotate(f"mp3tpu.player_group[{q}]"):
+            pcm, new_state = kp.decode_window_group(
                 prep(st.is_), prep(st.exp), prep(st.block_type),
-                prep(st.mixed), prep(st.smode), self._state, st.sample_rate)
-        self._state_granule = g0 + W
-        self.metrics.granules_decoded += n
-        self._win_cache = (w, pcm[0], n)
-        return np.asarray(pcm[0, : n * 576, : st.channels])
-
-    def _decode_window_dev(self, w: int):
-        """As _decode_window_idx but keeps the PCM on device: returns
-        (device_pcm [E, CH], n_granules). Also caches the window so a
-        following host-path access (the sub-block tail of a play())
-        downloads it instead of re-decoding."""
-        src = self.track.source
-        W = WINDOW_GRANULES
-        g0 = w * W
-        assert self._state is not None and self._state_granule == g0
-        n = min(W, src.n_granules - g0)
-        import jax.numpy as jnp
-        with self.metrics.span("host"):
-            st = src.granules(g0, g0 + n)
-
-        def prep(a):
-            if n != W:
-                width = ((0, W - n),) + tuple((0, 0) for _ in a.shape[1:])
-                a = np.pad(a, width)
-            return jnp.asarray(a[None])
-
-        from ..utils.profiling import annotate
-        with annotate(f"mp3tpu.player_window[{w}]"):
-            pcm, self._state = kp.decode_window(
-                prep(st.is_), prep(st.exp), prep(st.block_type),
-                prep(st.mixed), prep(st.smode), self._state, st.sample_rate)
-        self._state_granule = g0 + W
+                prep(st.mixed), prep(st.smode), self._state,
+                st.sample_rate, K)
+        if n == GG:  # full real group: state is valid at q+1
+            self._state = new_state
+            self._state_granule = g0 + GG
         self.metrics.granules_decoded += n
         dev = pcm[0]
-        self._win_cache = (w, dev, n)
+        self._group_cache = (q, dev, n, -(-n // W))
         return dev, n
 
-    def _window_pcm(self, w: int) -> np.ndarray:
-        """Host PCM for window w: served from the device window cache
-        when possible (no re-decode, no state reset), else decoded."""
-        st = self.track.source
-        if self._win_cache is not None and self._win_cache[0] == w:
-            _w, dev, n = self._win_cache
-            return np.asarray(dev)[: n * 576, : st.channels]
-        self._ensure_state_at_window(w)
-        return self._decode_window_idx(w)
+    def _cached_or_decode_group(self, q: int):
+        """Fully-decoded device PCM for group q: served from the group
+        cache when it covers every available granule (so a loop() over
+        one segment re-dispatches NOTHING after its first iteration),
+        else decoded. The cache carries no device state; a later chain
+        into group q+1 re-establishes state with a one-window pre-roll
+        (_ensure_state_at_group)."""
+        src = self.track.source
+        GG = GROUP_WINDOWS * WINDOW_GRANULES
+        n_avail = min(GG, src.n_granules - q * GG)
+        c = self._group_cache
+        if c is not None and c[0] == q and c[2] >= n_avail:
+            return c[1]
+        self._ensure_state_at_group(q)
+        dev, _n = self._decode_group_dev(q, GROUP_WINDOWS)
+        return dev
 
-    def _ensure_state_at_window(self, w: int):
-        """Make device state valid at window w's start: either it is
-        already there, or reset and pre-roll one full window (32 granules
-        >> the 2-granule overlap+FIFO warmup; SURVEY.md §5.4)."""
-        g0 = w * WINDOW_GRANULES
+    def _window_pcm(self, w: int) -> np.ndarray:
+        """Host PCM for window w: served from the device group cache
+        when possible (no re-decode, no state reset), else decoded."""
+        src = self.track.source
+        W, K = WINDOW_GRANULES, GROUP_WINDOWS
+        q, wi = divmod(w, K)
+        c = self._group_cache
+        if c is None or c[0] != q or c[3] <= wi:
+            self._ensure_state_at_group(q)
+            self._decode_group_dev(q, wi + 1)
+            c = self._group_cache
+        _q, dev, n_valid, _upto = c
+        n = min(W, n_valid - wi * W)
+        if n <= 0:
+            return np.zeros((0, src.channels), np.float32)
+        sl = dev[wi * W * 576: wi * W * 576 + n * 576, : src.channels]
+        return np.asarray(sl)
+
+    def _ensure_state_at_group(self, q: int):
+        """Make device state valid at group q's start: either it is
+        already there, or reset and pre-roll. The carried state after a
+        window depends only on THAT window's symbols (overlap/hist are
+        tails of the current window's output), so the pre-roll unpacks
+        ONE window — the last of group q-1 — and runs it in the LAST
+        scan slot of the same group program: O(window) host work, one
+        dispatch (SURVEY.md §5.4)."""
+        W, K = WINDOW_GRANULES, GROUP_WINDOWS
+        GG = K * W
+        g0 = q * GG
         if self._state is not None and self._state_granule == g0:
             return
-        w0 = max(0, w - 1)
         self._state = kp.init_state(1)
-        self._state_granule = w0 * WINDOW_GRANULES
-        if w0 < w:
-            self._decode_window_idx(w0)  # discard pre-roll PCM
+        self._state_granule = 0
+        if q > 0:
+            import jax.numpy as jnp
+            src = self.track.source
+            with self.metrics.span("host"):
+                st = src.granules(g0 - W, g0)
+
+            def prep(a):
+                pad = np.zeros((GG - W,) + a.shape[1:], a.dtype)
+                return jnp.asarray(np.concatenate([pad, a])[None])
+
+            _pcm, self._state = kp.decode_window_group(
+                prep(st.is_), prep(st.exp), prep(st.block_type),
+                prep(st.mixed), prep(st.smode), self._state,
+                st.sample_rate, K)
+            self._state_granule = g0
         self.metrics.seeks += 1
 
     EMIT_BLOCK = WINDOW_GRANULES * 576  # fixed DSP-emit shape (jit reuse)
@@ -322,17 +393,19 @@ class Player:
         self.sink.push(i16)
         self.metrics.samples_out += len(i16)
 
-    def _emit_pair_dev(self, prev, cur, off: int):
-        """Dispatch one EMIT_BLOCK through the device-resident DSP chain
+    def _emit_multi_dev(self, prev, cur, off: int, m: int):
+        """Dispatch m EMIT_BLOCKs through the device-resident DSP chain
         (same values and executable body as _emit_block, minus the
-        float32 device->host->device round trip). Returns the int16
-        device array; the caller downloads it asynchronously."""
+        float32 device->host->device round trip). prev/cur are decoded
+        GROUP buffers (the same buffer twice when no block spills into
+        the next group). Returns (int16 [m, E, nch] device array,
+        per-block EQ tails); the caller downloads asynchronously."""
         import jax
         import jax.numpy as jnp
-        global _emit_dsp_pair_jit
-        if _emit_dsp_pair_jit is None:
-            _emit_dsp_pair_jit = jax.jit(_emit_dsp_pair,
-                                         static_argnums=(7,))
+        global _emit_dsp_multi_jit
+        if _emit_dsp_multi_jit is None:
+            _emit_dsp_multi_jit = jax.jit(_emit_dsp_multi,
+                                          static_argnums=(7, 8, 9))
         nch = self.track.source.channels
         gain0 = jnp.float32(10.0 ** (self._applied_gain_db / 20.0))
         gain1 = jnp.float32(10.0 ** (self.gain_db / 20.0))
@@ -344,13 +417,13 @@ class Player:
         else:
             kernel = jnp.ones((1,), jnp.float32)
             eq_state = jnp.zeros((0, nch), jnp.float32)
-        i16, new_eq = _emit_dsp_pair_jit(prev, cur, jnp.int32(off),
-                                         gain0, gain1, eq_state, kernel,
-                                         nch)
+        i16s, eqs, eq_fin = _emit_dsp_multi_jit(
+            prev, cur, jnp.int32(off), gain0, gain1, eq_state, kernel,
+            nch, self.EMIT_BLOCK, m)
         self._applied_gain_db = self.gain_db
         if self._eq is not None:
-            self._eq_state = new_eq
-        return i16
+            self._eq_state = eq_fin
+        return i16s, eqs
 
     # -------------------------------------------------------------- api
     def play(self, until_sample: int | None = None, max_samples: int | None = None):
@@ -360,12 +433,12 @@ class Player:
 
         Every complete EMIT_BLOCK is produced by the device fast path
         (_play_blocks_device): PCM stays on device through the DSP
-        chain, only int16 crosses to host, and one block's download is
-        kept in flight behind the next block's dispatch (SURVEY.md
-        §2.4 P4). The sub-block tail (and sub-block requests) use the
-        per-window host path below; both paths share the 32-granule
-        window partition and the _emit_dsp math, so output is
-        bit-identical either way."""
+        chain, only int16 crosses to host (one download per multi-block
+        dispatch), and one dispatch's download is kept in flight behind
+        the next dispatch (SURVEY.md §2.4 P4). The sub-block tail (and
+        sub-block requests) use the host path below; both paths run the
+        SAME group-scan decode program and the _emit_dsp math, so
+        output is bit-identical either way."""
         end = self._end if until_sample is None else min(until_sample, self._end)
         if max_samples is not None:
             end = min(end, self._pos + max_samples)
@@ -390,58 +463,84 @@ class Player:
         self._flush_pending()
         return emitted
 
+    def _push_blocks(self, inflight):
+        """Push one downloaded multi-block dispatch (ONE int16 D2H for
+        all its blocks); a stop() from a sink callback between blocks
+        leaves the cursor after the last delivered block and rewinds the
+        EQ tail to that boundary. Returns (samples, interrupted)."""
+        i16s, eqs, _eq_before, _gain_before, m = inflight
+        arr = np.asarray(i16s)
+        E = self.EMIT_BLOCK
+        for j in range(m):
+            self._push_i16(arr[j])
+            self._pos += E
+            if self.stopped and j + 1 < m:
+                if self._eq is not None and eqs is not None:
+                    import jax.numpy as jnp
+                    self._eq_state = jnp.asarray(np.asarray(eqs[j]))
+                return (j + 1) * E, True
+        return m * E, False
+
     def _play_blocks_device(self, end: int) -> int:
         """Emit every complete EMIT_BLOCK in [self._pos, end) via the
-        device pair-slice path. Advances self._pos per PUSHED block, so
-        a stop() from a sink callback leaves the cursor exactly after
-        the last delivered block (the one block dispatched ahead is
-        discarded and its DSP state unwound)."""
+        device group path: ONE decode dispatch per GROUP_WINDOWS
+        windows, ONE emit dispatch + ONE int16 download per up-to-
+        GROUP_WINDOWS blocks (a multi-block dispatch may spill into the
+        next group: off + 8 blocks < two group spans always). Advances
+        self._pos per PUSHED block, so a stop() from a sink callback
+        leaves the cursor exactly after the last delivered block (the
+        dispatch kept in flight behind the pushes is discarded and its
+        DSP state unwound)."""
         E = self.EMIT_BLOCK
-        wspan = WINDOW_GRANULES * self.spf
-        n_blocks = (end - self._pos) // E
-        w = self._pos // wspan
-        off = self._pos - w * wspan
-        self._ensure_state_at_window(w)
-        prev, _n = self._decode_window_dev(w)
-        inflight = None   # (i16_dev, eq_state_before, applied_gain_before)
+        GG = GROUP_WINDOWS * WINDOW_GRANULES
+        gspan = GG * self.spf
+        dpos = self._pos  # dispatch cursor (one dispatch ahead of _pos)
+        q = dpos // gspan
+        cur_grp = self._cached_or_decode_group(q)
+        nxt_grp = None
+        inflight = None  # (i16s, eqs, eq_before, gain_before, m)
+        interrupted = False
         emitted = 0
-        for k in range(n_blocks):
-            if self.stopped:
+        while not self.stopped:
+            blocks_left = (end - dpos) // E
+            if blocks_left <= 0:
                 break
+            off = dpos - q * gspan
+            m = min(GROUP_WINDOWS, blocks_left)
             eq_before = self._eq_state
             gain_before = self._applied_gain_db
-            if off == 0:
-                cur = prev
-            else:
-                cur, _n = self._decode_window_dev(w + 1)
-            i16 = self._emit_pair_dev(prev, cur, off)
+            if off + m * E > gspan and nxt_grp is None:
+                nxt_grp = self._cached_or_decode_group(q + 1)
+            i16s, eqs = self._emit_multi_dev(
+                cur_grp, cur_grp if nxt_grp is None else nxt_grp, off, m)
             try:
-                i16.copy_to_host_async()
+                i16s.copy_to_host_async()
             except Exception:
                 pass
             if inflight is not None:
-                self._push_i16(np.asarray(inflight[0]))
-                self._pos += E
-                emitted += E
-            if off == 0:
-                w += 1
-                if k + 1 < n_blocks and not self.stopped:
-                    self._ensure_state_at_window(w)
-                    prev, _n = self._decode_window_dev(w)
-            else:
-                prev = cur
-                w += 1
-            inflight = (i16, eq_before, gain_before)
+                got, interrupted = self._push_blocks(inflight)
+                emitted += got
+            dpos += m * E
+            if dpos >= (q + 1) * gspan:  # m*E <= gspan: at most one cross
+                q += 1
+                if nxt_grp is not None:
+                    cur_grp, nxt_grp = nxt_grp, None
+                elif (end - dpos) // E > 0 and not self.stopped:
+                    # the dispatch ended exactly on the boundary
+                    cur_grp = self._cached_or_decode_group(q)
+            inflight = (i16s, eqs, eq_before, gain_before, m)
         if inflight is not None:
             if self.stopped:
-                # the look-ahead block was never pushed: unwind its DSP
-                # state so a resumed play() re-emits it identically
-                self._eq_state = inflight[1]
-                self._applied_gain_db = inflight[2]
+                if not interrupted:
+                    # the look-ahead dispatch was never pushed: unwind
+                    # its DSP state so a resumed play() re-emits its
+                    # blocks identically (an interrupted push already
+                    # rewound to the delivered boundary)
+                    self._eq_state = inflight[2]
+                    self._applied_gain_db = inflight[3]
             else:
-                self._push_i16(np.asarray(inflight[0]))
-                self._pos += E
-                emitted += E
+                got, _ = self._push_blocks(inflight)
+                emitted += got
         return emitted
 
     def seek(self, seconds: float):

@@ -136,6 +136,94 @@ def test_player_first_audio_is_o_window(mp3):
     assert src.granules_unpacked <= 2 * WINDOW_GRANULES
 
 
+def test_group_scan_contract(mp3):
+    """The single-stream decode program is shared: player and pipeline
+    agree on the window/group partition, and a partial-group (prefix)
+    decode is bit-identical to the full-group run on the windows it
+    covers (the property the player's incremental path relies on)."""
+    import jax.numpy as jnp
+    from mp3tpu import pipeline as pl
+    from mp3tpu.kernels import pipeline as kp
+    from mp3tpu.player import engine as eng
+    assert pl.WINDOW == eng.WINDOW_GRANULES
+    assert pl.GROUP_WINDOWS == eng.GROUP_WINDOWS
+    st, info, _ = pl.load_symbols(mp3)
+    K, W = pl.GROUP_WINDOWS, pl.WINDOW
+    GG = K * W
+    n = min(2 * W, st.n_granules)  # two real windows
+
+    def prep(a, g):
+        a = a[:g]
+        width = ((0, GG - g),) + tuple((0, 0) for _ in a.shape[1:])
+        return jnp.asarray(np.pad(a, width)[None])
+
+    def run(g):
+        state = kp.init_state(1)
+        pcm, _ = kp.decode_window_group(
+            prep(st.is_, g), prep(st.exp, g), prep(st.block_type, g),
+            prep(st.mixed, g), prep(st.smode, g), state,
+            st.sample_rate, K)
+        return np.asarray(pcm[0, : n * 576])
+
+    full = run(min(GG, st.n_granules))
+    prefix = run(n)
+    assert np.array_equal(full, prefix)
+
+
+def test_player_forward_unpack_is_linear(mp3):
+    """Sequential playback must unpack each granule once — the player's
+    per-group symbol accumulation keeps host unpack linear even when a
+    group is decoded in growing prefixes (sub-block play calls)."""
+    p = Player(mp3, apply_gapless=False)
+    src = p.track.source
+    step = 5000
+    while p.play(max_samples=step):
+        pass
+    from mp3tpu.player.engine import WINDOW_GRANULES
+    assert src.granules_unpacked <= src.n_granules + WINDOW_GRANULES
+
+
+def test_loop_reuses_decoded_group(mp3):
+    """loop() over a segment must not re-decode after its first pass:
+    the device group cache serves every later iteration (the reference's
+    repeat-listen pattern costs zero decode dispatches at steady state)."""
+    p = Player(mp3, apply_gapless=False)
+    p.loop(0.2, 0.7, times=1)
+    first = p.metrics.granules_decoded
+    assert first > 0
+    p.loop(0.2, 0.7, times=3)
+    assert p.metrics.granules_decoded == first
+    # and the output is still per-iteration identical
+    sr = p.track.sample_rate
+    seg = int(round(0.7 * sr)) - int(round(0.2 * sr))
+    got = p.sink.pcm
+    assert np.array_equal(got[:seg], got[-seg:])
+
+
+def test_stop_mid_multiblock_resumes_exact(mp3):
+    """A sink-callback stop() between blocks of one multi-block emit
+    dispatch must leave the cursor at the delivered boundary; a resumed
+    play() re-emits the rest bit-identically (the in-flight dispatch is
+    discarded and the DSP state rewound)."""
+    from mp3tpu.player import CallbackSink
+    ref, _ = decode_file(mp3, gapless=False)
+    chunks = []
+
+    def cb(pcm):
+        chunks.append(np.array(pcm))
+        if len(chunks) == 2:  # stop mid-run, between pushed blocks
+            p.stop()
+
+    p = Player(mp3, CallbackSink(cb), apply_gapless=False)
+    p.play()
+    assert p.stopped
+    p.play()  # resume to end
+    got = np.concatenate(chunks)
+    n = min(len(got), len(ref))
+    assert n > 80000
+    assert np.array_equal(got[:n], ref[:n])
+
+
 def test_metadata_and_duration(mp3):
     p = Player(mp3)
     assert p.track.sample_rate == 44100
