@@ -33,9 +33,13 @@ def _read(path_or_bytes) -> bytes:
         return f.read()
 
 
+_quantize_group_jit = None
+
+
 def decode_symbols_device(st: SymbolTensors, state=None,
                           window: int = WINDOW,
-                          group: int = GROUP_WINDOWS) -> np.ndarray:
+                          group: int = GROUP_WINDOWS,
+                          output: str = "float32") -> np.ndarray:
     """Run the TPU pipeline over all granules of one stream.
 
     Decodes in groups of `group` windows — ONE dispatch per group via
@@ -43,13 +47,23 @@ def decode_symbols_device(st: SymbolTensors, state=None,
     final partial group is zero-padded (the scan's prefix property makes
     the real windows' PCM independent of the padding).
 
-    Returns float32 PCM [n, channels].
+    output="int16" quantizes each group ON DEVICE (a separate jitted
+    elementwise program on the scan's float output, so the decode
+    executable — and its numerics — are untouched) and downloads the 4x
+    smaller int16; elementwise quantize commutes with concatenation and
+    slicing, so the result is bit-identical to quantizing the assembled
+    float PCM. Returns PCM [n, channels] in the requested dtype.
     """
+    import jax
     from .utils.profiling import annotate
+    global _quantize_group_jit
     G = st.n_granules
     if state is None:
         state = kp.init_state(1)
     span = window * group
+    i16 = output == "int16"
+    if i16 and _quantize_group_jit is None:
+        _quantize_group_jit = jax.jit(kp.quantize_i16)
     out = []
     for start in range(0, G, span):
         g = min(span, G - start)
@@ -66,7 +80,8 @@ def decode_symbols_device(st: SymbolTensors, state=None,
             pcm, state = kp.decode_window_group(
                 prep(st.is_), prep(st.exp), prep(st.block_type), prep(st.mixed),
                 prep(st.smode), state, st.sample_rate, group)
-        out.append(np.asarray(pcm[0, : g * 576]))
+        dev = _quantize_group_jit(pcm) if i16 else pcm
+        out.append(np.asarray(dev)[0, : g * 576])
     pcm = np.concatenate(out, axis=0)
     return pcm[:, : st.channels]
 
@@ -136,13 +151,14 @@ def decode_file(path_or_bytes, output: str | None = None,
     data = _read(path_or_bytes)
     st, info, _index = load_symbols(data)
     with device_trace():
-        pcm = decode_symbols_device(st, window=cfg.window_granules)
+        # int16 quantizes on device per group: only int16 crosses D2H,
+        # nothing is re-uploaded (quantize commutes with the trim below)
+        pcm = decode_symbols_device(st, window=cfg.window_granules,
+                                    output=output)
     if gapless and info.gapless:
         from .dsp.gapless import gapless_bounds
         a, b = gapless_bounds(len(pcm), info.encoder_delay, info.encoder_padding)
         pcm = pcm[a:b]
-    if output == "int16":
-        pcm = np.asarray(kp.quantize_i16(jnp.asarray(pcm)))
     return pcm, st.sample_rate
 
 
