@@ -25,16 +25,27 @@ def init(config=None, sample_rates=(44100,), n_streams: int = 1,
     import jax.numpy as jnp
     import numpy as np
     from .kernels import pipeline as kp
+    from .pipeline import GROUP_WINDOWS
     for sr in sample_rates:
         kp.build_tables(sr)
         W = cfg.decode.window_granules
         S = max(n_streams, 1)
         zeros = lambda shape, dt: jnp.asarray(np.zeros(shape, dt))
-        pcm, _ = kp.decode_window_i16(
-            zeros((S, W, 2, 576), np.int16), zeros((S, W, 2, 64), np.int16),
-            zeros((S, W, 2), np.int8), zeros((S, W, 2), bool),
-            zeros((S, W, 64), np.uint8), kp.init_state(S), sr)
+        # the single-stream program decode_file/play actually run: the
+        # GROUP_WINDOWS-window group scan (kernels/pipeline.py)
+        GW = W * GROUP_WINDOWS
+        pcm, _ = kp.decode_window_group(
+            zeros((1, GW, 2, 576), np.int16), zeros((1, GW, 2, 64), np.int16),
+            zeros((1, GW, 2), np.int8), zeros((1, GW, 2), bool),
+            zeros((1, GW, 64), np.uint8), kp.init_state(1), sr,
+            GROUP_WINDOWS)
         pcm.block_until_ready()
+        if S > 1:  # the scheduler's masked-batch program
+            pcm, _ = kp.decode_window_i16(
+                zeros((S, W, 2, 576), np.int16), zeros((S, W, 2, 64), np.int16),
+                zeros((S, W, 2), np.int8), zeros((S, W, 2), bool),
+                zeros((S, W, 64), np.uint8), kp.init_state(S), sr)
+            pcm.block_until_ready()
     _INITIALIZED = True
     return cfg
 

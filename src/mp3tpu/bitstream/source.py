@@ -133,11 +133,4 @@ def unpack_parallel(data: bytes, index: fr.FrameIndex | None = None,
 
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         parts = list(ex.map(work, ranges))
-    first = parts[0]
-    cat = lambda f: np.concatenate([getattr(p, f) for p in parts])
-    return SymbolTensors(
-        is_=cat("is_"), exp=cat("exp"), block_type=cat("block_type"),
-        mixed=cat("mixed"), smode=cat("smode"), errors=cat("errors"),
-        huff_slack=cat("huff_slack"), lines_used=cat("lines_used"),
-        sample_rate=first.sample_rate, channels=first.channels,
-        version=first.version)
+    return SymbolTensors.concat(parts)

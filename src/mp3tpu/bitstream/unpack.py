@@ -67,6 +67,21 @@ class SymbolTensors:
         """Duck-type parity with SymbolSource.granules (pre-unpacked)."""
         return self.slice_granules(g0, g1)
 
+    @classmethod
+    def concat(cls, parts) -> "SymbolTensors":
+        """Concatenate along the granule axis (scalar metadata from the
+        first part). The single place that enumerates the array fields
+        for reassembly — keep in sync with the dataclass."""
+        import numpy as np
+        first = parts[0]
+        cat = lambda f: np.concatenate([getattr(p, f) for p in parts])
+        return cls(
+            is_=cat("is_"), exp=cat("exp"), block_type=cat("block_type"),
+            mixed=cat("mixed"), smode=cat("smode"), errors=cat("errors"),
+            huff_slack=cat("huff_slack"), lines_used=cat("lines_used"),
+            sample_rate=first.sample_rate, channels=first.channels,
+            version=first.version)
+
 
 def _flavor(block_type: int, mixed: int) -> int:
     if block_type != 2:

@@ -178,9 +178,11 @@ class Player:
         self._pending_n = 0
         self._state = None
         self._state_granule = None    # granule the device state is valid for
-        # one decoded group kept on device:
-        #   (q, device_pcm [K*32*576, 2], n_valid_granules, upto_windows)
-        self._group_cache = None
+        # decoded groups kept on device, newest-last, capped at two so a
+        # loop() segment spanning a group boundary stays fully cached:
+        #   q -> [device_pcm [K*32*576, 2], n_valid_granules,
+        #         upto_windows, host_pcm_or_None]
+        self._group_cache: dict = {}
         # incrementally accumulated symbols for ONE group (host unpack
         # stays linear when a group is decoded in growing prefixes):
         self._group_syms = None       # (q, SymbolTensors, n_granules)
@@ -223,17 +225,7 @@ class Player:
         with self.metrics.span("host"):
             if cached is not None and cached[0] == q:
                 ext = src.granules(g0 + cached[2], g0 + n)
-                old = cached[1]
-                cat = lambda f: np.concatenate(
-                    [getattr(old, f), getattr(ext, f)])
-                st = SymbolTensors(
-                    is_=cat("is_"), exp=cat("exp"),
-                    block_type=cat("block_type"), mixed=cat("mixed"),
-                    smode=cat("smode"), errors=cat("errors"),
-                    huff_slack=cat("huff_slack"),
-                    lines_used=cat("lines_used"),
-                    sample_rate=old.sample_rate, channels=old.channels,
-                    version=old.version)
+                st = SymbolTensors.concat([cached[1], ext])
             else:
                 st = src.granules(g0, g0 + n)
         self._group_syms = (q, st, n)
@@ -273,43 +265,51 @@ class Player:
             self._state_granule = g0 + GG
         self.metrics.granules_decoded += n
         dev = pcm[0]
-        self._group_cache = (q, dev, n, -(-n // W))
+        self._group_cache.pop(q, None)
+        self._group_cache[q] = [dev, n, -(-n // W), None]
+        while len(self._group_cache) > 2:  # evict oldest
+            self._group_cache.pop(next(iter(self._group_cache)))
         return dev, n
 
     def _cached_or_decode_group(self, q: int):
-        """Fully-decoded device PCM for group q: served from the group
-        cache when it covers every available granule (so a loop() over
-        one segment re-dispatches NOTHING after its first iteration),
+        """Fully-decoded device PCM for group q: served from the
+        two-entry group cache when it covers every available granule
+        (so a loop() over a segment — even one spanning a group
+        boundary — re-dispatches NOTHING after its first iteration),
         else decoded. The cache carries no device state; a later chain
         into group q+1 re-establishes state with a one-window pre-roll
         (_ensure_state_at_group)."""
         src = self.track.source
         GG = GROUP_WINDOWS * WINDOW_GRANULES
         n_avail = min(GG, src.n_granules - q * GG)
-        c = self._group_cache
-        if c is not None and c[0] == q and c[2] >= n_avail:
-            return c[1]
+        c = self._group_cache.get(q)
+        if c is not None and c[1] >= n_avail:
+            return c[0]
         self._ensure_state_at_group(q)
         dev, _n = self._decode_group_dev(q, GROUP_WINDOWS)
         return dev
 
     def _window_pcm(self, w: int) -> np.ndarray:
-        """Host PCM for window w: served from the device group cache
-        when possible (no re-decode, no state reset), else decoded."""
+        """Host PCM for window w: sliced from the cached HOST copy of
+        the group (downloaded once per group — np.asarray of the same
+        device Array is cached, and host-side slicing avoids compiling
+        a device slice executable per (offset, length))."""
         src = self.track.source
         W, K = WINDOW_GRANULES, GROUP_WINDOWS
         q, wi = divmod(w, K)
-        c = self._group_cache
-        if c is None or c[0] != q or c[3] <= wi:
+        c = self._group_cache.get(q)
+        if c is None or c[2] <= wi:
             self._ensure_state_at_group(q)
             self._decode_group_dev(q, wi + 1)
-            c = self._group_cache
-        _q, dev, n_valid, _upto = c
+            c = self._group_cache[q]
+        dev, n_valid, _upto, host = c
         n = min(W, n_valid - wi * W)
         if n <= 0:
             return np.zeros((0, src.channels), np.float32)
-        sl = dev[wi * W * 576: wi * W * 576 + n * 576, : src.channels]
-        return np.asarray(sl)
+        if host is None:  # one full-group download, reused across reads
+            host = np.asarray(dev)
+            c[3] = host
+        return host[wi * W * 576: wi * W * 576 + n * 576, : src.channels]
 
     def _ensure_state_at_group(self, q: int):
         """Make device state valid at group q's start: either it is
@@ -437,8 +437,15 @@ class Player:
         dispatch), and one dispatch's download is kept in flight behind
         the next dispatch (SURVEY.md §2.4 P4). The sub-block tail (and
         sub-block requests) use the host path below; both paths run the
-        SAME group-scan decode program and the _emit_dsp math, so
-        output is bit-identical either way."""
+        SAME group-scan decode program and the _emit_dsp math. At unity
+        gain / no EQ the DSP is elementwise, so output is bit-identical
+        either way (what the play==decode tests pin); with EQ on, the
+        FIR runs in differently-composed executables across the two
+        paths, so cross-path agreement there is <=ULP, not bit-pinned
+        (memory: XLA numerics are only stable within one program).
+        Live gain/EQ changes from sink callbacks take effect at the
+        next multi-block dispatch — up to ~2 dispatches (~16 blocks)
+        of latency vs ~2 blocks with per-block emission."""
         end = self._end if until_sample is None else min(until_sample, self._end)
         if max_samples is not None:
             end = min(end, self._pos + max_samples)
@@ -531,13 +538,15 @@ class Player:
             inflight = (i16s, eqs, eq_before, gain_before, m)
         if inflight is not None:
             if self.stopped:
+                # the look-ahead dispatch was never pushed: the applied
+                # gain rolls back to what the last PUSHED dispatch left
+                # (== the discarded dispatch's gain_before) in both stop
+                # flavors; the EQ tail is restored here only when no
+                # push was interrupted (an interrupted _push_blocks
+                # already rewound it to the delivered block boundary)
+                self._applied_gain_db = inflight[3]
                 if not interrupted:
-                    # the look-ahead dispatch was never pushed: unwind
-                    # its DSP state so a resumed play() re-emits its
-                    # blocks identically (an interrupted push already
-                    # rewound to the delivered boundary)
                     self._eq_state = inflight[2]
-                    self._applied_gain_db = inflight[3]
             else:
                 got, _ = self._push_blocks(inflight)
                 emitted += got

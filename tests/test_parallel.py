@@ -6,6 +6,12 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 
+# these tests need the 8-virtual-device CPU mesh the conftest provisions
+# on the CPU backend; a real single-chip TPU run has one device — skip
+# there (the driver's dryrun_multichip covers sharding separately)
+if len(jax.devices()) < 8:
+    pytestmark = pytest.mark.skip(reason="needs 8 devices (CPU mesh)")
+
 from mp3tpu.kernels import pipeline as kp
 from mp3tpu.parallel.mesh import make_stream_mesh, shard_batch, stream_sharding
 

@@ -200,6 +200,29 @@ def test_loop_reuses_decoded_group(mp3):
     assert np.array_equal(got[:seg], got[-seg:])
 
 
+def test_loop_across_group_boundary_reuses_cache():
+    """A loop() segment SPANNING a group boundary must also re-dispatch
+    nothing after its first pass — the group cache holds two entries."""
+    pytest.importorskip("lameref")
+    import fixtures as fx
+    mp3 = fx.lame_fixture("sweep", ch=2, bitrate=128, mode="jstereo",
+                          seconds=4.0)
+    p = Player(mp3, apply_gapless=False)
+    from mp3tpu.player.engine import GROUP_WINDOWS, WINDOW_GRANULES
+    gspan = GROUP_WINDOWS * WINDOW_GRANULES * 576
+    sr = p.track.sample_rate
+    b = (gspan + 30000) / sr           # segment end past the boundary
+    a = b - 1.2
+    assert a * sr < gspan < b * sr      # really crosses
+    p.loop(a, b, times=1)
+    first = p.metrics.granules_decoded
+    p.loop(a, b, times=2)
+    assert p.metrics.granules_decoded == first
+    seg = int(round(b * sr)) - int(round(a * sr))
+    got = p.sink.pcm
+    assert np.array_equal(got[:seg], got[-seg:])
+
+
 def test_stop_mid_multiblock_resumes_exact(mp3):
     """A sink-callback stop() between blocks of one multi-block emit
     dispatch must leave the cursor at the delivered boundary; a resumed
