@@ -268,6 +268,8 @@ def block_type_sequence(pcm: np.ndarray, sample_rate: int,
     transient detection, with legal transition sequencing."""
     x = pcm.mean(axis=1) if pcm.ndim == 2 else pcm
     G = len(x) // SPF
+    if G == 0:
+        return np.zeros(0, np.int64)
     # high-pass emphasizes attacks
     hp = np.diff(x, prepend=x[:1])
     # sub-block (64-sample) energies over the WHOLE signal: detection at

@@ -254,8 +254,14 @@ def _decode_files_fast(datas, gapless: bool):
             chunk = idxs[c0: c0 + cfg.batch_chunk_streams]
             win = cfg.window_granules
             n_win = -(-max(G_all[i] for i in chunk) // win)
-            # ~934 staged bytes per granule at the 4-bit plane
-            est_mb = n_win * win * len(chunk) * 934 / 1e6
+            nb = 1 << max(0, n_win - 1).bit_length()  # device bucket
+            # _fast_chunk allocates FULL batch_chunk_streams-wide buffers
+            # regardless of chunk occupancy (fixed jit shapes), so the
+            # estimate must use S, not len(chunk): ~934 staged host bytes
+            # per granule at the 4-bit plane plus the bucketed int16
+            # device PCM output ([S, nb*win*576, 2])
+            S = cfg.batch_chunk_streams
+            est_mb = S * (n_win * win * 934 + nb * win * 2304) / 1e6
             if est_mb > cfg.batch_max_mb:
                 slow.extend(chunk)
                 continue

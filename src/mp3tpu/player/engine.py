@@ -300,7 +300,13 @@ class Player:
         c = self._group_cache.get(q)
         if c is None or c[2] <= wi:
             self._ensure_state_at_group(q)
-            self._decode_group_dev(q, wi + 1)
+            # first touch of a group decodes the minimal prefix (the
+            # O(window) first-audio path); any LATER growth decodes the
+            # whole group, so sink-paced sub-block reads cost at most
+            # two dispatches + two downloads per group rather than one
+            # full prefix re-decode + full-buffer re-download per window
+            # (any prefix is bit-identical by the scan's prefix property)
+            self._decode_group_dev(q, wi + 1 if c is None else K)
             c = self._group_cache[q]
         dev, n_valid, _upto, host = c
         n = min(W, n_valid - wi * W)

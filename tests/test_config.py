@@ -152,6 +152,26 @@ def test_fast_batch_memory_cap_falls_back(mp3):
         assert d.max() <= 1  # scheduler path shares the window partition
 
 
+def test_fast_batch_cap_counts_full_chunk_width(mp3, monkeypatch):
+    """The staging estimate must use the FULL batch_chunk_streams width
+    that _fast_chunk actually allocates (fixed jit shapes), not the
+    chunk occupancy: a 2-file batch whose 64-wide buffers exceed the cap
+    must route through the scheduler without touching the fast path."""
+    from mp3tpu import pipeline as pl
+    from mp3tpu.bitstream import native
+    if not native.available():
+        pytest.skip("native unpacker unavailable")
+    # 10 MB sits far above the occupancy-based estimate for two short
+    # fixtures (<1 MB) and far below the real 64-wide staging (>10 MB)
+    set_active(Config(decode=DecodeConfig(batch_max_mb=10)))
+    called = []
+    monkeypatch.setattr(pl, "_fast_chunk",
+                        lambda *a, **k: called.append(1) or False)
+    got = pl.decode_files([mp3, mp3])
+    assert not called  # the S-wide estimate exceeded the cap
+    assert got is not None and len(got) == 2 and len(got[0][0]) > 10000
+
+
 def test_trace_dir_produces_xplane(mp3, tmp_path, monkeypatch):
     """MP3TPU_TRACE_DIR wraps the decode windows in jax.profiler.trace
     and leaves an XPlane capture on disk."""

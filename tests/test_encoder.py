@@ -105,6 +105,15 @@ def test_masking_thresholds_shape():
     assert xmin[0] > xmin[-1]  # energy concentrated in low bands
 
 
+def test_block_type_sequence_short_input():
+    """Input shorter than one granule yields an empty block-type array
+    (public-contract edge: must not IndexError on the context window)."""
+    bt = block_type_sequence(np.zeros(100, np.float32), SR)
+    assert bt.shape == (0,)
+    bt = block_type_sequence(np.zeros((0, 2), np.float32), SR)
+    assert bt.shape == (0,)
+
+
 def test_psymodel2_tonality():
     """PM2 (SURVEY.md E3): the FFT unpredictability measure must call a
     steady sine tonal (high tb -> large TMN offset) and white noise

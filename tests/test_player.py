@@ -183,6 +183,34 @@ def test_player_forward_unpack_is_linear(mp3):
     assert src.granules_unpacked <= src.n_granules + WINDOW_GRANULES
 
 
+def test_subblock_play_bounded_group_decodes(mp3):
+    """Sink-paced sub-block reads (always under EMIT_BLOCK) must not
+    re-decode the group prefix once per window: the first touch of a
+    group runs the O(window) first-audio prefix, any later growth
+    decodes the WHOLE group — at most two group-scan dispatches (and
+    two full-buffer downloads) per group, output still bit-exact."""
+    ref, sr = decode_file(mp3, gapless=False)
+    p = Player(mp3, apply_gapless=False)
+    calls = []
+    orig = p._decode_group_dev
+
+    def counted(q, upto):
+        calls.append(q)
+        return orig(q, upto)
+
+    p._decode_group_dev = counted
+    for _ in range(10000):
+        if not p.play(max_samples=4096):
+            break
+    got = p.sink.pcm
+    n = min(len(got), len(ref))
+    assert n > 80000
+    assert np.array_equal(got[:n], ref[:n])
+    from collections import Counter
+    per_group = Counter(calls)
+    assert per_group and max(per_group.values()) <= 2
+
+
 def test_loop_reuses_decoded_group(mp3):
     """loop() over a segment must not re-decode after its first pass:
     the device group cache serves every later iteration (the reference's
