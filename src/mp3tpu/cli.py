@@ -32,7 +32,8 @@ def _cmd_play(args):
         tmp = Player(args.input)  # probe rate/channels
         sink = WavFileSink(args.output, tmp.track.sample_rate, tmp.track.channels)
     p = Player(args.input, sink=sink, gain_db=args.gain,
-               eq_gains_db=[float(x) for x in args.eq.split(",")] if args.eq else None)
+               eq_gains_db=[float(x) for x in args.eq.split(",")] if args.eq else None,
+               speed=args.speed)
     if args.loop:
         a, b = (float(x) for x in args.loop.split(":"))
         p.loop(a, b, times=args.times)
@@ -114,6 +115,8 @@ def main(argv=None):
     p.add_argument("--times", type=int, default=1)
     p.add_argument("--gain", type=float, default=0.0)
     p.add_argument("--eq", help="10 comma-separated band gains (dB)")
+    p.add_argument("--speed", type=float, default=1.0,
+                   help="pitch-preserving tempo, 0.25-4.0 (slow listening)")
     p.set_defaults(fn=_cmd_play)
 
     e = sub.add_parser("encode", help="encode WAV to MP3")

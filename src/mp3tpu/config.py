@@ -39,6 +39,7 @@ class PlayerConfig:
     gain_db: float = 0.0
     eq_gains_db: tuple = ()
     ring_capacity_samples: int = 65536
+    speed: float = 1.0  # pitch-preserving tempo (dsp/timestretch.py)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,245 @@
+"""Pitch-preserving time-stretch (phase vocoder) — the player's
+"slow listening" control.
+
+The reference's core usage pattern is repeat-listening language practice:
+"play one article or a few sentences at a time, replay each sentence
+repeatedly, slow listening" (reference README.md:46, SURVEY.md §0.1).
+Loop/seek cover the replay half; this module covers the slow half —
+tempo change WITHOUT pitch change (a plain resampler would turn a 440 Hz
+voice into 330 Hz at 0.75x).
+
+TPU-idiomatic formulation:
+- STFT/ISTFT are batched `jnp.fft.rfft/irfft` over fixed-size frame
+  chunks — dense device work, no per-sample Python.
+- Phase propagation is NOT a sequential per-frame loop: the per-frame
+  synthesis-phase increments depend only on CONSECUTIVE analysis phases
+  (all known up front), so the accumulated phase is one `jnp.cumsum`.
+- ONE compiled executable per channel count serves EVERY speed: the
+  analysis hop `ha` is a traced scalar (frame extraction is a gather
+  with computed indices; the expected-phase term `omega*ha mod 2pi` is
+  exact int32 modular arithmetic), so turning the speed knob never
+  recompiles — compile latency matters on this remote-compile backend.
+- Streaming state is explicit and tiny (previous analysis phase,
+  accumulated synthesis phase, overlap-add tail, host input residue):
+  checkpoint-friendly (SURVEY.md §5.4) and chunking-invariant — feeding
+  the same samples in any block sizes yields bit-identical output.
+
+Quality: classic Laroche/Dolson-style vocoder with 4x-overlap periodic
+Hann analysis/synthesis windows (exact WOLA constant 1.5). Channels are
+processed independently (standard; slight stereo-image softening on
+strongly correlated material is a known, accepted vocoder artifact).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+N_FFT = 2048          # analysis/synthesis window (46 ms @ 44.1 kHz)
+HOP_SYN = N_FFT // 4  # synthesis hop (4x overlap -> WOLA constant 1.5)
+F_CHUNK = 8           # frames per device dispatch (fixed jit shape)
+SPEED_MIN = 0.25
+SPEED_MAX = 4.0
+_HA_MAX = int(round(HOP_SYN * SPEED_MAX))
+# fixed device input-buffer capacity: the last of F_CHUNK frames starts
+# at (F_CHUNK-1)*ha and spans N_FFT samples
+_CAP = (F_CHUNK - 1) * _HA_MAX + N_FFT
+
+_chunk_jit = None
+
+
+def _hann(n: int) -> np.ndarray:
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def _wrap(x):
+    import jax.numpy as jnp
+    two_pi = np.float32(2.0 * math.pi)
+    return x - two_pi * jnp.round(x / two_pi)
+
+
+def _chunk(buf, ha, prev_phase, acc_phase, tail, primed):
+    """Stretch F_CHUNK frames from `buf` (first F_CHUNK*ha+N_FFT samples
+    are live) into F_CHUNK*HOP_SYN output samples. All shapes static;
+    `ha` is traced. Returns (emit, new_prev, new_acc, new_tail)."""
+    import jax.numpy as jnp
+
+    F, N, HS = F_CHUNK, N_FFT, HOP_SYN
+    win = jnp.asarray(_hann(N), jnp.float32)
+    b = jnp.arange(N // 2 + 1, dtype=jnp.int32)
+    # omega_b * HS mod 2pi, exact: b*HS % N is integer arithmetic
+    hs_mod = (2.0 * math.pi / N) * (b * HS % N).astype(jnp.float32)
+
+    idx = jnp.arange(F, dtype=jnp.int32)[:, None] * ha \
+        + jnp.arange(N, dtype=jnp.int32)[None, :]
+    frames = jnp.take(buf, idx, axis=0)            # [F, N, ch]
+    spec = jnp.fft.rfft(frames * win[None, :, None], axis=1)
+    mag = jnp.abs(spec)                            # [F, B, ch]
+    phase = jnp.arctan2(spec.imag, spec.real)
+
+    # expected analysis-phase advance omega_b*ha mod 2pi, exact in int32
+    # (b*ha <= (N/2)*HA_MAX < 2^22)
+    expected = (2.0 * math.pi / N) * ((b * ha) % N).astype(jnp.float32)
+    prev = jnp.concatenate([prev_phase[None], phase[:-1]], axis=0)
+    dphi = _wrap(phase - prev - expected[None, :, None])
+    ratio = jnp.float32(HS) / ha.astype(jnp.float32)
+    inc = _wrap(hs_mod[None, :, None] + dphi * ratio)
+    # first frame: unprimed -> synthesis phase = analysis phase (start
+    # of stream / after seek); primed -> normal propagation from state
+    inc0 = jnp.where(primed, inc[0], _wrap(phase[0] - acc_phase))
+    incs = jnp.concatenate([inc0[None], inc[1:]], axis=0)
+    out_phase = acc_phase[None] + jnp.cumsum(incs, axis=0)  # [F, B, ch]
+    new_acc = _wrap(out_phase[-1])
+
+    y = jnp.fft.irfft(mag * jnp.exp(1j * out_phase), n=N, axis=1)
+    y = y * (win[None, :, None] / 1.5)             # WOLA-normalized
+    # overlap-add at hop HS: frame k covers output blocks k..k+3
+    yb = y.reshape(F, 4, HS, -1)
+    z = jnp.zeros((F + 3, HS, y.shape[-1]), jnp.float32)
+    for j in range(4):
+        z = z.at[j:j + F].add(yb[:, j])
+    emit = z[:F].reshape(F * HS, -1)
+    emit = emit.at[: N - HS].add(tail)
+    new_tail = z[F:].reshape(N - HS, -1)
+    return emit, phase[-1], new_acc, new_tail
+
+
+class TimeStretch:
+    """Streaming pitch-preserving tempo change for PCM [n, ch] float32.
+
+    speed > 1 plays faster (shorter output), speed < 1 slower. The
+    effective speed is quantized to ha/HOP_SYN (ha integer): at most
+    ~0.2% off the request, exact for common values (0.5, 0.75, 1.25,
+    1.5, 2.0).
+    """
+
+    def __init__(self, channels: int, speed: float = 1.0):
+        self.channels = channels
+        self._buf = np.zeros((0, channels), np.float32)
+        self._prev_phase = None   # device [B, ch]
+        self._acc_phase = None
+        self._tail = None
+        self._primed = False
+        self._frames_due = 0.0    # frames owed by real input fed so far
+        self._frames_out = 0      # frames emitted so far
+        self.set_speed(speed)
+
+    # ------------------------------------------------------------ state
+    @property
+    def speed(self) -> float:
+        return self._ha / HOP_SYN
+
+    def set_speed(self, speed: float):
+        """Change tempo; takes effect at the next processed chunk.
+        Carried phase/overlap state is kept — a mid-stream change glides
+        without a click."""
+        if not (SPEED_MIN <= speed <= SPEED_MAX):
+            raise ValueError(
+                f"speed must be in [{SPEED_MIN}, {SPEED_MAX}], got {speed}")
+        self._ha = max(1, int(round(HOP_SYN * speed)))
+
+    def reset(self):
+        """Discontinuity (seek): drop buffered input and carried state."""
+        self._buf = self._buf[:0]
+        self._primed = False
+        self._frames_due = 0.0
+        self._frames_out = 0
+
+    def state_blob(self) -> dict:
+        """Host-serializable snapshot (SURVEY.md §5.4)."""
+        d = {"ha": self._ha, "buf": self._buf, "primed": self._primed,
+             "due": self._frames_due, "out": self._frames_out}
+        if self._primed:
+            d["prev"] = np.asarray(self._prev_phase)
+            d["acc"] = np.asarray(self._acc_phase)
+            d["tail"] = np.asarray(self._tail)
+        return d
+
+    def restore_blob(self, d: dict):
+        import jax.numpy as jnp
+        self._ha = int(d["ha"])
+        self._buf = np.asarray(d["buf"], np.float32).reshape(-1, self.channels)
+        self._primed = bool(d["primed"])
+        self._frames_due = float(d["due"])
+        self._frames_out = int(d["out"])
+        if self._primed:
+            self._prev_phase = jnp.asarray(d["prev"])
+            self._acc_phase = jnp.asarray(d["acc"])
+            self._tail = jnp.asarray(d["tail"])
+
+    # ---------------------------------------------------------- process
+    def _need(self) -> int:
+        return (F_CHUNK - 1) * self._ha + N_FFT
+
+    def process(self, pcm: np.ndarray) -> np.ndarray:
+        """Feed PCM, return whatever stretched PCM is ready (possibly
+        empty). Output is chunking-invariant: only full F_CHUNK-frame
+        chunks are processed, the residue waits."""
+        pcm = np.asarray(pcm, np.float32).reshape(-1, self.channels)
+        if len(pcm):
+            self._frames_due += len(pcm) / self._ha
+        self._buf = pcm if not len(self._buf) else np.concatenate(
+            [self._buf, pcm])
+        return self._drain()
+
+    def flush(self) -> np.ndarray:
+        """End of stream: zero-pad so every frame whose start lies in
+        the real input is emitted, trim the chunk padding's surplus so
+        lifetime output is ceil(real_input/ha)*HOP_SYN samples (output
+        duration == input/speed to within one hop), then reset for a
+        possible reuse."""
+        due = max(1 if (self._primed or len(self._buf)) else 0,
+                  math.ceil(self._frames_due - 1e-9))
+        f_left = due - self._frames_out
+        if f_left <= 0:
+            self.reset()
+            return np.zeros((0, self.channels), np.float32)
+        # pad so _drain covers every owed frame (full F_CHUNK chunks)
+        pad = (-(-f_left // F_CHUNK) * F_CHUNK - 1) * self._ha + N_FFT \
+            - len(self._buf)
+        if pad > 0:
+            self._buf = np.concatenate(
+                [self._buf, np.zeros((pad, self.channels), np.float32)])
+        out = self._drain()[: f_left * HOP_SYN]
+        self.reset()
+        return out
+
+    def _drain(self) -> np.ndarray:
+        global _chunk_jit
+        import jax
+        import jax.numpy as jnp
+        outs = []
+        need = self._need()
+        while len(self._buf) >= need:
+            if _chunk_jit is None:
+                _chunk_jit = jax.jit(_chunk)
+            if not self._primed:
+                B = N_FFT // 2 + 1
+                self._prev_phase = jnp.zeros((B, self.channels), jnp.float32)
+                self._acc_phase = jnp.zeros((B, self.channels), jnp.float32)
+                self._tail = jnp.zeros((N_FFT - HOP_SYN, self.channels),
+                                       jnp.float32)
+            stage = np.zeros((_CAP, self.channels), np.float32)
+            stage[:min(_CAP, len(self._buf))] = self._buf[:_CAP]
+            emit, self._prev_phase, self._acc_phase, self._tail = _chunk_jit(
+                jnp.asarray(stage), jnp.int32(self._ha), self._prev_phase,
+                self._acc_phase, self._tail, jnp.bool_(self._primed))
+            self._primed = True
+            self._frames_out += F_CHUNK
+            outs.append(np.asarray(emit))
+            self._buf = self._buf[F_CHUNK * self._ha:]
+            need = self._need()
+        if not outs:
+            return np.zeros((0, self.channels), np.float32)
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
+
+def stretch(pcm: np.ndarray, speed: float) -> np.ndarray:
+    """Offline convenience: stretch a whole [n, ch] (or [n]) buffer."""
+    x = np.asarray(pcm, np.float32)
+    mono = x.ndim == 1
+    if mono:
+        x = x[:, None]
+    ts = TimeStretch(x.shape[1], speed)
+    out = np.concatenate([ts.process(x), ts.flush()])
+    return out[:, 0] if mono else out

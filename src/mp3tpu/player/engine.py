@@ -140,7 +140,7 @@ class Player:
 
     def __init__(self, path_or_bytes, sink: Sink | None = None,
                  gain_db: float | None = None, eq_gains_db=None,
-                 apply_gapless: bool = True):
+                 apply_gapless: bool = True, speed: float | None = None):
         from ..config import get_active
         cfg = get_active()
         if cfg.decode.window_granules != WINDOW_GRANULES:
@@ -163,6 +163,12 @@ class Player:
         if eq_gains_db is not None:
             from ..dsp.eq import GraphicEQ
             self._eq = GraphicEQ(eq_gains_db, self.track.sample_rate)
+        self._speed = 1.0
+        self._stretch = None  # TimeStretch, active iff a speed was set
+        if speed is None:
+            speed = cfg.player.speed
+        if speed != 1.0:
+            self.set_speed(speed)
         st = self.track.source
         self.ngr_per_frame = 1 if st.version != fr.VERSION_MPEG1 else 2
         self.spf = 576  # samples per granule
@@ -355,7 +361,15 @@ class Player:
         """Queue PCM and emit in fixed-size blocks so the jitted DSP
         chain compiles for exactly one shape (plus one tail shape per
         track end) — shape diversity is expensive on remote-compile
-        backends. The tail is flushed when playback reaches the end."""
+        backends. The tail is flushed when playback reaches the end.
+        With a speed set, decoded PCM first passes through the streaming
+        phase vocoder (tempo changes, pitch does not — dsp/timestretch);
+        the stretcher holds its own residue, so possibly nothing is
+        queued this call."""
+        if self._stretch is not None:
+            pcm = self._stretch.process(pcm)
+            if not len(pcm):
+                return
         self._pending.append(pcm)
         self._pending_n += len(pcm)
         while self._pending_n >= self.EMIT_BLOCK:
@@ -452,19 +466,27 @@ class Player:
         Live gain/EQ changes from sink callbacks take effect at the
         next multi-block dispatch — up to ~2 dispatches (~16 blocks)
         of latency vs ~2 blocks with per-block emission."""
-        end = self._end if until_sample is None else min(until_sample, self._end)
+        boundary = (self._end if until_sample is None
+                    else min(until_sample, self._end))
+        end = boundary
         if max_samples is not None:
             end = min(end, self._pos + max_samples)
         wspan = WINDOW_GRANULES * self.spf
         emitted = 0
+        hit_eof = False
         self.stopped = False
         if (not self._pending_n and self.EMIT_BLOCK == wspan
-                and end - self._pos >= self.EMIT_BLOCK):
+                and end - self._pos >= self.EMIT_BLOCK
+                and self._stretch is None):
+            # the device int16 path can't host the vocoder (stretching
+            # changes length); with a speed set everything below routes
+            # through _emit -> TimeStretch on the host path
             emitted += self._play_blocks_device(end)
         while self._pos < end and not self.stopped:
             w = self._pos // wspan
             pcm = self._window_pcm(w)
             if len(pcm) == 0:
+                hit_eof = True
                 break
             lo = self._pos - w * wspan
             hi = min(len(pcm), end - w * wspan)
@@ -472,6 +494,17 @@ class Player:
                 self._emit(pcm[lo:hi])
                 emitted += hi - lo
             self._pos = min((w + 1) * wspan, end)
+        # a play that REACHED its requested endpoint (track end, an
+        # explicit until_sample, or EOF) delivers the vocoder's held
+        # tail too, so the stretched output covers the full range; a
+        # paced call (max_samples bound first) or a stop() keeps the
+        # stretcher streaming for the continuation
+        if (self._stretch is not None and not self.stopped
+                and (hit_eof or self._pos >= boundary)):
+            tail = self._stretch.flush()
+            if len(tail):
+                self._pending.append(tail)
+                self._pending_n += len(tail)
         # deliver everything the caller asked for before returning
         self._flush_pending()
         return emitted
@@ -565,9 +598,12 @@ class Player:
         sample = self._start + int(round(seconds * self.track.sample_rate))
         self._pos = max(self._start, min(sample, self._end))
         # playback is discontinuous: drop queued PCM, reset the EQ tail
+        # and the vocoder's carried phase/overlap (its speed is kept)
         self._pending = []
         self._pending_n = 0
         self._eq_state = None
+        if self._stretch is not None:
+            self._stretch.reset()
 
     def loop(self, a: float, b: float, times: int = 1):
         """Repeat-listen the segment [a, b) seconds `times` times —
@@ -583,11 +619,44 @@ class Player:
     def pause(self):  # cursor simply stops advancing; resume with play()
         self.stopped = True
 
+    @property
+    def speed(self) -> float:
+        """Effective playback tempo (pitch-preserving; 1.0 = off)."""
+        return self._speed
+
+    def set_speed(self, speed: float):
+        """Pitch-preserving tempo change (the reference's "slow
+        listening" control — SURVEY.md §0.1). Takes effect at the next
+        processed chunk; a mid-play change keeps the vocoder's carried
+        phase/overlap state, so the tempo glides without a click.
+        speed == 1.0 returns to the direct (device int16) emit path."""
+        from ..dsp.timestretch import TimeStretch
+        if speed == 1.0:
+            if self._stretch is not None:
+                tail = self._stretch.flush()
+                if len(tail):
+                    self._pending.append(tail)
+                    self._pending_n += len(tail)
+                self._stretch = None
+            self._speed = 1.0
+            return
+        if self._stretch is None:
+            self._stretch = TimeStretch(self.track.channels, speed)
+        else:
+            self._stretch.set_speed(speed)
+        self._speed = self._stretch.speed
+
     # ------------------------------------------------- checkpoint/resume
     def snapshot(self) -> bytes:
         """Serialize the session cursor + DSP/device state (~KBs)."""
         buf = io.BytesIO()
         state = self._state or kp.init_state(1)
+        extra = {}
+        if self._stretch is not None:
+            # vocoder state rides along (prefixed keys), so a resumed
+            # stretched session continues bit-identically
+            extra = {f"ts_{k}": np.asarray(v)
+                     for k, v in self._stretch.state_blob().items()}
         np.savez(buf, pos=self._pos,
                  state_granule=(-1 if self._state_granule is None
                                 else self._state_granule),
@@ -595,7 +664,7 @@ class Player:
                  hist=np.asarray(state["hist"]),
                  eq_state=(np.asarray(self._eq_state)
                            if self._eq_state is not None else np.zeros(0)),
-                 gain_db=self.gain_db)
+                 gain_db=self.gain_db, speed=self._speed, **extra)
         return buf.getvalue()
 
     def restore(self, blob: bytes):
@@ -617,3 +686,12 @@ class Player:
         self._pending_n = 0
         self.gain_db = float(z["gain_db"])
         self._applied_gain_db = self.gain_db
+        self._speed = float(z["speed"]) if "speed" in z.files else 1.0
+        self._stretch = None
+        if "ts_ha" in z.files:
+            from ..dsp.timestretch import TimeStretch
+            self._stretch = TimeStretch(self.track.channels, self._speed)
+            self._stretch.restore_blob(
+                {k[3:]: z[k] for k in z.files if k.startswith("ts_")})
+        elif self._speed != 1.0:
+            self.set_speed(self._speed)
