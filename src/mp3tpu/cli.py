@@ -34,7 +34,13 @@ def _cmd_play(args):
     p = Player(args.input, sink=sink, gain_db=args.gain,
                eq_gains_db=[float(x) for x in args.eq.split(",")] if args.eq else None,
                speed=args.speed)
-    if args.loop:
+    if args.segments:
+        print(json.dumps({"segments": [[round(a, 3), round(b, 3)]
+                                       for a, b in p.segments()]}))
+        return
+    if args.segment is not None:
+        p.play_segment(args.segment, times=args.times)
+    elif args.loop:
         a, b = (float(x) for x in args.loop.split(":"))
         p.loop(a, b, times=args.times)
     else:
@@ -117,6 +123,10 @@ def main(argv=None):
     p.add_argument("--eq", help="10 comma-separated band gains (dB)")
     p.add_argument("--speed", type=float, default=1.0,
                    help="pitch-preserving tempo, 0.25-4.0 (slow listening)")
+    p.add_argument("--segments", action="store_true",
+                   help="print detected sentence boundaries (JSON) and exit")
+    p.add_argument("--segment", type=int,
+                   help="replay sentence N (see --segments) --times times")
     p.set_defaults(fn=_cmd_play)
 
     e = sub.add_parser("encode", help="encode WAV to MP3")

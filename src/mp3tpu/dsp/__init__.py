@@ -5,3 +5,4 @@ from .gain import apply_gain  # noqa: F401
 from .resample import Resampler  # noqa: F401
 from .eq import GraphicEQ  # noqa: F401
 from .timestretch import TimeStretch, stretch  # noqa: F401
+from .segment import split_silence  # noqa: F401

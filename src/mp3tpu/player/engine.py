@@ -192,6 +192,7 @@ class Player:
         # incrementally accumulated symbols for ONE group (host unpack
         # stays linear when a group is decoded in growing prefixes):
         self._group_syms = None       # (q, SymbolTensors, n_granules)
+        self._segments = None         # (param_key, [(start_s, end_s)])
         self.stopped = False
 
     # ------------------------------------------------------------- info
@@ -612,6 +613,63 @@ class Player:
             self.seek(a)
             end = self._start + int(round(b * self.track.sample_rate))
             self.play(until_sample=end)
+
+    def segments(self, refresh: bool = False, **kw) -> list:
+        """Sentence boundaries [(start_s, end_s), ...] on the playback
+        timeline (same clock as seek/loop), found by silence analysis
+        (dsp/segment.py) — the navigation half of the reference's
+        "play a few sentences at a time" usage (README.md:46).
+
+        The track is scanned once through the SAME window decode the
+        player plays from (bit-identical PCM, device group dispatches);
+        only the tiny 50 Hz energy envelope is accumulated on host, so
+        the scan is O(envelope) extra memory for any track length.
+        The result is cached per parameter set; the playback cursor is
+        untouched."""
+        from ..dsp.segment import HOP_S, energy_envelope, segments_from_envelope
+        key = tuple(sorted(kw.items()))
+        if not refresh and getattr(self, "_segments", None) is not None \
+                and self._segments[0] == key:
+            return self._segments[1]
+        sr = self.track.sample_rate
+        wspan = WINDOW_GRANULES * self.spf
+        hop = max(1, int(round(sr * kw.pop("hop_s", HOP_S))))
+        env, res = [], np.zeros((0,), np.float32)
+        pos = self._start
+        while pos < self._end:
+            w = pos // wspan
+            pcm = self._window_pcm(w)
+            if not len(pcm):
+                break
+            lo = pos - w * wspan
+            hi = min(len(pcm), self._end - w * wspan)
+            res = np.concatenate([res, pcm[lo:hi].mean(axis=1,
+                                                       dtype=np.float32)])
+            F = len(res) // hop
+            if F:
+                e, _ = energy_envelope(res[: F * hop], sr, hop / sr)
+                env.append(e)
+                res = res[F * hop:]
+            pos = min((w + 1) * wspan, self._end)
+        env = np.concatenate(env) if env else np.zeros(0, np.float32)
+        segs = segments_from_envelope(env, hop, sr,
+                                      total=self._end - self._start, **kw)
+        out = [(s / sr, e / sr) for s, e in segs]
+        self._segments = (key, out)
+        return out
+
+    def play_segment(self, i: int, times: int = 1,
+                     speed: float | None = None):
+        """Replay sentence `i` (from segments()) `times` times, at an
+        optional pitch-preserving speed — the reference's full
+        repeat-listening gesture in one call."""
+        segs = self.segments()
+        if not 0 <= i < len(segs):
+            raise IndexError(f"segment {i} of {len(segs)}")
+        if speed is not None:
+            self.set_speed(speed)
+        a, b = segs[i]
+        self.loop(a, b, times=times)
 
     def stop(self):
         self.stopped = True

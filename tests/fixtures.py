@@ -55,6 +55,32 @@ def silence(seconds: float, sr: int, ch: int = 2) -> np.ndarray:
     return np.zeros((int(seconds * sr), ch))
 
 
+# "sentence" spans of the bursts() fixture, in seconds
+BURST_SPANS = [(0.30, 1.10), (1.55, 2.15), (2.65, 3.35)]
+BURST_TOTAL = 3.70
+
+
+def bursts(seconds: float, sr: int, ch: int = 2) -> np.ndarray:
+    """Speech-like modulated tone bursts at BURST_SPANS separated by
+    silence — the segmentation fixture (`seconds` is ignored; the
+    pattern is fixed so tests know the boundaries)."""
+    n = int(BURST_TOTAL * sr)
+    t = np.arange(n) / sr
+    sig = np.zeros(n)
+    for k, (a, b) in enumerate(BURST_SPANS):
+        i, j = int(a * sr), int(b * sr)
+        seg = t[i:j] - a
+        tone = 0.4 * np.sin(2 * np.pi * (180 + 60 * k) * seg) \
+            + 0.2 * np.sin(2 * np.pi * (700 + 150 * k) * seg)
+        tone *= 0.6 + 0.4 * np.sin(2 * np.pi * 4.0 * seg)  # syllable AM
+        r = max(1, int(0.012 * sr))                        # 12 ms ramps
+        envl = np.ones(j - i)
+        envl[:r] = np.linspace(0, 1, r)
+        envl[-r:] = np.linspace(1, 0, r)
+        sig[i:j] = tone * envl
+    return np.repeat(sig[:, None], ch, axis=1)
+
+
 _CACHE: dict = {}
 
 
@@ -67,7 +93,8 @@ def lame_fixture(name: str, **kw) -> bytes:
         ch = kw.pop("ch", 2)
         seconds = kw.pop("seconds", 2.0)
         gen = {"sweep": tone_sweep, "transients": transients,
-               "tonal": tonal_stereo, "silence": silence}[name]
+               "tonal": tonal_stereo, "silence": silence,
+               "bursts": bursts}[name]
         sig = gen(seconds, sr) if name == "tonal" else gen(seconds, sr, ch)
         _CACHE[key] = lameref.encode(sig, sr, **kw)
     return _CACHE[key]

@@ -1,0 +1,120 @@
+"""Silence-based sentence segmentation tests (dsp/segment.py + the
+Player's segments()/play_segment() — the reference's "play a few
+sentences at a time" navigation, SURVEY.md §0.1)."""
+import numpy as np
+import pytest
+
+from mp3tpu.dsp.segment import split_silence
+
+import fixtures
+from fixtures import BURST_SPANS
+
+SR = 44100
+TOL = 0.09  # boundary tolerance (envelope hop + pad + codec smear)
+
+
+def _check_spans(segs_s, spans=BURST_SPANS, tol=TOL):
+    assert len(segs_s) == len(spans), segs_s
+    for (ga, gb), (ea, eb) in zip(segs_s, spans):
+        assert abs(ga - ea) <= tol, (ga, ea)
+        assert abs(gb - eb) <= tol, (gb, eb)
+
+
+def test_split_bursts_clean():
+    pcm = fixtures.bursts(0, SR)
+    segs = split_silence(pcm, SR)
+    _check_spans([(a / SR, b / SR) for a, b in segs])
+
+
+def test_split_with_noise_floor():
+    """A -45 dB noise floor must not create or destroy segments (the
+    threshold adapts to the floor)."""
+    rng = np.random.default_rng(3)
+    pcm = fixtures.bursts(0, SR) + 0.005 * rng.standard_normal(
+        (int(fixtures.BURST_TOTAL * SR), 2))
+    segs = split_silence(pcm, SR)
+    _check_spans([(a / SR, b / SR) for a, b in segs])
+
+
+def test_blip_dropped_and_pause_merged():
+    # two tones around a 2 s silence with a 40 ms click in the middle:
+    # the click is >= min_silence from both neighbors (no merge), and
+    # shorter than min_segment -> dropped
+    t = np.arange(4 * SR) / SR
+    tone = 0.4 * np.sin(2 * np.pi * 300 * t)
+    pcm = np.zeros((4 * SR, 1), np.float32)
+    pcm[: SR, 0] = tone[: SR]
+    pcm[3 * SR:, 0] = tone[3 * SR:]
+    pcm[2 * SR: 2 * SR + int(0.04 * SR)] = 0.5
+    segs = split_silence(pcm, SR)
+    assert len(segs) == 2
+    assert segs[0][1] < 1.2 * SR and segs[1][0] > 2.8 * SR
+    # a 120 ms pause INSIDE sentence 0 must not split it
+    pcm = fixtures.bursts(0, SR).copy()
+    j = int(0.65 * SR)
+    pcm[j:j + int(0.12 * SR)] = 0.0
+    segs = split_silence(pcm, SR)
+    assert len(segs) == len(BURST_SPANS)
+
+
+def test_edge_cases():
+    assert split_silence(np.zeros((SR, 2), np.float32), SR) == []
+    assert split_silence(np.zeros((0, 2), np.float32), SR) == []
+    # constant tone: no pauses -> one segment spanning everything
+    t = np.arange(SR) / SR
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    segs = split_silence(tone, SR)
+    assert segs == [(0, SR)]
+
+
+def test_segments_disjoint_and_ordered():
+    segs = split_silence(fixtures.bursts(0, SR), SR)
+    for (a0, b0), (a1, b1) in zip(segs, segs[1:]):
+        assert a0 < b0 <= a1 < b1
+
+
+# ---------------------------------------------------------------- player
+
+@pytest.fixture(scope="module")
+def mp3():
+    pytest.importorskip("lameref")
+    return fixtures.lame_fixture("bursts", ch=2, bitrate=128, mode="jstereo")
+
+
+def test_player_segments(mp3):
+    from mp3tpu.player import Player
+    p = Player(mp3)  # gapless: LAME tag aligns the timeline with the PCM
+    segs = p.segments()
+    _check_spans(segs)
+    assert p.segments() is segs          # cached
+    assert p.segments(refresh=True) == segs
+    assert p.position == 0.0             # the scan didn't move the cursor
+
+
+def test_player_play_segment(mp3):
+    from mp3tpu.player import Player
+    p = Player(mp3)
+    segs = p.segments()
+    a, b = segs[1]
+    n = p.play_segment(1, times=2)  # noqa: F841 (returns None; sink holds pcm)
+    sr = p.track.sample_rate
+    expect = 2 * (int(round(b * sr)) - int(round(a * sr)))
+    assert abs(len(p.sink.pcm) - expect) <= 2
+    # the replayed audio is actually the sentence (non-silent)
+    x = p.sink.pcm.astype(np.float32) / 32768.0
+    assert float(np.sqrt(np.mean(x ** 2))) > 0.05
+    with pytest.raises(IndexError):
+        p.play_segment(99)
+
+
+def test_player_play_segment_slow(mp3):
+    """The full reference gesture: replay sentence 0 at 0.75x — output
+    duration is span/0.75 within a vocoder hop."""
+    from mp3tpu.dsp.timestretch import N_FFT
+    from mp3tpu.player import Player
+    p = Player(mp3)
+    a, b = p.segments()[0]
+    p.play_segment(0, speed=0.75)
+    sr = p.track.sample_rate
+    span = int(round(b * sr)) - int(round(a * sr))
+    assert abs(len(p.sink.pcm) - span / 0.75) <= N_FFT
