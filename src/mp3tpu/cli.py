@@ -26,6 +26,11 @@ def _cmd_decode(args):
 def _cmd_play(args):
     """Headless play: decode (with seek/loop) to a WAV/raw sink."""
     from .player import Player, WavFileSink
+    if args.segments:  # analysis only: never open an output sink
+        p = Player(args.input)
+        print(json.dumps({"segments": [[round(a, 3), round(b, 3)]
+                                       for a, b in p.segments()]}))
+        return
     sink = None
     if args.output:
         import mp3tpu.player.engine as _e
@@ -34,10 +39,6 @@ def _cmd_play(args):
     p = Player(args.input, sink=sink, gain_db=args.gain,
                eq_gains_db=[float(x) for x in args.eq.split(",")] if args.eq else None,
                speed=args.speed)
-    if args.segments:
-        print(json.dumps({"segments": [[round(a, 3), round(b, 3)]
-                                       for a, b in p.segments()]}))
-        return
     if args.segment is not None:
         p.play_segment(args.segment, times=args.times)
     elif args.loop:

@@ -27,20 +27,33 @@ FLOOR_DB = -65.0      # below this the track is considered all-silent
 
 
 def energy_envelope(pcm: np.ndarray, sr: int, hop_s: float = HOP_S):
-    """Mono mean-square envelope in dB at `hop_s` hops.
+    """Mean-square power envelope in dB at `hop_s` hops. Channels are
+    squared BEFORE averaging (power sum) — an amplitude downmix would
+    read out-of-phase stereo (side-heavy or inverted material) as
+    silence and split mid-sentence.
 
     Returns (env_db [F] float32, hop_samples). Trailing samples that
     do not fill a frame are dropped (callers carrying a stream keep
     them as residue)."""
     x = np.asarray(pcm, np.float32)
-    if x.ndim == 2:
-        x = x.mean(axis=1)
     hop = max(1, int(round(sr * hop_s)))
-    F = len(x) // hop
+    return env_db_from_power(sample_power(x), hop), hop
+
+
+def sample_power(pcm: np.ndarray) -> np.ndarray:
+    """Per-sample channel-mean power [n] of a [n] or [n, ch] buffer."""
+    x = np.asarray(pcm, np.float32)
+    return (x ** 2).mean(axis=1) if x.ndim == 2 else x ** 2
+
+
+def env_db_from_power(p: np.ndarray, hop: int) -> np.ndarray:
+    """dB envelope of a per-sample power stream (whole frames only —
+    streaming callers keep the tail of p as residue)."""
+    F = len(p) // hop
     if F == 0:
-        return np.zeros(0, np.float32), hop
-    e = np.mean(x[: F * hop].reshape(F, hop) ** 2, axis=1)
-    return (10.0 * np.log10(e + 1e-12)).astype(np.float32), hop
+        return np.zeros(0, np.float32)
+    e = np.mean(p[: F * hop].reshape(F, hop), axis=1)
+    return (10.0 * np.log10(e + 1e-12)).astype(np.float32)
 
 
 def segments_from_envelope(env_db: np.ndarray, hop: int, sr: int,

@@ -37,15 +37,17 @@ import numpy as np
 
 N_FFT = 2048          # analysis/synthesis window (46 ms @ 44.1 kHz)
 HOP_SYN = N_FFT // 4  # synthesis hop (4x overlap -> WOLA constant 1.5)
-F_CHUNK = 8           # frames per device dispatch (fixed jit shape)
+F_CHUNK = 8           # frames per scan step (fixed jit shape)
+C_SCAN = 8            # chunks per device dispatch (masked lax.scan)
 SPEED_MIN = 0.25
 SPEED_MAX = 4.0
 _HA_MAX = int(round(HOP_SYN * SPEED_MAX))
-# fixed device input-buffer capacity: the last of F_CHUNK frames starts
-# at (F_CHUNK-1)*ha and spans N_FFT samples
-_CAP = (F_CHUNK - 1) * _HA_MAX + N_FFT
+# fixed device input-buffer capacity: the last frame of the last scan
+# chunk starts at (C_SCAN*F_CHUNK-1)*ha and spans N_FFT samples
+_CAP = (C_SCAN * F_CHUNK - 1) * _HA_MAX + N_FFT
+_SPAN = (F_CHUNK - 1) * _HA_MAX + N_FFT  # one chunk's input slice
 
-_chunk_jit = None
+_scan_jit = None
 
 
 def _hann(n: int) -> np.ndarray:
@@ -59,9 +61,9 @@ def _wrap(x):
 
 
 def _chunk(buf, ha, prev_phase, acc_phase, tail, primed):
-    """Stretch F_CHUNK frames from `buf` (first F_CHUNK*ha+N_FFT samples
-    are live) into F_CHUNK*HOP_SYN output samples. All shapes static;
-    `ha` is traced. Returns (emit, new_prev, new_acc, new_tail)."""
+    """Stretch F_CHUNK frames from `buf` (first (F_CHUNK-1)*ha+N_FFT
+    samples are live) into F_CHUNK*HOP_SYN output samples. All shapes
+    static; `ha` is traced. Returns (emit, new_prev, new_acc, new_tail)."""
     import jax.numpy as jnp
 
     F, N, HS = F_CHUNK, N_FFT, HOP_SYN
@@ -104,6 +106,34 @@ def _chunk(buf, ha, prev_phase, acc_phase, tail, primed):
     return emit, phase[-1], new_acc, new_tail
 
 
+def _chunk_scan(buf, ha, prev_phase, acc_phase, tail, primed, n_live):
+    """Up to C_SCAN sequential chunks in ONE dispatch (masked lax.scan
+    over _chunk). Every chunk — whether it arrives alone in a streaming
+    trickle or among eight in a bulk drain — runs the SAME step of the
+    SAME compiled program, so output stays bit-identical across input
+    chunkings (XLA numerics are only stable within one executable);
+    steps past `n_live` compute on padding and their state updates are
+    masked out. Dispatch count drops ~C_SCAN-fold for bulk input while
+    first-audio latency keeps the one-chunk requirement."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def step(carry, c):
+        prev, acc, tl, pr = carry
+        live = c < n_live
+        seg = lax.dynamic_slice(buf, (c * F_CHUNK * ha, 0),
+                                (_SPAN, buf.shape[1]))
+        emit, p2, a2, t2 = _chunk(seg, ha, prev, acc, tl, pr)
+        keep = lambda new, old: jnp.where(live, new, old)
+        return (keep(p2, prev), keep(a2, acc), keep(t2, tl),
+                pr | live), emit
+
+    (p, a, t, _), emits = lax.scan(
+        step, (prev_phase, acc_phase, tail, primed),
+        jnp.arange(C_SCAN, dtype=jnp.int32))
+    return emits, p, a, t
+
+
 class TimeStretch:
     """Streaming pitch-preserving tempo change for PCM [n, ch] float32.
 
@@ -120,8 +150,6 @@ class TimeStretch:
         self._acc_phase = None
         self._tail = None
         self._primed = False
-        self._frames_due = 0.0    # frames owed by real input fed so far
-        self._frames_out = 0      # frames emitted so far
         self.set_speed(speed)
 
     # ------------------------------------------------------------ state
@@ -130,9 +158,10 @@ class TimeStretch:
         return self._ha / HOP_SYN
 
     def set_speed(self, speed: float):
-        """Change tempo; takes effect at the next processed chunk.
-        Carried phase/overlap state is kept — a mid-stream change glides
-        without a click."""
+        """Change tempo; takes effect at the next processed chunk —
+        input already buffered (but not yet drained) is consumed at the
+        NEW speed. Carried phase/overlap state is kept, so a mid-stream
+        change glides without a click."""
         if not (SPEED_MIN <= speed <= SPEED_MAX):
             raise ValueError(
                 f"speed must be in [{SPEED_MIN}, {SPEED_MAX}], got {speed}")
@@ -142,13 +171,10 @@ class TimeStretch:
         """Discontinuity (seek): drop buffered input and carried state."""
         self._buf = self._buf[:0]
         self._primed = False
-        self._frames_due = 0.0
-        self._frames_out = 0
 
     def state_blob(self) -> dict:
         """Host-serializable snapshot (SURVEY.md §5.4)."""
-        d = {"ha": self._ha, "buf": self._buf, "primed": self._primed,
-             "due": self._frames_due, "out": self._frames_out}
+        d = {"ha": self._ha, "buf": self._buf, "primed": self._primed}
         if self._primed:
             d["prev"] = np.asarray(self._prev_phase)
             d["acc"] = np.asarray(self._acc_phase)
@@ -160,8 +186,6 @@ class TimeStretch:
         self._ha = int(d["ha"])
         self._buf = np.asarray(d["buf"], np.float32).reshape(-1, self.channels)
         self._primed = bool(d["primed"])
-        self._frames_due = float(d["due"])
-        self._frames_out = int(d["out"])
         if self._primed:
             self._prev_phase = jnp.asarray(d["prev"])
             self._acc_phase = jnp.asarray(d["acc"])
@@ -176,25 +200,22 @@ class TimeStretch:
         empty). Output is chunking-invariant: only full F_CHUNK-frame
         chunks are processed, the residue waits."""
         pcm = np.asarray(pcm, np.float32).reshape(-1, self.channels)
-        if len(pcm):
-            self._frames_due += len(pcm) / self._ha
         self._buf = pcm if not len(self._buf) else np.concatenate(
             [self._buf, pcm])
         return self._drain()
 
     def flush(self) -> np.ndarray:
         """End of stream: zero-pad so every frame whose start lies in
-        the real input is emitted, trim the chunk padding's surplus so
-        lifetime output is ceil(real_input/ha)*HOP_SYN samples (output
-        duration == input/speed to within one hop), then reset for a
-        possible reuse."""
-        due = max(1 if (self._primed or len(self._buf)) else 0,
-                  math.ceil(self._frames_due - 1e-9))
-        f_left = due - self._frames_out
-        if f_left <= 0:
+        the buffered residue is emitted, trim the chunk padding's
+        surplus, then reset for reuse. Each drained chunk consumed
+        F_CHUNK*ha input for F_CHUNK*HOP_SYN output, so the residue's
+        ceil(len/ha) frames complete the duration contract (output ==
+        input/speed to within one hop, per speed regime — accounting is
+        pure integer sample counts, immune to drift on long streams)."""
+        f_left = -(-len(self._buf) // self._ha)
+        if f_left == 0:
             self.reset()
             return np.zeros((0, self.channels), np.float32)
-        # pad so _drain covers every owed frame (full F_CHUNK chunks)
         pad = (-(-f_left // F_CHUNK) * F_CHUNK - 1) * self._ha + N_FFT \
             - len(self._buf)
         if pad > 0:
@@ -205,32 +226,42 @@ class TimeStretch:
         return out
 
     def _drain(self) -> np.ndarray:
-        global _chunk_jit
+        global _scan_jit
         import jax
         import jax.numpy as jnp
-        outs = []
-        need = self._need()
-        while len(self._buf) >= need:
-            if _chunk_jit is None:
-                _chunk_jit = jax.jit(_chunk)
+        pend = []  # (device emits [C, F*HS, ch], n_live) awaiting D2H
+        while len(self._buf) >= self._need():
+            if _scan_jit is None:
+                _scan_jit = jax.jit(_chunk_scan)
             if not self._primed:
                 B = N_FFT // 2 + 1
                 self._prev_phase = jnp.zeros((B, self.channels), jnp.float32)
                 self._acc_phase = jnp.zeros((B, self.channels), jnp.float32)
                 self._tail = jnp.zeros((N_FFT - HOP_SYN, self.channels),
                                        jnp.float32)
+            ha = self._ha
+            k = 1  # chunks this dispatch: as many as the buffer holds
+            while k < C_SCAN and len(self._buf) >= \
+                    ((k + 1) * F_CHUNK - 1) * ha + N_FFT:
+                k += 1
             stage = np.zeros((_CAP, self.channels), np.float32)
-            stage[:min(_CAP, len(self._buf))] = self._buf[:_CAP]
-            emit, self._prev_phase, self._acc_phase, self._tail = _chunk_jit(
-                jnp.asarray(stage), jnp.int32(self._ha), self._prev_phase,
-                self._acc_phase, self._tail, jnp.bool_(self._primed))
+            n = min(_CAP, len(self._buf))
+            stage[:n] = self._buf[:n]
+            emits, self._prev_phase, self._acc_phase, self._tail = _scan_jit(
+                jnp.asarray(stage), jnp.int32(ha), self._prev_phase,
+                self._acc_phase, self._tail, jnp.bool_(self._primed),
+                jnp.int32(k))
             self._primed = True
-            self._frames_out += F_CHUNK
-            outs.append(np.asarray(emit))
-            self._buf = self._buf[F_CHUNK * self._ha:]
-            need = self._need()
-        if not outs:
+            try:  # overlap this dispatch's D2H with the next dispatch
+                emits.copy_to_host_async()
+            except Exception:
+                pass
+            pend.append((emits, k))
+            self._buf = self._buf[k * F_CHUNK * ha:]
+        if not pend:
             return np.zeros((0, self.channels), np.float32)
+        outs = [np.asarray(e)[:k].reshape(k * F_CHUNK * HOP_SYN, -1)
+                for e, k in pend]
         return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
 

@@ -450,7 +450,9 @@ class Player:
     def play(self, until_sample: int | None = None, max_samples: int | None = None):
         """Decode from the current position to `until_sample` (absolute,
         default end), pushing PCM to the sink. `max_samples` bounds how
-        many samples this call emits.
+        many SOURCE samples this call advances — also what the return
+        value counts; with a speed set the sink receives ~1/speed times
+        as many stretched samples.
 
         Every complete EMIT_BLOCK is produced by the device fast path
         (_play_blocks_device): PCM stays on device through the DSP
@@ -626,7 +628,8 @@ class Player:
         the scan is O(envelope) extra memory for any track length.
         The result is cached per parameter set; the playback cursor is
         untouched."""
-        from ..dsp.segment import HOP_S, energy_envelope, segments_from_envelope
+        from ..dsp.segment import (HOP_S, env_db_from_power, sample_power,
+                                   segments_from_envelope)
         key = tuple(sorted(kw.items()))
         if not refresh and getattr(self, "_segments", None) is not None \
                 and self._segments[0] == key:
@@ -643,12 +646,10 @@ class Player:
                 break
             lo = pos - w * wspan
             hi = min(len(pcm), self._end - w * wspan)
-            res = np.concatenate([res, pcm[lo:hi].mean(axis=1,
-                                                       dtype=np.float32)])
+            res = np.concatenate([res, sample_power(pcm[lo:hi])])
             F = len(res) // hop
             if F:
-                e, _ = energy_envelope(res[: F * hop], sr, hop / sr)
-                env.append(e)
+                env.append(env_db_from_power(res[: F * hop], hop))
                 res = res[F * hop:]
             pos = min((w + 1) * wspan, self._end)
         env = np.concatenate(env) if env else np.zeros(0, np.float32)
@@ -689,20 +690,25 @@ class Player:
         phase/overlap state, so the tempo glides without a click.
         speed == 1.0 returns to the direct (device int16) emit path."""
         from ..dsp.timestretch import TimeStretch
-        if speed == 1.0:
-            if self._stretch is not None:
-                tail = self._stretch.flush()
-                if len(tail):
-                    self._pending.append(tail)
-                    self._pending_n += len(tail)
-                self._stretch = None
-            self._speed = 1.0
-            return
-        if self._stretch is None:
-            self._stretch = TimeStretch(self.track.channels, speed)
-        else:
-            self._stretch.set_speed(speed)
-        self._speed = self._stretch.speed
+        if speed != 1.0:
+            if self._stretch is None:
+                self._stretch = TimeStretch(self.track.channels, speed)
+            else:
+                self._stretch.set_speed(speed)
+            if self._stretch.speed != 1.0:
+                self._speed = self._stretch.speed
+                return
+            # the request quantized to unity (e.g. 1.0005): fall through
+            # and disengage — p.speed == 1.0 must mean the direct path
+        if self._stretch is not None:
+            tail = self._stretch.flush()
+            if len(tail):
+                self._pending.append(tail)
+                self._pending_n += len(tail)
+            self._stretch = None
+            self._flush_pending()  # the tail reaches the sink NOW, not
+            # only if the caller happens to play() again
+        self._speed = 1.0
 
     # ------------------------------------------------- checkpoint/resume
     def snapshot(self) -> bytes:

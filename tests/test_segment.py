@@ -67,6 +67,15 @@ def test_edge_cases():
     assert segs == [(0, SR)]
 
 
+def test_out_of_phase_stereo():
+    """Inverted-phase stereo must not read as silence — the envelope
+    sums channel POWER; an amplitude downmix would cancel L = -R."""
+    pcm = fixtures.bursts(0, SR)
+    pcm[:, 1] *= -1.0
+    segs = split_silence(pcm, SR)
+    _check_spans([(a / SR, b / SR) for a, b in segs])
+
+
 def test_segments_disjoint_and_ordered():
     segs = split_silence(fixtures.bursts(0, SR), SR)
     for (a0, b0), (a1, b1) in zip(segs, segs[1:]):

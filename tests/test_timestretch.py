@@ -99,6 +99,24 @@ def test_empty_and_flush_only():
     assert ts.flush().shape == (0, 2)
 
 
+def test_slow_down_mid_stream_keeps_tail():
+    """Regression: residue buffered before a slow-down is consumed at
+    the NEW speed — stale frame accounting used to make flush() return
+    empty and truncate the audible ending."""
+    x = _sine(500.0, secs=1.0)
+    ts = TimeStretch(1, 1.4)
+    a = ts.process(x[:30000])
+    ts.set_speed(0.6)
+    b = ts.process(x[30000:])
+    expect = -(-len(ts._buf) // ts._ha) * HOP_SYN  # ceil(residue/ha)*HS
+    tail = ts.flush()
+    assert len(tail) == expect and expect > 0
+    # the flushed tail is real signal, not padding silence
+    assert float(np.sqrt(np.mean(tail[:HOP_SYN] ** 2))) > 0.05
+    # no truncation: total exceeds the all-fast lower bound
+    assert len(a) + len(b) + len(tail) > len(x) / 1.4
+
+
 def test_mid_stream_speed_change_glides():
     """set_speed mid-stream keeps carried state: no discontinuity spike
     at the change point."""
@@ -145,6 +163,18 @@ def test_player_speed_change_and_seek(mp3):
     assert len(p.sink.pcm) > mid
     p.set_speed(1.0)                    # back to the direct device path
     assert p._stretch is None
+
+
+def test_player_set_speed_unity_semantics(mp3):
+    from mp3tpu.player import Player
+    p = Player(mp3, apply_gapless=False)
+    p.set_speed(1.0005)  # quantizes to ha == HOP_SYN: must NOT engage
+    assert p.speed == 1.0 and p._stretch is None
+    p = Player(mp3, apply_gapless=False, speed=0.5)
+    p.play(max_samples=4 * 32 * 576)    # paced: stretcher holds residue
+    before = len(p.sink.pcm)
+    p.set_speed(1.0)                    # tail reaches the sink NOW
+    assert len(p.sink.pcm) > before
 
 
 def test_player_speed_snapshot_resume(mp3):
