@@ -24,10 +24,14 @@ TPU-idiomatic formulation:
   checkpoint-friendly (SURVEY.md §5.4) and chunking-invariant — feeding
   the same samples in any block sizes yields bit-identical output.
 
-Quality: classic Laroche/Dolson-style vocoder with 4x-overlap periodic
-Hann analysis/synthesis windows (exact WOLA constant 1.5). Channels are
-processed independently (standard; slight stereo-image softening on
-strongly correlated material is a known, accepted vocoder artifact).
+Quality: Laroche/Dolson vocoder with 4x-overlap periodic Hann
+analysis/synthesis windows (exact WOLA constant 1.5) and IDENTITY
+PHASE LOCKING — only spectral peaks propagate phase, other bins keep
+their analysis-phase offset to the nearest peak — which preserves
+vertical coherence (partials, transients) and suppresses the classic
+unlocked-vocoder "phasiness". Channels are processed independently
+(standard; slight stereo-image softening on strongly correlated
+material is a known, accepted vocoder artifact).
 """
 from __future__ import annotations
 
@@ -41,6 +45,7 @@ F_CHUNK = 8           # frames per scan step (fixed jit shape)
 C_SCAN = 8            # chunks per device dispatch (masked lax.scan)
 SPEED_MIN = 0.25
 SPEED_MAX = 4.0
+PHASE_LOCK = True     # identity phase locking (trace-time; tests A/B it)
 _HA_MAX = int(round(HOP_SYN * SPEED_MAX))
 # fixed device input-buffer capacity: the last frame of the last scan
 # chunk starts at (C_SCAN*F_CHUNK-1)*ha and spans N_FFT samples
@@ -85,13 +90,63 @@ def _chunk(buf, ha, prev_phase, acc_phase, tail, primed):
     prev = jnp.concatenate([prev_phase[None], phase[:-1]], axis=0)
     dphi = _wrap(phase - prev - expected[None, :, None])
     ratio = jnp.float32(HS) / ha.astype(jnp.float32)
-    inc = _wrap(hs_mod[None, :, None] + dphi * ratio)
-    # first frame: unprimed -> synthesis phase = analysis phase (start
-    # of stream / after seek); primed -> normal propagation from state
-    inc0 = jnp.where(primed, inc[0], _wrap(phase[0] - acc_phase))
-    incs = jnp.concatenate([inc0[None], inc[1:]], axis=0)
-    out_phase = acc_phase[None] + jnp.cumsum(incs, axis=0)  # [F, B, ch]
-    new_acc = _wrap(out_phase[-1])
+    inc = _wrap(hs_mod[None, :, None] + dphi * ratio)  # [F, B, ch]
+
+    if PHASE_LOCK:
+        # identity phase locking (Laroche/Dolson): only spectral PEAKS
+        # propagate phase; every other bin keeps its ANALYSIS phase
+        # offset to its nearest peak, so partials stay vertically
+        # coherent and the classic vocoder "phasiness" (smeared
+        # transients, hollow timbre) largely disappears. Peaks move
+        # between frames, so the synthesis phase is a per-frame
+        # recursion (an 8-step lax.scan), not a per-bin cumsum.
+        from jax import lax
+        B = N // 2 + 1
+        idxs = jnp.arange(B, dtype=jnp.int32)[None, :, None]
+        lower = jnp.full((F, 1, mag.shape[-1]), -1.0, mag.dtype)
+
+        def sh(k):  # mag shifted k bins (out-of-range reads as -1)
+            if k > 0:
+                return jnp.concatenate([lower.repeat(k, 1),
+                                        mag[:, :-k]], axis=1)
+            return jnp.concatenate([mag[:, -k:], lower.repeat(-k, 1)],
+                                   axis=1)
+
+        is_peak = ((mag >= sh(1)) & (mag > sh(-1))
+                   & (mag >= sh(2)) & (mag > sh(-2)))
+        left = lax.cummax(jnp.where(is_peak, idxs, -1), axis=1)
+        right = lax.cummin(jnp.where(is_peak, idxs, 2 * B), axis=1,
+                           reverse=True)
+        pick = jnp.where((idxs - left) <= (right - idxs), left, right)
+        pick = jnp.where(left < 0, right, pick)
+        pick = jnp.where(right >= 2 * B, jnp.maximum(left, 0), pick)
+        p = jnp.clip(pick, 0, B - 1)
+        anyp = is_peak.any(axis=1, keepdims=True)      # [F, 1, ch]
+        phi_p = jnp.take_along_axis(phase, p, axis=1)
+        inc_p = jnp.take_along_axis(inc, p, axis=1)
+        first = jnp.concatenate([jnp.array([True]),
+                                 jnp.zeros(F - 1, bool)])
+
+        def step(theta_prev, xs):
+            phi_k, phi_pk, inc_k, inc_pk, p_k, anyp_k, first_k = xs
+            theta_pk = jnp.take_along_axis(theta_prev, p_k, axis=0) \
+                + inc_pk
+            theta = jnp.where(anyp_k, theta_pk + (phi_k - phi_pk),
+                              theta_prev + inc_k)
+            # stream start / post-seek: synthesis == analysis phase
+            theta = jnp.where(first_k & ~primed, phi_k, theta)
+            theta = _wrap(theta)
+            return theta, theta
+
+        new_acc, out_phase = lax.scan(
+            step, acc_phase, (phase, phi_p, inc, inc_p, p, anyp, first))
+    else:
+        # plain per-bin propagation: one cumsum over the chunk's frames
+        # (first frame unprimed -> synthesis phase = analysis phase)
+        inc0 = jnp.where(primed, inc[0], _wrap(phase[0] - acc_phase))
+        incs = jnp.concatenate([inc0[None], inc[1:]], axis=0)
+        out_phase = acc_phase[None] + jnp.cumsum(incs, axis=0)
+        new_acc = _wrap(out_phase[-1])
 
     y = jnp.fft.irfft(mag * jnp.exp(1j * out_phase), n=N, axis=1)
     y = y * (win[None, :, None] / 1.5)             # WOLA-normalized
