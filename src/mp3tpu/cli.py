@@ -24,21 +24,41 @@ def _cmd_decode(args):
 
 
 def _cmd_play(args):
-    """Headless play: decode (with seek/loop) to a WAV/raw sink."""
-    from .player import Player, WavFileSink
+    """Headless play: decode (with seek/loop) to a WAV/raw sink.
+    Several inputs play as one gapless queue (PlayQueue)."""
+    from .player import Player, PlayQueue, WavFileSink
+    first = args.input[0]
+    eq = [float(x) for x in args.eq.split(",")] if args.eq else None
+    if len(args.input) > 1:
+        if args.segments or args.segment is not None or args.loop \
+                or args.seek:
+            raise SystemExit(
+                "--segments/--segment/--loop/--seek need a single input")
+        sink = None
+        if args.output:
+            tmp = Player(first)  # probe rate/channels
+            sink = WavFileSink(args.output, tmp.track.sample_rate,
+                               tmp.track.channels)
+        q = PlayQueue(args.input, sink=sink, gain_db=args.gain,
+                      eq_gains_db=eq, speed=args.speed)
+        q.play()
+        if sink:
+            sink.close()
+        print(json.dumps({"tracks": q.n_tracks,
+                          "metrics": q.player.metrics.to_dict()}))
+        return
     if args.segments:  # analysis only: never open an output sink
-        p = Player(args.input)
+        p = Player(first)
         print(json.dumps({"segments": [[round(a, 3), round(b, 3)]
                                        for a, b in p.segments()]}))
         return
     sink = None
     if args.output:
         import mp3tpu.player.engine as _e
-        tmp = Player(args.input)  # probe rate/channels
+        tmp = Player(first)  # probe rate/channels
         sink = WavFileSink(args.output, tmp.track.sample_rate, tmp.track.channels)
-    p = Player(args.input, sink=sink, gain_db=args.gain,
-               eq_gains_db=[float(x) for x in args.eq.split(",")] if args.eq else None,
-               speed=args.speed)
+    p = Player(first, sink=sink, gain_db=args.gain,
+               eq_gains_db=eq, speed=args.speed)
     if args.segment is not None:
         p.play_segment(args.segment, times=args.times)
     elif args.loop:
@@ -114,8 +134,9 @@ def main(argv=None):
     d.add_argument("--no-gapless", action="store_true")
     d.set_defaults(fn=_cmd_decode)
 
-    p = sub.add_parser("play", help="headless play/seek/loop to a sink")
-    p.add_argument("input")
+    p = sub.add_parser("play", help="headless play/seek/loop to a sink; "
+                                    "several inputs = gapless queue")
+    p.add_argument("input", nargs="+")
     p.add_argument("-o", "--output", help="WAV sink path")
     p.add_argument("--seek", type=float, default=0.0)
     p.add_argument("--loop", help="A:B seconds segment")

@@ -1,0 +1,134 @@
+"""Multi-track session: a gapless play queue over single-track Players.
+
+The reference's usage is article-at-a-time listening (reference
+README.md:46, SURVEY.md §0.1); a queue of articles/tracks is the
+session layer above D5. Transitions are gapless by construction: each
+track's Player trims its own LAME delay/padding (D1), so back-to-back
+pushes into the ONE shared sink splice sample-exactly — album playback
+has no seam, and queue output is bit-identical to decoding each file
+alone and concatenating (test_queue pins it).
+
+Players are opened lazily (one at a time): opening parses the container
+only, and the engine's SymbolSource unpacks granule windows on demand,
+so a 100-article queue costs one track's working state. Per-session
+settings (gain/EQ/speed) are re-applied to each track as it opens.
+"""
+from __future__ import annotations
+
+from .engine import Player
+from .sink import CollectSink, Sink
+
+
+class PlayQueue:
+    """Sequential playback of many tracks into one sink."""
+
+    def __init__(self, paths, sink: Sink | None = None,
+                 gain_db: float | None = None, eq_gains_db=None,
+                 apply_gapless: bool = True, speed: float | None = None):
+        if not paths:
+            raise ValueError("empty queue")
+        self._paths = list(paths)
+        self.sink = sink or CollectSink()
+        self._gain_db = gain_db
+        self._eq_gains_db = eq_gains_db
+        self._apply_gapless = apply_gapless
+        self._speed = speed
+        self._i = 0
+        self._player: Player | None = None
+        self.stopped = False
+
+    # ------------------------------------------------------------- state
+    @property
+    def n_tracks(self) -> int:
+        return len(self._paths)
+
+    @property
+    def current(self) -> int:
+        return self._i
+
+    @property
+    def player(self) -> Player:
+        """The current track's Player (opened on first touch)."""
+        if self._player is None:
+            self._player = Player(
+                self._paths[self._i], sink=self.sink,
+                gain_db=self._gain_db, eq_gains_db=self._eq_gains_db,
+                apply_gapless=self._apply_gapless, speed=self._speed)
+        return self._player
+
+    # --------------------------------------------------------------- api
+    def play(self, tracks: int | None = None) -> int:
+        """Play from the current position to the end of the queue (or
+        `tracks` track-ends, whichever is first). Returns source samples
+        advanced. stop() from a sink callback halts between pushes and
+        keeps the position for resume, exactly like Player.play."""
+        self.stopped = False
+        emitted = 0
+        remaining = len(self._paths) - self._i if tracks is None else tracks
+        while remaining > 0 and not self.stopped:
+            emitted += self.player.play()
+            if self.player.stopped:
+                self.stopped = True
+                break
+            remaining -= 1
+            if self._i + 1 >= len(self._paths):
+                break
+            self._advance(self._i + 1)
+        return emitted
+
+    def next(self) -> bool:
+        """Skip to the next track's start; False at the queue end."""
+        if self._i + 1 >= len(self._paths):
+            return False
+        self._advance(self._i + 1)
+        return True
+
+    def prev(self) -> bool:
+        """Back to the previous track's start; False at the first."""
+        if self._i == 0:
+            return False
+        self._advance(self._i - 1)
+        return True
+
+    def seek(self, seconds: float):
+        self.player.seek(seconds)
+
+    def set_speed(self, speed: float):
+        """Pitch-preserving tempo for the rest of the session (applies
+        to the current track now and every later track as it opens)."""
+        self._speed = speed
+        if self._player is not None:
+            self._player.set_speed(speed)
+
+    def stop(self):
+        self.stopped = True
+        if self._player is not None:
+            self._player.stop()
+
+    def _advance(self, i: int):
+        # carry live settings forward so mid-session changes persist
+        if self._player is not None:
+            self._gain_db = self._player.gain_db
+            sp = self._player.speed
+            self._speed = sp if sp != 1.0 else None
+        self._i = i
+        self._player = None
+
+    # ------------------------------------------------- checkpoint/resume
+    def snapshot(self) -> bytes:
+        """Queue position + the current track's full session state."""
+        import io
+
+        import numpy as np
+        buf = io.BytesIO()
+        np.savez(buf, track=self._i, player=np.frombuffer(
+            self.player.snapshot(), np.uint8))
+        return buf.getvalue()
+
+    def restore(self, blob: bytes):
+        import io
+
+        import numpy as np
+        z = np.load(io.BytesIO(blob))
+        self._advance(int(z["track"]))
+        self.player.restore(z["player"].tobytes())

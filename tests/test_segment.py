@@ -82,6 +82,33 @@ def test_segments_disjoint_and_ordered():
         assert a0 < b0 <= a1 < b1
 
 
+def test_property_random_inputs():
+    """Structural invariants hold for arbitrary PCM: segments are
+    in-bounds, ordered, disjoint, and at least min_segment long."""
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(1, 4 * SR))
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            pcm = rng.standard_normal((n, 2)).astype(np.float32) * 0.3
+        elif kind == 1:
+            pcm = np.zeros((n, 2), np.float32)
+        else:  # gated noise
+            pcm = rng.standard_normal((n, 2)).astype(np.float32) * 0.3
+            gate = rng.random(n) < 0.5
+            run = rng.integers(100, 20000)
+            gate = np.repeat(gate[::run][:, None],
+                             run, axis=1).ravel()[:n]
+            pcm *= gate[:, None]
+        segs = split_silence(pcm, SR)
+        prev_end = 0
+        for a, b in segs:
+            assert 0 <= a < b <= n
+            assert a >= prev_end
+            assert b - a >= 0.29 * SR  # min_segment minus pad rounding
+            prev_end = b
+
+
 # ---------------------------------------------------------------- player
 
 @pytest.fixture(scope="module")
