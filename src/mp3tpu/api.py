@@ -60,6 +60,18 @@ def decode_batch(paths, **kw):
     return decode_files(paths, **kw)
 
 
+def segment(path_or_bytes, **kw):
+    """Sentence/pause boundaries of one file — decoded and reduced on
+    device; the PCM never crosses to host (SURVEY.md §0.1 navigation)."""
+    from .pipeline import segment_file
+    return segment_file(path_or_bytes, **kw)
+
+
+def segment_batch(paths, **kw):
+    from .pipeline import segment_files
+    return segment_files(paths, **kw)
+
+
 def encode(pcm, sample_rate, **kw):
     from .encoder import encode_pcm
     return encode_pcm(pcm, sample_rate, **kw)

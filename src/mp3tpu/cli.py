@@ -74,6 +74,14 @@ def _cmd_play(args):
                       "metrics": p.metrics.to_dict()}, default=str))
 
 
+def _cmd_segments(args):
+    """Library indexing: silence-split boundaries for many files."""
+    from .pipeline import segment_file
+    out = {p: [[round(a, 3), round(b, 3)] for a, b in segment_file(p)]
+           for p in args.input}
+    print(json.dumps(out))
+
+
 def _cmd_encode(args):
     from .encoder import encode_pcm
     # read WAV (16-bit PCM) or raw float32
@@ -163,6 +171,12 @@ def main(argv=None):
     i = sub.add_parser("info", help="stream/tag info as JSON")
     i.add_argument("input")
     i.set_defaults(fn=_cmd_info)
+
+    s = sub.add_parser("segments", help="sentence boundaries per file "
+                                        "(device-side envelope, no PCM "
+                                        "download) as JSON")
+    s.add_argument("input", nargs="+")
+    s.set_defaults(fn=_cmd_segments)
 
     b = sub.add_parser("bench", help="run the aggregate-throughput benchmark")
     b.set_defaults(fn=_cmd_bench)

@@ -86,6 +86,92 @@ def decode_symbols_device(st: SymbolTensors, state=None,
     return pcm[:, : st.channels]
 
 
+_env_group_jit: dict = {}
+ENV_HOP = 576  # envelope hop = one granule (13 ms @ 44.1 kHz)
+
+
+def decode_envelope_device(st: SymbolTensors, window: int = WINDOW,
+                           group: int = GROUP_WINDOWS) -> np.ndarray:
+    """Per-granule power envelope (dB) of one stream, computed ON
+    DEVICE group by group: the PCM never leaves the device — only
+    ~1 KB of envelope crosses D2H per 147k-sample group. On this
+    environment downloads run ~0.04 GB/s (CLAUDE.md), so indexing a
+    library for silence/sentences this way runs at device decode speed
+    instead of download speed. Returns env_db [n_granules] float32;
+    frame f covers samples [f*ENV_HOP, (f+1)*ENV_HOP)."""
+    import jax
+    G = st.n_granules
+    state = kp.init_state(1)
+    span = window * group
+    key = st.channels
+    fn = _env_group_jit.get(key)
+    if fn is None:
+        nch = st.channels
+
+        def env_of(pcm):  # [1, span*576, 2] float -> [span] dB
+            x = pcm[0, :, :nch]
+            p = jnp.mean(x * x, axis=1)
+            e = jnp.mean(p.reshape(-1, ENV_HOP), axis=1)
+            return 10.0 * jnp.log10(e + 1e-12)
+
+        fn = jax.jit(env_of)
+        _env_group_jit[key] = fn
+    out = []
+    for start in range(0, G, span):
+        g = min(span, G - start)
+        sl = slice(start, start + g)
+
+        def prep(a):
+            a = a[sl]
+            if g != span:
+                width = ((0, span - g),) + tuple((0, 0) for _ in a.shape[1:])
+                a = np.pad(a, width)
+            return jnp.asarray(a[None])
+
+        pcm, state = kp.decode_window_group(
+            prep(st.is_), prep(st.exp), prep(st.block_type), prep(st.mixed),
+            prep(st.smode), state, st.sample_rate, group)
+        out.append(np.asarray(fn(pcm))[:g])
+    return np.concatenate(out)
+
+
+def segment_file(path_or_bytes, gapless: bool | None = None, **kw):
+    """Sentence/pause boundaries [(start_s, end_s), ...] of one file
+    (dsp/segment.py semantics) WITHOUT downloading its PCM — the
+    envelope reduction runs inside the decode dispatches. Boundaries
+    are on the gapless-trimmed timeline (the same clock decode()/play
+    use) when the LAME tag is present."""
+    from .config import get_active
+    from .dsp.segment import segments_from_envelope
+    if gapless is None:
+        gapless = get_active().decode.gapless
+    data = _read(path_or_bytes)
+    st, info, _index = load_symbols(data)
+    env = decode_envelope_device(st)
+    total = st.n_granules * 576
+    a, b = 0, total
+    if gapless and info.gapless:
+        from .dsp.gapless import gapless_bounds
+        a, b = gapless_bounds(total, info.encoder_delay,
+                              info.encoder_padding)
+    segs = segments_from_envelope(env, ENV_HOP, st.sample_rate,
+                                  total=total, **kw)
+    sr = st.sample_rate
+    out = []
+    for s, e in segs:  # shift onto the trimmed timeline
+        s2, e2 = max(s - a, 0), min(e - a, b - a)
+        if e2 > s2:
+            out.append((s2 / sr, e2 / sr))
+    return out
+
+
+def segment_files(paths, **kw):
+    """segment_file over many files (library indexing). The per-file
+    work is host unpack + device dispatches + a ~KB download, so a
+    large library indexes at decode speed, not D2H speed."""
+    return [segment_file(p, **kw) for p in paths]
+
+
 def load_symbols(data: bytes):
     """Container parse + unpack: (SymbolTensors, StreamInfo, FrameIndex).
 

@@ -117,6 +117,33 @@ def mp3():
     return fixtures.lame_fixture("bursts", ch=2, bitrate=128, mode="jstereo")
 
 
+def test_segment_file_device_envelope(mp3):
+    """mp3tpu.segment(): envelope reduced ON DEVICE (PCM never crosses
+    D2H) — boundaries match the fixture and the Player's host scan."""
+    import mp3tpu
+    from mp3tpu.player import Player
+    segs = mp3tpu.segment(mp3)
+    _check_spans(segs)
+    ref = Player(mp3).segments()
+    assert len(segs) == len(ref)
+    for (a, b), (c, d) in zip(segs, ref):  # different hop (576 vs 882):
+        assert abs(a - c) < 0.06 and abs(b - d) < 0.06
+
+
+def test_segment_batch_edge_materials():
+    import mp3tpu
+    pytest.importorskip("lameref")
+    mono = fixtures.lame_fixture("bursts", ch=1, bitrate=64, mode="mono")
+    quiet = fixtures.lame_fixture("silence", seconds=1.0, bitrate=128)
+    tone = fixtures.lame_fixture("tonal", seconds=1.0, bitrate=128)
+    res = mp3tpu.segment_batch([mono, quiet, tone])
+    _check_spans(res[0])                      # mono decodes + splits
+    assert res[1] == []                       # silence: nothing
+    assert len(res[2]) == 1                   # continuous: one span
+    a, b = res[2][0]
+    assert a < 0.1 and b > 0.85
+
+
 def test_player_segments(mp3):
     from mp3tpu.player import Player
     p = Player(mp3)  # gapless: LAME tag aligns the timeline with the PCM
