@@ -135,6 +135,36 @@ def decode_envelope_device(st: SymbolTensors, window: int = WINDOW,
     return np.concatenate(out)
 
 
+_env_batch_jit = None
+
+
+def _env_batch(pcm, nch):
+    """Batched per-granule dB envelope of int16 PCM [S, n, 2]; `nch`
+    [S, 1] masks the unused channel of mono streams (their power is
+    the real channel's, whatever the decode left in channel 1)."""
+    x = pcm.astype(jnp.float32) * (1.0 / 32768.0)
+    m1 = (nch >= 2.0).astype(jnp.float32)
+    p = (x[..., 0] ** 2 + x[..., 1] ** 2 * m1) / nch       # [S, n]
+    e = p.reshape(p.shape[0], -1, ENV_HOP).mean(axis=2)    # [S, G]
+    return 10.0 * jnp.log10(e + 1e-12)
+
+
+def _shift_segments(segs, total, sr, info, gapless):
+    """Sample segments on the untrimmed timeline -> seconds on the
+    gapless-trimmed one (the clock decode()/play use)."""
+    a, b = 0, total
+    if gapless and info.gapless:
+        from .dsp.gapless import gapless_bounds
+        a, b = gapless_bounds(total, info.encoder_delay,
+                              info.encoder_padding)
+    out = []
+    for s, e in segs:
+        s2, e2 = max(s - a, 0), min(e - a, b - a)
+        if e2 > s2:
+            out.append((s2 / sr, e2 / sr))
+    return out
+
+
 def segment_file(path_or_bytes, gapless: bool | None = None, **kw):
     """Sentence/pause boundaries [(start_s, end_s), ...] of one file
     (dsp/segment.py semantics) WITHOUT downloading its PCM — the
@@ -149,27 +179,26 @@ def segment_file(path_or_bytes, gapless: bool | None = None, **kw):
     st, info, _index = load_symbols(data)
     env = decode_envelope_device(st)
     total = st.n_granules * 576
-    a, b = 0, total
-    if gapless and info.gapless:
-        from .dsp.gapless import gapless_bounds
-        a, b = gapless_bounds(total, info.encoder_delay,
-                              info.encoder_padding)
     segs = segments_from_envelope(env, ENV_HOP, st.sample_rate,
                                   total=total, **kw)
-    sr = st.sample_rate
-    out = []
-    for s, e in segs:  # shift onto the trimmed timeline
-        s2, e2 = max(s - a, 0), min(e - a, b - a)
-        if e2 > s2:
-            out.append((s2 / sr, e2 / sr))
-    return out
+    return _shift_segments(segs, total, st.sample_rate, info, gapless)
 
 
-def segment_files(paths, **kw):
-    """segment_file over many files (library indexing). The per-file
-    work is host unpack + device dispatches + a ~KB download, so a
-    large library indexes at decode speed, not D2H speed."""
-    return [segment_file(p, **kw) for p in paths]
+def segment_files(paths, gapless: bool | None = None, **kw):
+    """segment_file over many files (library indexing) through the SAME
+    batched fast path bench.py measures — C++ window-major unpack, one
+    packed-plane scan dispatch per chunk — with the envelope reduction
+    fused in place of the PCM download, so a large library indexes at
+    aggregate device decode speed (thousands-x realtime), not at the
+    D2H tunnel's ~0.04 GB/s."""
+    from .config import get_active
+    if gapless is None:
+        gapless = get_active().decode.gapless
+    datas = [_read(p) for p in paths]
+    res = _decode_files_fast(datas, gapless, output="envelope", seg_kw=kw)
+    if res is None:  # no native unpacker / general-path corner
+        return [segment_file(d, gapless=gapless, **kw) for d in datas]
+    return res
 
 
 def load_symbols(data: bytes):
@@ -272,7 +301,8 @@ def decode_files(paths, gapless: bool = True):
     return decode_batch_streams(datas, gapless=gapless)
 
 
-def _decode_files_fast(datas, gapless: bool):
+def _decode_files_fast(datas, gapless: bool, output: str = "pcm",
+                       seg_kw: dict | None = None):
     """Throughput path for decode_files (SURVEY.md §3.2, the structure
     bench.py measures): C++ unpacks every stream's granules directly
     into window-major packed batch tensors (4-bit spectrum plane +
@@ -353,18 +383,24 @@ def _decode_files_fast(datas, gapless: bool):
                 continue
             if not _fast_chunk(datas, metas, chunk,
                                [G_all[i] for i in chunk], rate, gapless,
-                               out, lib, jnp, cfg):
+                               out, lib, jnp, cfg, output, seg_kw):
                 return None
     if slow:
-        from .player.scheduler import decode_batch_streams
-        res = decode_batch_streams([datas[i] for i in slow],
-                                   gapless=gapless)
-        for i, r in zip(slow, res):
-            out[i] = r
+        if output == "envelope":
+            for i in slow:  # per-file grouped-dispatch envelope path
+                out[i] = segment_file(datas[i], gapless=gapless,
+                                      **(seg_kw or {}))
+        else:
+            from .player.scheduler import decode_batch_streams
+            res = decode_batch_streams([datas[i] for i in slow],
+                                       gapless=gapless)
+            for i, r in zip(slow, res):
+                out[i] = r
     return out
 
 
-def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg):
+def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg,
+                output: str = "pcm", seg_kw: dict | None = None):
     from .bitstream.native import unpack_native_into12
     S = cfg.batch_chunk_streams
     win = cfg.window_granules
@@ -433,6 +469,33 @@ def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg):
         for k in keys:
             win_dev[k].append(jnp.asarray(np.ascontiguousarray(b[k][w]))
                               if w < n_win else zeros[k])
+    if output == "envelope":
+        # library indexing: the PCM never leaves the device — one scan
+        # dispatch, then the batched per-granule envelope reduction;
+        # only [S, Gpad] dB values download (KBs vs the chunk's
+        # hundreds of MB of PCM on a ~0.04 GB/s D2H tunnel)
+        pcm_dev, _st = kp.decode_windows_scan_i16(
+            win_dev["is12"], win_dev["esc"], win_dev["exp"], win_dev["bt"],
+            win_dev["mx"], win_dev["smode"], state, rate,
+            plane_bits=plane_bits)
+        global _env_batch_jit
+        if _env_batch_jit is None:
+            import jax
+            _env_batch_jit = jax.jit(_env_batch)
+        nch_vec = np.array([[float(metas[i][3])] for i in chunk]
+                           + [[2.0]] * (S - len(chunk)), np.float32)
+        env = np.asarray(_env_batch_jit(
+            pcm_dev[:, : n_win * win * 576], jnp.asarray(nch_vec)))
+        from .dsp.segment import segments_from_envelope
+        for k, i in enumerate(chunk):
+            info = metas[i][1]
+            out[i] = _shift_segments(
+                segments_from_envelope(env[k, : Gs[k]], ENV_HOP, rate,
+                                       total=Gs[k] * 576,
+                                       **(seg_kw or {})),
+                Gs[k] * 576, rate, info, gapless)
+        return True
+
     segs = cfg.d2h_segments
     if segs > 1 and nb % segs == 0 and nb > segs:
         # P4 D2H overlap: K scan dispatches over contiguous window
