@@ -1,0 +1,98 @@
+"""CLI surface tests (src/mp3tpu/cli.py): every subcommand except
+bench driven end-to-end through main(argv) on generated fixtures."""
+import json
+import wave
+
+import numpy as np
+import pytest
+
+from mp3tpu import cli
+
+import fixtures
+
+
+@pytest.fixture(scope="module")
+def mp3_path(tmp_path_factory):
+    pytest.importorskip("lameref")
+    p = tmp_path_factory.mktemp("cli") / "bursts.mp3"
+    p.write_bytes(fixtures.lame_fixture("bursts", ch=2, bitrate=128,
+                                        mode="jstereo"))
+    return str(p)
+
+
+def _last_json(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_info(mp3_path, capsys):
+    cli.main(["info", mp3_path])
+    d = _last_json(capsys)
+    assert d["sample_rate"] == 44100 and d["channels"] == 2
+    assert d["version"] == "MPEG-1" and d["gapless"]
+    assert d["decode_errors"] == 0
+
+
+def test_decode(mp3_path, tmp_path, capsys):
+    out = str(tmp_path / "out.wav")
+    cli.main(["decode", mp3_path, "-o", out])
+    capsys.readouterr()
+    w = wave.open(out)
+    assert w.getframerate() == 44100 and w.getnchannels() == 2
+    assert w.getnframes() > 3.0 * 44100
+
+
+def test_play_loop_to_wav(mp3_path, tmp_path, capsys):
+    out = str(tmp_path / "loop.wav")
+    cli.main(["play", mp3_path, "--loop", "0.3:0.8", "--times", "2",
+              "-o", out])
+    d = _last_json(capsys)
+    assert d["metrics"]["samples_out"] == 2 * int(0.5 * 44100)
+    w = wave.open(out)
+    assert w.getnframes() == 2 * int(0.5 * 44100)
+
+
+def test_play_segment_slow(mp3_path, tmp_path, capsys):
+    from mp3tpu.dsp.timestretch import N_FFT
+    out = str(tmp_path / "seg.wav")
+    cli.main(["play", mp3_path, "--segments"])
+    segs = _last_json(capsys)["segments"]
+    assert len(segs) == len(fixtures.BURST_SPANS)
+    cli.main(["play", mp3_path, "--segment", "0", "--speed", "0.5",
+              "-o", out])
+    capsys.readouterr()
+    span = segs[0][1] - segs[0][0]
+    w = wave.open(out)
+    assert abs(w.getnframes() - span * 44100 / 0.5) <= N_FFT
+
+
+def test_play_queue(mp3_path, tmp_path, capsys):
+    out = str(tmp_path / "q.wav")
+    cli.main(["play", mp3_path, mp3_path, "-o", out])
+    d = _last_json(capsys)
+    assert d["tracks"] == 2
+    w = wave.open(out)
+    assert w.getnframes() > 6.5 * 44100  # two gapless 3.7 s tracks
+
+
+def test_play_queue_flag_conflict(mp3_path):
+    with pytest.raises(SystemExit):
+        cli.main(["play", mp3_path, mp3_path, "--seek", "1.0"])
+
+
+def test_segments_subcommand(mp3_path, capsys):
+    cli.main(["segments", mp3_path])
+    d = _last_json(capsys)
+    assert len(d[mp3_path]) == len(fixtures.BURST_SPANS)
+
+
+def test_encode_roundtrip(mp3_path, tmp_path, capsys):
+    wav = str(tmp_path / "in.wav")
+    cli.main(["decode", mp3_path, "-o", wav])
+    capsys.readouterr()
+    out = str(tmp_path / "re.mp3")
+    cli.main(["encode", wav, "-o", out, "-b", "128"])
+    capsys.readouterr()
+    cli.main(["info", out])
+    d = _last_json(capsys)
+    assert d["sample_rate"] == 44100 and d["decode_errors"] == 0
+    assert abs(d["duration_s"] - 3.7) < 0.1
