@@ -72,6 +72,13 @@ def segment_batch(paths, **kw):
     return segment_files(paths, **kw)
 
 
+def loudness(path_or_bytes) -> float:
+    """Track loudness in dB (ReplayGain-style statistic) from the
+    device-computed envelope; PCM never crosses to host."""
+    from .pipeline import loudness_file
+    return loudness_file(path_or_bytes)
+
+
 def encode(pcm, sample_rate, **kw):
     from .encoder import encode_pcm
     return encode_pcm(pcm, sample_rate, **kw)

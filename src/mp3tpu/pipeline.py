@@ -184,6 +184,16 @@ def segment_file(path_or_bytes, gapless: bool | None = None, **kw):
     return _shift_segments(segs, total, st.sample_rate, info, gapless)
 
 
+def loudness_file(path_or_bytes) -> float:
+    """Track loudness in dB (ReplayGain-style 95th-percentile block
+    statistic, dsp/loudness.py) from the device-computed envelope —
+    the scan a normalizing queue runs per track; PCM never downloads."""
+    from .dsp.loudness import loudness_db
+    st, _info, _index = load_symbols(_read(path_or_bytes))
+    return loudness_db(decode_envelope_device(st), ENV_HOP,
+                       st.sample_rate)
+
+
 def segment_files(paths, gapless: bool | None = None, **kw):
     """segment_file over many files (library indexing) through the SAME
     batched fast path bench.py measures — C++ window-major unpack, one

@@ -24,7 +24,8 @@ class PlayQueue:
 
     def __init__(self, paths, sink: Sink | None = None,
                  gain_db: float | None = None, eq_gains_db=None,
-                 apply_gapless: bool = True, speed: float | None = None):
+                 apply_gapless: bool = True, speed: float | None = None,
+                 normalize: bool = False, target_db: float | None = None):
         if not paths:
             raise ValueError("empty queue")
         self._paths = list(paths)
@@ -33,6 +34,13 @@ class PlayQueue:
         self._eq_gains_db = eq_gains_db
         self._apply_gapless = apply_gapless
         self._speed = speed
+        # normalize=True loudness-scans each track as it opens (device
+        # envelope, no PCM download — dsp/loudness.py) and offsets its
+        # gain so tracks mastered at different levels match target_db
+        self._normalize = normalize
+        self._target_db = target_db
+        self._offsets: dict = {}       # track index -> cached gain offset
+        self._offset_applied = 0.0     # the live track's offset
         self._i = 0
         self._player: Player | None = None
         self.stopped = False
@@ -50,9 +58,26 @@ class PlayQueue:
     def player(self) -> Player:
         """The current track's Player (opened on first touch)."""
         if self._player is None:
+            off = 0.0
+            if self._normalize:
+                off = self._offsets.get(self._i)
+                if off is None:
+                    from ..dsp.loudness import (TARGET_DB,
+                                                normalization_gain_db)
+                    from ..pipeline import loudness_file
+                    tgt = (TARGET_DB if self._target_db is None
+                           else self._target_db)
+                    off = normalization_gain_db(
+                        loudness_file(self._paths[self._i]), tgt)
+                    self._offsets[self._i] = off
+            self._offset_applied = off
+            # None keeps the Player on the config default gain; any
+            # explicit user gain or normalization offset is absolute
+            gain = None if (self._gain_db is None and off == 0.0) \
+                else (self._gain_db or 0.0) + off
             self._player = Player(
-                self._paths[self._i], sink=self.sink,
-                gain_db=self._gain_db, eq_gains_db=self._eq_gains_db,
+                self._paths[self._i], sink=self.sink, gain_db=gain,
+                eq_gains_db=self._eq_gains_db,
                 apply_gapless=self._apply_gapless, speed=self._speed)
         return self._player
 
@@ -107,8 +132,10 @@ class PlayQueue:
 
     def _advance(self, i: int):
         # carry live settings forward so mid-session changes persist
+        # (the normalization offset is per-track: subtract it so the
+        # USER gain is what carries, not this track's correction)
         if self._player is not None:
-            self._gain_db = self._player.gain_db
+            self._gain_db = self._player.gain_db - self._offset_applied
             sp = self._player.speed
             self._speed = sp if sp != 1.0 else None
         self._i = i

@@ -53,6 +53,47 @@ def test_queue_speed_carries_across_tracks(two_tracks):
     assert abs(len(q.sink.pcm) - n_src / 0.5) <= 2 * N_FFT
 
 
+def test_loudness_statistic():
+    from mp3tpu.dsp.loudness import loudness_db, normalization_gain_db
+    sr, hop = 44100, 576
+    quiet = np.full(400, -30.0, np.float32)
+    loud = np.full(400, -20.0, np.float32)
+    assert abs(loudness_db(loud, hop, sr)
+               - loudness_db(quiet, hop, sr) - 10.0) < 1e-3
+    assert loudness_db(np.full(40, -120.0, np.float32), hop, sr) \
+        == float("-inf")
+    assert normalization_gain_db(float("-inf")) == 0.0
+    assert normalization_gain_db(-40.0) == 12.0   # boost cap
+    assert normalization_gain_db(-10.0) == -4.0   # attenuation uncapped
+
+
+def test_queue_normalize():
+    """normalize=True matches tracks mastered ~12 dB apart; the scan
+    runs on the device envelope (no PCM download)."""
+    pytest.importorskip("lameref")
+    import lameref
+    sr = 44100
+    sig = fixtures.tonal_stereo(1.2, sr)
+    loud = lameref.encode(np.clip(sig, -1, 1), sr, bitrate=160)
+    quiet = lameref.encode(np.clip(0.25 * sig, -1, 1), sr, bitrate=160)
+
+    def rms_db(x):
+        return 20 * np.log10(
+            np.sqrt(np.mean((x / 32768.0) ** 2)) + 1e-12)
+
+    n0 = len(decode_file(loud)[0])
+    q0 = PlayQueue([loud, quiet])
+    q0.play()
+    gap0 = rms_db(q0.sink.pcm[:n0]) - rms_db(q0.sink.pcm[n0:])
+    q1 = PlayQueue([loud, quiet], normalize=True)
+    q1.play()
+    gap1 = rms_db(q1.sink.pcm[:n0]) - rms_db(q1.sink.pcm[n0:])
+    assert gap0 > 10.0       # unnormalized: ~12 dB apart
+    assert abs(gap1) < 2.0   # normalized: matched
+    # user gain carries separately from the per-track offsets
+    assert q1._gain_db in (None, 0.0) or abs(q1._gain_db) < 1e-9
+
+
 def test_queue_snapshot_resume(two_tracks):
     ref = PlayQueue(two_tracks)
     ref.play()
