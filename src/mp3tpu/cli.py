@@ -40,12 +40,13 @@ def _cmd_play(args):
             sink = WavFileSink(args.output, tmp.track.sample_rate,
                                tmp.track.channels)
         q = PlayQueue(args.input, sink=sink, gain_db=args.gain,
-                      eq_gains_db=eq, speed=args.speed)
+                      eq_gains_db=eq, speed=args.speed,
+                      normalize=args.normalize)
         q.play()
         if sink:
             sink.close()
         print(json.dumps({"tracks": q.n_tracks,
-                          "metrics": q.player.metrics.to_dict()}))
+                          "metrics": q.metrics.to_dict()}))
         return
     if args.segments:  # analysis only: never open an output sink
         p = Player(first)
@@ -75,10 +76,13 @@ def _cmd_play(args):
 
 
 def _cmd_segments(args):
-    """Library indexing: silence-split boundaries for many files."""
-    from .pipeline import segment_file
-    out = {p: [[round(a, 3), round(b, 3)] for a, b in segment_file(p)]
-           for p in args.input}
+    """Library indexing: silence-split boundaries for many files,
+    through the batched fused-envelope fast path (one packed-plane
+    scan dispatch per chunk; PCM never downloads)."""
+    from .pipeline import segment_files
+    res = segment_files(args.input)
+    out = {p: [[round(a, 3), round(b, 3)] for a, b in segs]
+           for p, segs in zip(args.input, res)}
     print(json.dumps(out))
 
 
@@ -153,6 +157,9 @@ def main(argv=None):
     p.add_argument("--eq", help="10 comma-separated band gains (dB)")
     p.add_argument("--speed", type=float, default=1.0,
                    help="pitch-preserving tempo, 0.25-4.0 (slow listening)")
+    p.add_argument("--normalize", action="store_true",
+                   help="loudness-match queue tracks (device envelope "
+                        "scan per track; clipping-safe)")
     p.add_argument("--segments", action="store_true",
                    help="print detected sentence boundaries (JSON) and exit")
     p.add_argument("--segment", type=int,

@@ -44,10 +44,17 @@ def loudness_db(env_db: np.ndarray, hop: int, sr: int) -> float:
 
 def normalization_gain_db(loudness: float,
                           target_db: float = TARGET_DB,
-                          max_boost_db: float = 12.0) -> float:
+                          max_boost_db: float = 12.0,
+                          peak_db: float | None = None) -> float:
     """Gain that moves a track of the given loudness to `target_db`.
     Boost is capped (a near-silent track must not be amplified into
-    noise); attenuation is not."""
+    noise); attenuation is not. `peak_db` (the track's sample peak in
+    dBFS) additionally clamps the gain so the boosted peak stays at or
+    below full scale — quiet-but-dynamic material must not hard-clip
+    (the ReplayGain clipping-prevention rule)."""
     if loudness == float("-inf"):
         return 0.0
-    return float(min(target_db - loudness, max_boost_db))
+    g = min(target_db - loudness, max_boost_db)
+    if peak_db is not None:
+        g = min(g, max(0.0, -peak_db))
+    return float(g)

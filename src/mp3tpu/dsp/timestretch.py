@@ -11,9 +11,13 @@ voice into 330 Hz at 0.75x).
 TPU-idiomatic formulation:
 - STFT/ISTFT are batched `jnp.fft.rfft/irfft` over fixed-size frame
   chunks — dense device work, no per-sample Python.
-- Phase propagation is NOT a sequential per-frame loop: the per-frame
+- Phase propagation is NOT a per-sample loop: the per-frame
   synthesis-phase increments depend only on CONSECUTIVE analysis phases
-  (all known up front), so the accumulated phase is one `jnp.cumsum`.
+  (all known up front). With PHASE_LOCK=False it is one `jnp.cumsum`
+  over the chunk's frames; the default identity-phase-locked path runs
+  the same increments through a chunk-length `lax.scan` (8 steps per
+  dispatch — the peak map makes the recursion frame-dependent), still
+  zero per-bin sequential work.
 - ONE compiled executable per channel count serves EVERY speed: the
   analysis hop `ha` is a traced scalar (frame extraction is a gather
   with computed indices; the expected-phase term `omega*ha mod 2pi` is

@@ -37,6 +37,16 @@ class Metrics:
             return 0.0
         return self.samples_out / sample_rate / wall
 
+    def merge(self, other: "Metrics") -> "Metrics":
+        """Accumulate another Metrics into this one (multi-track
+        sessions: the queue's totals are the sum over its players).
+        Extra span-derived `*_seconds` attrs are summed too."""
+        for k, v in other.__dict__.items():
+            if k.startswith("_") or not isinstance(v, (int, float)):
+                continue
+            setattr(self, k, getattr(self, k, 0) + v)
+        return self
+
     def to_dict(self) -> dict:
         return {k: v for k, v in self.__dict__.items() if not k.startswith("_")}
 

@@ -36,35 +36,18 @@ def _read(path_or_bytes) -> bytes:
 _quantize_group_jit = None
 
 
-def decode_symbols_device(st: SymbolTensors, state=None,
-                          window: int = WINDOW,
-                          group: int = GROUP_WINDOWS,
-                          output: str = "float32") -> np.ndarray:
-    """Run the TPU pipeline over all granules of one stream.
-
-    Decodes in groups of `group` windows — ONE dispatch per group via
-    the shared single-stream scan program (kp.decode_window_group); the
-    final partial group is zero-padded (the scan's prefix property makes
-    the real windows' PCM independent of the padding).
-
-    output="int16" quantizes each group ON DEVICE (a separate jitted
-    elementwise program on the scan's float output, so the decode
-    executable — and its numerics — are untouched) and downloads the 4x
-    smaller int16; elementwise quantize commutes with concatenation and
-    slicing, so the result is bit-identical to quantizing the assembled
-    float PCM. Returns PCM [n, channels] in the requested dtype.
-    """
-    import jax
+def _iter_group_pcm(st: SymbolTensors, window: int, group: int):
+    """Yield (pcm_device [1, window*group*576, 2] f32, n_valid_granules)
+    per group of `group` windows, threading the scan state through —
+    the ONE group loop every single-stream grouped path (PCM decode,
+    envelope/loudness scans) shares, so the partial-group zero-padding
+    and the shared-program bit-exactness contract (CLAUDE.md) live in
+    one place. The scan's prefix property makes the real granules' PCM
+    independent of the padding."""
     from .utils.profiling import annotate
-    global _quantize_group_jit
     G = st.n_granules
-    if state is None:
-        state = kp.init_state(1)
+    state = kp.init_state(1)
     span = window * group
-    i16 = output == "int16"
-    if i16 and _quantize_group_jit is None:
-        _quantize_group_jit = jax.jit(kp.quantize_i16)
-    out = []
     for start in range(0, G, span):
         g = min(span, G - start)
         sl = slice(start, start + g)
@@ -78,8 +61,34 @@ def decode_symbols_device(st: SymbolTensors, state=None,
 
         with annotate(f"mp3tpu.decode_group[{start}:{start + g}]"):
             pcm, state = kp.decode_window_group(
-                prep(st.is_), prep(st.exp), prep(st.block_type), prep(st.mixed),
-                prep(st.smode), state, st.sample_rate, group)
+                prep(st.is_), prep(st.exp), prep(st.block_type),
+                prep(st.mixed), prep(st.smode), state, st.sample_rate, group)
+        yield pcm, g
+
+
+def decode_symbols_device(st: SymbolTensors,
+                          window: int = WINDOW,
+                          group: int = GROUP_WINDOWS,
+                          output: str = "float32") -> np.ndarray:
+    """Run the TPU pipeline over all granules of one stream.
+
+    Decodes in groups of `group` windows — ONE dispatch per group via
+    the shared single-stream scan program (kp.decode_window_group).
+
+    output="int16" quantizes each group ON DEVICE (a separate jitted
+    elementwise program on the scan's float output, so the decode
+    executable — and its numerics — are untouched) and downloads the 4x
+    smaller int16; elementwise quantize commutes with concatenation and
+    slicing, so the result is bit-identical to quantizing the assembled
+    float PCM. Returns PCM [n, channels] in the requested dtype.
+    """
+    import jax
+    global _quantize_group_jit
+    i16 = output == "int16"
+    if i16 and _quantize_group_jit is None:
+        _quantize_group_jit = jax.jit(kp.quantize_i16)
+    out = []
+    for pcm, g in _iter_group_pcm(st, window, group):
         dev = _quantize_group_jit(pcm) if i16 else pcm
         out.append(np.asarray(dev)[0, : g * 576])
     pcm = np.concatenate(out, axis=0)
@@ -91,48 +100,46 @@ ENV_HOP = 576  # envelope hop = one granule (13 ms @ 44.1 kHz)
 
 
 def decode_envelope_device(st: SymbolTensors, window: int = WINDOW,
-                           group: int = GROUP_WINDOWS) -> np.ndarray:
+                           group: int = GROUP_WINDOWS,
+                           with_peak: bool = False):
     """Per-granule power envelope (dB) of one stream, computed ON
     DEVICE group by group: the PCM never leaves the device — only
     ~1 KB of envelope crosses D2H per 147k-sample group. On this
     environment downloads run ~0.04 GB/s (CLAUDE.md), so indexing a
     library for silence/sentences this way runs at device decode speed
     instead of download speed. Returns env_db [n_granules] float32;
-    frame f covers samples [f*ENV_HOP, (f+1)*ENV_HOP)."""
+    frame f covers samples [f*ENV_HOP, (f+1)*ENV_HOP).
+
+    with_peak=True also reduces the stream's sample peak (max |x|,
+    linear) inside the same dispatches and returns (env_db, peak) —
+    the loudness scan needs it for clipping-safe normalization."""
     import jax
-    G = st.n_granules
-    state = kp.init_state(1)
-    span = window * group
-    key = st.channels
+    key = (st.channels, with_peak)
     fn = _env_group_jit.get(key)
     if fn is None:
         nch = st.channels
 
-        def env_of(pcm):  # [1, span*576, 2] float -> [span] dB
+        def env_of(pcm):  # [1, span*576, 2] float -> [span] dB (+ peak)
             x = pcm[0, :, :nch]
             p = jnp.mean(x * x, axis=1)
             e = jnp.mean(p.reshape(-1, ENV_HOP), axis=1)
-            return 10.0 * jnp.log10(e + 1e-12)
+            env = 10.0 * jnp.log10(e + 1e-12)
+            if with_peak:
+                return env, jnp.max(jnp.abs(x))
+            return env
 
         fn = jax.jit(env_of)
         _env_group_jit[key] = fn
-    out = []
-    for start in range(0, G, span):
-        g = min(span, G - start)
-        sl = slice(start, start + g)
-
-        def prep(a):
-            a = a[sl]
-            if g != span:
-                width = ((0, span - g),) + tuple((0, 0) for _ in a.shape[1:])
-                a = np.pad(a, width)
-            return jnp.asarray(a[None])
-
-        pcm, state = kp.decode_window_group(
-            prep(st.is_), prep(st.exp), prep(st.block_type), prep(st.mixed),
-            prep(st.smode), state, st.sample_rate, group)
-        out.append(np.asarray(fn(pcm))[:g])
-    return np.concatenate(out)
+    out, peak = [], 0.0
+    for pcm, g in _iter_group_pcm(st, window, group):
+        r = fn(pcm)
+        if with_peak:
+            out.append(np.asarray(r[0])[:g])
+            peak = max(peak, float(r[1]))
+        else:
+            out.append(np.asarray(r)[:g])
+    env = np.concatenate(out)
+    return (env, peak) if with_peak else env
 
 
 _env_batch_jit = None
@@ -170,13 +177,20 @@ def segment_file(path_or_bytes, gapless: bool | None = None, **kw):
     (dsp/segment.py semantics) WITHOUT downloading its PCM — the
     envelope reduction runs inside the decode dispatches. Boundaries
     are on the gapless-trimmed timeline (the same clock decode()/play
-    use) when the LAME tag is present."""
+    use) when the LAME tag is present.
+
+    The envelope hop is fixed at one granule (ENV_HOP=576, ~13 ms):
+    unlike Player.segments(), `hop_s` is not tunable here — the
+    reduction is fused into the decode dispatch at granule resolution.
+    A hop_s that rounds to a different hop is rejected rather than
+    silently ignored."""
     from .config import get_active
     from .dsp.segment import segments_from_envelope
     if gapless is None:
         gapless = get_active().decode.gapless
     data = _read(path_or_bytes)
     st, info, _index = load_symbols(data)
+    _check_seg_kw(kw, st.sample_rate)
     env = decode_envelope_device(st)
     total = st.n_granules * 576
     segs = segments_from_envelope(env, ENV_HOP, st.sample_rate,
@@ -184,14 +198,35 @@ def segment_file(path_or_bytes, gapless: bool | None = None, **kw):
     return _shift_segments(segs, total, st.sample_rate, info, gapless)
 
 
+def _check_seg_kw(kw: dict, sr: int):
+    """Device-envelope segmentation runs at the fixed ENV_HOP granule
+    hop; accept hop_s only when it IS that hop (drop it), else fail
+    loudly instead of passing an unknown kwarg downstream."""
+    hop_s = kw.pop("hop_s", None)
+    if hop_s is not None and int(round(hop_s * sr)) != ENV_HOP:
+        raise ValueError(
+            f"device-envelope segmentation has a fixed {ENV_HOP}-sample "
+            f"({ENV_HOP / sr:.4f} s) hop; hop_s={hop_s} is only available "
+            "through Player.segments() (host envelope)")
+
+
 def loudness_file(path_or_bytes) -> float:
     """Track loudness in dB (ReplayGain-style 95th-percentile block
     statistic, dsp/loudness.py) from the device-computed envelope —
     the scan a normalizing queue runs per track; PCM never downloads."""
+    return track_levels(path_or_bytes)[0]
+
+
+def track_levels(path_or_bytes) -> tuple:
+    """(loudness_db, peak_db) of one track from a single device
+    envelope scan — loudness drives normalization toward the target,
+    the sample peak caps the boost so normalization never clips
+    (dsp/loudness.py normalization_gain_db)."""
     from .dsp.loudness import loudness_db
     st, _info, _index = load_symbols(_read(path_or_bytes))
-    return loudness_db(decode_envelope_device(st), ENV_HOP,
-                       st.sample_rate)
+    env, peak = decode_envelope_device(st, with_peak=True)
+    pk_db = 20.0 * float(np.log10(max(peak, 1e-9)))
+    return loudness_db(env, ENV_HOP, st.sample_rate), pk_db
 
 
 def segment_files(paths, gapless: bool | None = None, **kw):
@@ -497,6 +532,8 @@ def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg,
         env = np.asarray(_env_batch_jit(
             pcm_dev[:, : n_win * win * 576], jnp.asarray(nch_vec)))
         from .dsp.segment import segments_from_envelope
+        if seg_kw:
+            _check_seg_kw(seg_kw, rate)
         for k, i in enumerate(chunk):
             info = metas[i][1]
             out[i] = _shift_segments(

@@ -15,6 +15,7 @@ settings (gain/EQ/speed) are re-applied to each track as it opens.
 """
 from __future__ import annotations
 
+from ..metrics import Metrics
 from .engine import Player
 from .sink import CollectSink, Sink
 
@@ -26,10 +27,12 @@ class PlayQueue:
                  gain_db: float | None = None, eq_gains_db=None,
                  apply_gapless: bool = True, speed: float | None = None,
                  normalize: bool = False, target_db: float | None = None):
-        if not paths:
-            raise ValueError("empty queue")
+        # materialize BEFORE the guard: an empty iterator is truthy
         self._paths = list(paths)
+        if not self._paths:
+            raise ValueError("empty queue")
         self.sink = sink or CollectSink()
+        self._fmt = None               # (sample_rate, channels) of track 0
         self._gain_db = gain_db
         self._eq_gains_db = eq_gains_db
         self._apply_gapless = apply_gapless
@@ -43,6 +46,7 @@ class PlayQueue:
         self._offset_applied = 0.0     # the live track's offset
         self._i = 0
         self._player: Player | None = None
+        self._metrics = Metrics()      # finished tracks' accumulated totals
         self.stopped = False
 
     # ------------------------------------------------------------- state
@@ -55,6 +59,14 @@ class PlayQueue:
         return self._i
 
     @property
+    def metrics(self) -> Metrics:
+        """Session totals: every finished track plus the live one."""
+        m = Metrics().merge(self._metrics)
+        if self._player is not None:
+            m.merge(self._player.metrics)
+        return m
+
+    @property
     def player(self) -> Player:
         """The current track's Player (opened on first touch)."""
         if self._player is None:
@@ -64,21 +76,41 @@ class PlayQueue:
                 if off is None:
                     from ..dsp.loudness import (TARGET_DB,
                                                 normalization_gain_db)
-                    from ..pipeline import loudness_file
+                    from ..pipeline import track_levels
                     tgt = (TARGET_DB if self._target_db is None
                            else self._target_db)
-                    off = normalization_gain_db(
-                        loudness_file(self._paths[self._i]), tgt)
+                    ld, peak_db = track_levels(self._paths[self._i])
+                    off = normalization_gain_db(ld, tgt, peak_db=peak_db)
                     self._offsets[self._i] = off
             self._offset_applied = off
-            # None keeps the Player on the config default gain; any
-            # explicit user gain or normalization offset is absolute
-            gain = None if (self._gain_db is None and off == 0.0) \
-                else (self._gain_db or 0.0) + off
+            if self._normalize:
+                # offsets are RELATIVE corrections on top of whatever
+                # gain would otherwise apply — resolve the config
+                # default so a zero offset and a 0.1 dB offset land on
+                # the same base level
+                from ..config import get_active
+                base = (get_active().player.gain_db
+                        if self._gain_db is None else self._gain_db)
+                gain = base + off
+            else:
+                # None keeps the Player on the config default gain
+                gain = self._gain_db
             self._player = Player(
                 self._paths[self._i], sink=self.sink, gain_db=gain,
                 eq_gains_db=self._eq_gains_db,
                 apply_gapless=self._apply_gapless, speed=self._speed)
+            fmt = (self._player.track.sample_rate,
+                   self._player.track.channels)
+            if self._fmt is None:
+                self._fmt = fmt
+            elif fmt != self._fmt:
+                # refuse to splice incompatible PCM into one sink (a
+                # WAV header fixes one rate/layout for the whole file)
+                self._player = None
+                raise ValueError(
+                    f"track {self._i} is {fmt[0]} Hz/{fmt[1]}ch but the "
+                    f"queue plays at {self._fmt[0]} Hz/{self._fmt[1]}ch; "
+                    "queue tracks must share sample rate and channels")
         return self._player
 
     # --------------------------------------------------------------- api
@@ -136,8 +168,10 @@ class PlayQueue:
         # USER gain is what carries, not this track's correction)
         if self._player is not None:
             self._gain_db = self._player.gain_db - self._offset_applied
-            sp = self._player.speed
-            self._speed = sp if sp != 1.0 else None
+            # carry verbatim: an explicit 1.0 must NOT revert the next
+            # track to the config default speed
+            self._speed = self._player.speed
+            self._metrics.merge(self._player.metrics)
         self._i = i
         self._player = None
 

@@ -118,3 +118,67 @@ def test_queue_snapshot_resume(two_tracks):
     # that the snapshot path didn't depend on queue internals)
     assert np.array_equal(full, np.concatenate(
         [decode_file(p)[0] for p in two_tracks]))
+
+
+def test_queue_empty_iterator_rejected():
+    with pytest.raises(ValueError, match="empty queue"):
+        PlayQueue(iter([]))
+    with pytest.raises(ValueError, match="empty queue"):
+        PlayQueue([])
+
+
+def test_queue_rejects_mixed_formats():
+    """A queue shares ONE sink whose rate/channel layout is fixed by
+    the first track; a mismatched later track must fail loudly, not
+    splice garbled PCM."""
+    pytest.importorskip("lameref")
+    stereo = fixtures.lame_fixture("sweep", ch=2, bitrate=128)
+    mono = fixtures.lame_fixture("sweep", ch=1, bitrate=96, mode="mono")
+    q = PlayQueue([stereo, mono])
+    with pytest.raises(ValueError, match="share sample rate"):
+        q.play()
+
+
+def test_queue_explicit_unity_speed_sticks(two_tracks):
+    """set_speed(1.0) is an explicit choice; the next track must stay
+    at 1.0 rather than reverting to the config default speed."""
+    from mp3tpu.config import resolve, set_active
+    set_active(resolve(player={"speed": 0.5}))
+    try:
+        q = PlayQueue(two_tracks)       # opens at the 0.5 config default
+        assert q.player.speed == 0.5
+        q.set_speed(1.0)                # back to normal tempo, explicitly
+        q.play(tracks=1)
+        assert q.player.speed == 1.0    # track 1 did NOT revert to 0.5
+    finally:
+        set_active(resolve())
+
+
+def test_queue_metrics_aggregate(two_tracks):
+    """Queue metrics cover the whole session, not just the last track."""
+    q = PlayQueue(two_tracks)
+    q.play()
+    n = sum(len(decode_file(p)[0]) for p in two_tracks)
+    assert q.metrics.samples_out == n
+
+
+def test_normalization_gain_peak_clamp():
+    from mp3tpu.dsp.loudness import normalization_gain_db
+    # quiet track (-26) wants +12, but its peak at -4 dBFS caps at +4
+    assert normalization_gain_db(-26.0, -14.0, peak_db=-4.0) == 4.0
+    # already-clipping peak never forces attenuation by itself
+    assert normalization_gain_db(-26.0, -14.0, peak_db=1.0) == 0.0
+    # attenuation is untouched by the peak clamp
+    assert normalization_gain_db(-10.0, -14.0, peak_db=-0.5) == -4.0
+
+
+def test_track_levels_peak():
+    """track_levels' device-reduced peak matches the decoded PCM's."""
+    pytest.importorskip("lameref")
+    from mp3tpu.pipeline import track_levels
+    mp3 = fixtures.lame_fixture("tonal", seconds=1.2, bitrate=160)
+    ld, pk_db = track_levels(mp3)
+    pcm = decode_file(mp3, output="float32", gapless=False)[0]
+    ref = 20 * np.log10(np.abs(pcm).max() + 1e-12)
+    assert abs(pk_db - ref) < 0.1
+    assert ld < pk_db  # loudness is a mean-square statistic

@@ -181,3 +181,17 @@ def test_player_play_segment_slow(mp3):
     sr = p.track.sample_rate
     span = int(round(b * sr)) - int(round(a * sr))
     assert abs(len(p.sink.pcm) - span / 0.75) <= N_FFT
+
+
+def test_segment_file_hop_s_rejected():
+    """segment_file's device envelope has a fixed granule hop; a
+    hop_s that cannot be honored fails loudly instead of being
+    silently ignored (Player.segments is the tunable-hop surface)."""
+    import pytest
+    pytest.importorskip("lameref")
+    from mp3tpu.pipeline import ENV_HOP, segment_file
+    mp3 = fixtures.lame_fixture("bursts", seconds=2.0, bitrate=128)
+    with pytest.raises(ValueError, match="fixed"):
+        segment_file(mp3, hop_s=0.01)
+    # the native hop is accepted (and equals the default result)
+    assert segment_file(mp3, hop_s=ENV_HOP / 44100.0) == segment_file(mp3)
