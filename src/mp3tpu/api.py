@@ -79,6 +79,15 @@ def loudness(path_or_bytes) -> float:
     return loudness_file(path_or_bytes)
 
 
+def levels(path_or_bytes) -> tuple:
+    """(loudness_db, peak_db) from one device envelope scan — what a
+    normalizing queue measures per track (dsp/loudness.py): loudness
+    drives the gain toward the target, the sample peak caps boosts so
+    normalization never clips."""
+    from .pipeline import track_levels
+    return track_levels(path_or_bytes)
+
+
 def encode(pcm, sample_rate, **kw):
     from .encoder import encode_pcm
     return encode_pcm(pcm, sample_rate, **kw)

@@ -86,6 +86,21 @@ def _cmd_segments(args):
     print(json.dumps(out))
 
 
+def _cmd_loudness(args):
+    """Per-track loudness/peak + the clipping-safe gain that would
+    bring each to the target (what `play --normalize` applies)."""
+    from .dsp.loudness import TARGET_DB, normalization_gain_db
+    from .pipeline import track_levels
+    tgt = TARGET_DB if args.target is None else args.target
+    out = {}
+    for p in args.input:
+        ld, pk = track_levels(p)
+        out[p] = {"loudness_db": round(ld, 2), "peak_db": round(pk, 2),
+                  "gain_db": round(normalization_gain_db(
+                      ld, tgt, peak_db=pk), 2)}
+    print(json.dumps({"target_db": tgt, "tracks": out}))
+
+
 def _cmd_encode(args):
     from .encoder import encode_pcm
     # read WAV (16-bit PCM) or raw float32
@@ -184,6 +199,14 @@ def main(argv=None):
                                         "download) as JSON")
     s.add_argument("input", nargs="+")
     s.set_defaults(fn=_cmd_segments)
+
+    lv = sub.add_parser("loudness", help="track loudness/peak + the "
+                                         "normalization gain (device "
+                                         "envelope; no PCM download)")
+    lv.add_argument("input", nargs="+")
+    lv.add_argument("--target", type=float, default=None,
+                    help="target loudness dB (default -14)")
+    lv.set_defaults(fn=_cmd_loudness)
 
     b = sub.add_parser("bench", help="run the aggregate-throughput benchmark")
     b.set_defaults(fn=_cmd_bench)

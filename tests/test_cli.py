@@ -96,3 +96,15 @@ def test_encode_roundtrip(mp3_path, tmp_path, capsys):
     d = _last_json(capsys)
     assert d["sample_rate"] == 44100 and d["decode_errors"] == 0
     assert abs(d["duration_s"] - 3.7) < 0.1
+
+def test_loudness_subcommand(mp3_path, capsys):
+    cli.main(["loudness", mp3_path, "--target", "-14"])
+    d = _last_json(capsys)
+    t = d["tracks"][mp3_path]
+    assert t["peak_db"] > t["loudness_db"]     # peak above mean-square
+    assert t["gain_db"] <= max(0.0, -t["peak_db"]) + 1e-6  # clipping-safe
+    # API surface agrees with the CLI numbers
+    import mp3tpu
+    ld, pk = mp3tpu.levels(mp3_path)
+    assert abs(ld - t["loudness_db"]) < 0.01
+    assert abs(pk - t["peak_db"]) < 0.01
