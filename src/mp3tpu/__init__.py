@@ -49,4 +49,5 @@ def _enable_jit_cache():
 _enable_jit_cache()
 
 from .api import (decode, decode_batch, encode, encode_batch,  # noqa: F401
-                  init, levels, loudness, play, segment, segment_batch)
+                  init, levels, loudness, play, segment, segment_batch,
+                  split)

@@ -72,6 +72,13 @@ def segment_batch(paths, **kw):
     return segment_files(paths, **kw)
 
 
+def split(path_or_bytes, out_dir, fmt: str = "wav", **kw) -> list:
+    """Write each sentence of a track to its own clip file (wav, or
+    mp3 re-encoded through ONE batched encode call). Returns paths."""
+    from .pipeline import split_file
+    return split_file(path_or_bytes, out_dir, fmt=fmt, **kw)
+
+
 def loudness(path_or_bytes) -> float:
     """Track loudness in dB (ReplayGain-style statistic) from the
     device-computed envelope; PCM never crosses to host."""

@@ -86,6 +86,14 @@ def _cmd_segments(args):
     print(json.dumps(out))
 
 
+def _cmd_split(args):
+    """Export each sentence as its own clip file (wav or mp3)."""
+    from .pipeline import split_file
+    paths = split_file(args.input, args.out_dir, fmt=args.format,
+                       bitrate=args.bitrate)
+    print(json.dumps({"clips": paths}))
+
+
 def _cmd_loudness(args):
     """Per-track loudness/peak + the clipping-safe gain that would
     bring each to the target (what `play --normalize` applies)."""
@@ -199,6 +207,17 @@ def main(argv=None):
                                         "download) as JSON")
     s.add_argument("input", nargs="+")
     s.set_defaults(fn=_cmd_segments)
+
+    sp = sub.add_parser("split", help="write each sentence to its own "
+                                      "clip file (wav, or mp3 via ONE "
+                                      "batched re-encode)")
+    sp.add_argument("input")
+    sp.add_argument("-d", "--out-dir", default=".")
+    sp.add_argument("-f", "--format", choices=("wav", "mp3"),
+                    default="wav")
+    sp.add_argument("-b", "--bitrate", type=int, default=None,
+                    help="mp3 clips: CBR kbps (default: active config)")
+    sp.set_defaults(fn=_cmd_split)
 
     lv = sub.add_parser("loudness", help="track loudness/peak + the "
                                          "normalization gain (device "

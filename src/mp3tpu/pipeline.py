@@ -246,6 +246,52 @@ def segment_files(paths, gapless: bool | None = None, **kw):
     return res
 
 
+def split_file(path_or_bytes, out_dir, fmt: str = "wav",
+               stem: str | None = None, bitrate: int | None = None,
+               gapless: bool | None = None, **seg_kw) -> list:
+    """Export each sentence/pause-delimited segment of one track as its
+    own audio file — the reference's "study one sentence at a time"
+    usage (reference README.md:46) materialized as clip files.
+
+    Boundaries come from the device-envelope segmentation (PCM stays in
+    HBM during the scan); the track is then decoded ONCE and sliced.
+    fmt="wav" writes int16 WAV clips; fmt="mp3" re-encodes every clip
+    in ONE encode_batch call (the batched device encoder — clips share
+    the lockstep rate-loop rows, SURVEY.md §3.4). Returns the written
+    paths in segment order."""
+    import os
+    if fmt not in ("wav", "mp3"):
+        raise ValueError(f"fmt must be 'wav' or 'mp3', got {fmt!r}")
+    data = _read(path_or_bytes)
+    segs = segment_file(data, gapless=gapless, **seg_kw)
+    if not segs:
+        return []
+    pcm, sr = decode_file(data, output="int16", gapless=gapless)
+    if stem is None:
+        stem = ("clip" if isinstance(path_or_bytes, (bytes, bytearray))
+                else os.path.splitext(os.path.basename(
+                    str(path_or_bytes)))[0])
+    os.makedirs(out_dir, exist_ok=True)
+    clips = [pcm[int(round(a * sr)): int(round(b * sr))] for a, b in segs]
+    paths = [os.path.join(out_dir, f"{stem}-{i + 1:03d}.{fmt}")
+             for i in range(len(clips))]
+    if fmt == "mp3":
+        from .encoder import encode_batch
+        kw = {} if bitrate is None else {"bitrate": bitrate}
+        blobs = encode_batch([c.astype(np.float32) / 32768.0
+                              for c in clips], sr, **kw)
+        for p, blob in zip(paths, blobs):
+            with open(p, "wb") as f:
+                f.write(blob)
+    else:
+        from .player.sink import WavFileSink
+        for p, c in zip(paths, clips):
+            snk = WavFileSink(p, sr, c.shape[1])
+            snk.push(c)
+            snk.close()
+    return paths
+
+
 def load_symbols(data: bytes):
     """Container parse + unpack: (SymbolTensors, StreamInfo, FrameIndex).
 

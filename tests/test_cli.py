@@ -108,3 +108,11 @@ def test_loudness_subcommand(mp3_path, capsys):
     ld, pk = mp3tpu.levels(mp3_path)
     assert abs(ld - t["loudness_db"]) < 0.01
     assert abs(pk - t["peak_db"]) < 0.01
+
+
+def test_split_subcommand(mp3_path, tmp_path, capsys):
+    cli.main(["split", mp3_path, "-d", str(tmp_path), "-f", "wav"])
+    d = _last_json(capsys)
+    assert len(d["clips"]) == len(fixtures.BURST_SPANS)
+    w = wave.open(d["clips"][0])
+    assert w.getframerate() == 44100 and w.getnframes() > 0

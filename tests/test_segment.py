@@ -195,3 +195,45 @@ def test_segment_file_hop_s_rejected():
         segment_file(mp3, hop_s=0.01)
     # the native hop is accepted (and equals the default result)
     assert segment_file(mp3, hop_s=ENV_HOP / 44100.0) == segment_file(mp3)
+
+
+def test_split_file_wav(tmp_path):
+    """split writes one WAV per sentence whose samples ARE the decoded
+    slice (same clock as segment_file/decode_file)."""
+    import wave
+    pytest.importorskip("lameref")
+    from mp3tpu.pipeline import decode_file, segment_file, split_file
+    mp3 = fixtures.lame_fixture("bursts", seconds=2.0, bitrate=128)
+    paths = split_file(mp3, str(tmp_path), fmt="wav", stem="s")
+    segs = segment_file(mp3)
+    assert len(paths) == len(segs) == len(BURST_SPANS)
+    pcm, sr = decode_file(mp3)
+    for p, (a, b) in zip(paths, segs):
+        w = wave.open(p)
+        clip = np.frombuffer(w.readframes(w.getnframes()),
+                             np.int16).reshape(-1, w.getnchannels())
+        ref = pcm[int(round(a * sr)): int(round(b * sr))]
+        assert np.array_equal(clip, ref)
+
+
+def test_split_file_mp3_roundtrip(tmp_path):
+    """mp3 clips (ONE batched re-encode) decode back to the sentence:
+    right duration, and the audio correlates with the source slice."""
+    pytest.importorskip("lameref")
+    from mp3tpu.pipeline import decode_file, segment_file, split_file
+    mp3 = fixtures.lame_fixture("bursts", seconds=2.0, bitrate=128)
+    paths = split_file(mp3, str(tmp_path), fmt="mp3", bitrate=128)
+    segs = segment_file(mp3)
+    assert len(paths) == len(segs)
+    pcm, sr = decode_file(mp3)
+    for p, (a, b) in zip(paths, segs):
+        clip, csr = decode_file(p)
+        ref = pcm[int(round(a * sr)): int(round(b * sr))]
+        assert csr == sr
+        assert abs(len(clip) - len(ref)) <= 1  # gapless tag: sample-aligned
+        n = min(len(clip), len(ref))
+        x = clip[:n, 0].astype(np.float64)
+        y = ref[:n, 0].astype(np.float64)
+        corr = (x * y).sum() / (np.linalg.norm(x) * np.linalg.norm(y)
+                                + 1e-12)
+        assert corr > 0.95, corr
