@@ -95,6 +95,13 @@ def levels(path_or_bytes) -> tuple:
     return track_levels(path_or_bytes)
 
 
+def levels_batch(paths) -> list:
+    """levels() over many files through the batched fused-envelope
+    fast path (one packed-plane scan per chunk; PCM never downloads)."""
+    from .pipeline import track_levels_batch
+    return track_levels_batch(paths)
+
+
 def encode(pcm, sample_rate, **kw):
     from .encoder import encode_pcm
     return encode_pcm(pcm, sample_rate, **kw)

@@ -55,10 +55,17 @@ def _cmd_play(args):
         return
     sink = None
     if args.output:
-        import mp3tpu.player.engine as _e
         tmp = Player(first)  # probe rate/channels
-        sink = WavFileSink(args.output, tmp.track.sample_rate, tmp.track.channels)
-    p = Player(first, sink=sink, gain_db=args.gain,
+        sink = WavFileSink(args.output, tmp.track.sample_rate,
+                           tmp.track.channels)
+    gain = args.gain
+    if args.normalize:  # single-track: match to the target directly
+        from .dsp.loudness import TARGET_DB, normalization_gain_db
+        from .pipeline import track_levels
+        ld, pk = track_levels(first)
+        gain = args.gain + normalization_gain_db(
+            ld, TARGET_DB, peak_db=pk, base_gain_db=args.gain)
+    p = Player(first, sink=sink, gain_db=gain,
                eq_gains_db=eq, speed=args.speed)
     if args.segment is not None:
         p.play_segment(args.segment, times=args.times)
@@ -98,11 +105,10 @@ def _cmd_loudness(args):
     """Per-track loudness/peak + the clipping-safe gain that would
     bring each to the target (what `play --normalize` applies)."""
     from .dsp.loudness import TARGET_DB, normalization_gain_db
-    from .pipeline import track_levels
+    from .pipeline import track_levels_batch
     tgt = TARGET_DB if args.target is None else args.target
     out = {}
-    for p in args.input:
-        ld, pk = track_levels(p)
+    for p, (ld, pk) in zip(args.input, track_levels_batch(args.input)):
         out[p] = {"loudness_db": round(ld, 2), "peak_db": round(pk, 2),
                   "gain_db": round(normalization_gain_db(
                       ld, tgt, peak_db=pk), 2)}

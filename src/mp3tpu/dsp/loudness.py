@@ -45,16 +45,20 @@ def loudness_db(env_db: np.ndarray, hop: int, sr: int) -> float:
 def normalization_gain_db(loudness: float,
                           target_db: float = TARGET_DB,
                           max_boost_db: float = 12.0,
-                          peak_db: float | None = None) -> float:
-    """Gain that moves a track of the given loudness to `target_db`.
-    Boost is capped (a near-silent track must not be amplified into
-    noise); attenuation is not. `peak_db` (the track's sample peak in
-    dBFS) additionally clamps the gain so the boosted peak stays at or
-    below full scale — quiet-but-dynamic material must not hard-clip
-    (the ReplayGain clipping-prevention rule)."""
+                          peak_db: float | None = None,
+                          base_gain_db: float = 0.0) -> float:
+    """Normalization OFFSET that moves a track of the given loudness to
+    `target_db`. Boost is capped (a near-silent track must not be
+    amplified into noise); attenuation is not. `peak_db` (the track's
+    sample peak in dBFS) additionally clamps the offset so the TOTAL
+    applied gain (`base_gain_db` + offset) keeps the peak at or below
+    full scale — quiet-but-dynamic material must not hard-clip (the
+    ReplayGain clipping-prevention rule). The clamp only shrinks the
+    offset toward 0; a base gain that clips on its own is the caller's
+    explicit choice, not normalization's to override."""
     if loudness == float("-inf"):
         return 0.0
     g = min(target_db - loudness, max_boost_db)
     if peak_db is not None:
-        g = min(g, max(0.0, -peak_db))
+        g = min(g, max(0.0, -peak_db - base_gain_db))
     return float(g)

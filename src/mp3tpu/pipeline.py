@@ -146,14 +146,17 @@ _env_batch_jit = None
 
 
 def _env_batch(pcm, nch):
-    """Batched per-granule dB envelope of int16 PCM [S, n, 2]; `nch`
-    [S, 1] masks the unused channel of mono streams (their power is
-    the real channel's, whatever the decode left in channel 1)."""
+    """Batched per-granule dB envelope + per-stream sample peak of
+    int16 PCM [S, n, 2]; `nch` [S, 1] masks the unused channel of mono
+    streams (their power is the real channel's, whatever the decode
+    left in channel 1). Returns (env_db [S, G], peak [S] linear)."""
     x = pcm.astype(jnp.float32) * (1.0 / 32768.0)
     m1 = (nch >= 2.0).astype(jnp.float32)
     p = (x[..., 0] ** 2 + x[..., 1] ** 2 * m1) / nch       # [S, n]
     e = p.reshape(p.shape[0], -1, ENV_HOP).mean(axis=2)    # [S, G]
-    return 10.0 * jnp.log10(e + 1e-12)
+    pk = jnp.maximum(jnp.max(jnp.abs(x[..., 0]), axis=1),
+                     jnp.max(jnp.abs(x[..., 1]), axis=1) * m1[:, 0])
+    return 10.0 * jnp.log10(e + 1e-12), pk
 
 
 def _shift_segments(segs, total, sr, info, gapless):
@@ -190,7 +193,7 @@ def segment_file(path_or_bytes, gapless: bool | None = None, **kw):
         gapless = get_active().decode.gapless
     data = _read(path_or_bytes)
     st, info, _index = load_symbols(data)
-    _check_seg_kw(kw, st.sample_rate)
+    kw = _check_seg_kw(kw, st.sample_rate)
     env = decode_envelope_device(st)
     total = st.n_granules * 576
     segs = segments_from_envelope(env, ENV_HOP, st.sample_rate,
@@ -198,16 +201,21 @@ def segment_file(path_or_bytes, gapless: bool | None = None, **kw):
     return _shift_segments(segs, total, st.sample_rate, info, gapless)
 
 
-def _check_seg_kw(kw: dict, sr: int):
+def _check_seg_kw(kw: dict, sr: int) -> dict:
     """Device-envelope segmentation runs at the fixed ENV_HOP granule
-    hop; accept hop_s only when it IS that hop (drop it), else fail
-    loudly instead of passing an unknown kwarg downstream."""
+    hop; accept hop_s only when it IS that hop for THIS sample rate,
+    else fail loudly instead of passing an unknown kwarg downstream.
+    Returns a new dict without hop_s — the input is never mutated, so
+    batched callers can validate the same kwargs against every chunk's
+    rate (acceptance must not depend on chunk order)."""
+    kw = dict(kw)
     hop_s = kw.pop("hop_s", None)
     if hop_s is not None and int(round(hop_s * sr)) != ENV_HOP:
         raise ValueError(
             f"device-envelope segmentation has a fixed {ENV_HOP}-sample "
-            f"({ENV_HOP / sr:.4f} s) hop; hop_s={hop_s} is only available "
-            "through Player.segments() (host envelope)")
+            f"({ENV_HOP / sr:.4f} s at {sr} Hz) hop; hop_s={hop_s} is only "
+            "available through Player.segments() (host envelope)")
+    return kw
 
 
 def loudness_file(path_or_bytes) -> float:
@@ -221,12 +229,31 @@ def track_levels(path_or_bytes) -> tuple:
     """(loudness_db, peak_db) of one track from a single device
     envelope scan — loudness drives normalization toward the target,
     the sample peak caps the boost so normalization never clips
-    (dsp/loudness.py normalization_gain_db)."""
+    (dsp/loudness.py normalization_gain_db).
+
+    The peak is reduced over the full decoded timeline (including the
+    LAME delay/padding region trimmed at playback and the final
+    group's ring-out), so it can slightly EXCEED the playable peak —
+    the clipping clamp errs conservative, never permissive."""
     from .dsp.loudness import loudness_db
     st, _info, _index = load_symbols(_read(path_or_bytes))
     env, peak = decode_envelope_device(st, with_peak=True)
     pk_db = 20.0 * float(np.log10(max(peak, 1e-9)))
     return loudness_db(env, ENV_HOP, st.sample_rate), pk_db
+
+
+def track_levels_batch(paths) -> list:
+    """track_levels over many files through the SAME batched fused-
+    envelope fast path segment_files rides — one packed-plane scan
+    dispatch per chunk, [S] loudness/peak values downloaded instead of
+    PCM — so library-wide loudness indexing runs at aggregate device
+    decode speed. Peaks here are measured on the quantized int16 PCM
+    (<=1 LSB below the single-stream float measurement)."""
+    datas = [_read(p) for p in paths]
+    res = _decode_files_fast(datas, gapless=False, output="levels")
+    if res is None:  # no native unpacker / general-path corner
+        return [track_levels(d) for d in datas]
+    return res
 
 
 def segment_files(paths, gapless: bool | None = None, **kw):
@@ -260,13 +287,34 @@ def split_file(path_or_bytes, out_dir, fmt: str = "wav",
     the lockstep rate-loop rows, SURVEY.md §3.4). Returns the written
     paths in segment order."""
     import os
+    from .config import get_active
+    from .dsp.segment import segments_from_envelope
     if fmt not in ("wav", "mp3"):
         raise ValueError(f"fmt must be 'wav' or 'mp3', got {fmt!r}")
+    cfg = get_active().decode
+    if gapless is None:
+        gapless = cfg.gapless
     data = _read(path_or_bytes)
-    segs = segment_file(data, gapless=gapless, **seg_kw)
+    # ONE host unpack feeds both device passes (host unpack is the
+    # measured wall on this 1-core host — docs/host_unpack_notes.md);
+    # boundaries are identical to segment_file's by construction
+    st, info, _index = load_symbols(data)
+    sr = st.sample_rate
+    kw = _check_seg_kw(seg_kw, sr)
+    total = st.n_granules * 576
+    segs = _shift_segments(
+        segments_from_envelope(decode_envelope_device(st), ENV_HOP, sr,
+                               total=total, **kw),
+        total, sr, info, gapless)
     if not segs:
         return []
-    pcm, sr = decode_file(data, output="int16", gapless=gapless)
+    pcm = decode_symbols_device(st, window=cfg.window_granules,
+                                output="int16")
+    if gapless and info.gapless:
+        from .dsp.gapless import gapless_bounds
+        a, b = gapless_bounds(len(pcm), info.encoder_delay,
+                              info.encoder_padding)
+        pcm = pcm[a:b]
     if stem is None:
         stem = ("clip" if isinstance(path_or_bytes, (bytes, bytearray))
                 else os.path.splitext(os.path.basename(
@@ -481,6 +529,9 @@ def _decode_files_fast(datas, gapless: bool, output: str = "pcm",
             for i in slow:  # per-file grouped-dispatch envelope path
                 out[i] = segment_file(datas[i], gapless=gapless,
                                       **(seg_kw or {}))
+        elif output == "levels":
+            for i in slow:
+                out[i] = track_levels(datas[i])
         else:
             from .player.scheduler import decode_batch_streams
             res = decode_batch_streams([datas[i] for i in slow],
@@ -560,11 +611,11 @@ def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg,
         for k in keys:
             win_dev[k].append(jnp.asarray(np.ascontiguousarray(b[k][w]))
                               if w < n_win else zeros[k])
-    if output == "envelope":
+    if output in ("envelope", "levels"):
         # library indexing: the PCM never leaves the device — one scan
-        # dispatch, then the batched per-granule envelope reduction;
-        # only [S, Gpad] dB values download (KBs vs the chunk's
-        # hundreds of MB of PCM on a ~0.04 GB/s D2H tunnel)
+        # dispatch, then the batched per-granule envelope (+ peak)
+        # reduction; only [S, Gpad] dB values download (KBs vs the
+        # chunk's hundreds of MB of PCM on a ~0.04 GB/s D2H tunnel)
         pcm_dev, _st = kp.decode_windows_scan_i16(
             win_dev["is12"], win_dev["esc"], win_dev["exp"], win_dev["bt"],
             win_dev["mx"], win_dev["smode"], state, rate,
@@ -575,17 +626,22 @@ def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg,
             _env_batch_jit = jax.jit(_env_batch)
         nch_vec = np.array([[float(metas[i][3])] for i in chunk]
                            + [[2.0]] * (S - len(chunk)), np.float32)
-        env = np.asarray(_env_batch_jit(
-            pcm_dev[:, : n_win * win * 576], jnp.asarray(nch_vec)))
+        env, peak = _env_batch_jit(
+            pcm_dev[:, : n_win * win * 576], jnp.asarray(nch_vec))
+        env, peak = np.asarray(env), np.asarray(peak)
+        if output == "levels":
+            from .dsp.loudness import loudness_db
+            for k, i in enumerate(chunk):
+                out[i] = (loudness_db(env[k, : Gs[k]], ENV_HOP, rate),
+                          20.0 * float(np.log10(max(float(peak[k]), 1e-9))))
+            return True
         from .dsp.segment import segments_from_envelope
-        if seg_kw:
-            _check_seg_kw(seg_kw, rate)
+        sk = _check_seg_kw(seg_kw or {}, rate)
         for k, i in enumerate(chunk):
             info = metas[i][1]
             out[i] = _shift_segments(
                 segments_from_envelope(env[k, : Gs[k]], ENV_HOP, rate,
-                                       total=Gs[k] * 576,
-                                       **(seg_kw or {})),
+                                       total=Gs[k] * 576, **sk),
                 Gs[k] * 576, rate, info, gapless)
         return True
 

@@ -42,7 +42,7 @@ class PlayQueue:
         # gain so tracks mastered at different levels match target_db
         self._normalize = normalize
         self._target_db = target_db
-        self._offsets: dict = {}       # track index -> cached gain offset
+        self._levels: dict = {}        # track index -> (loudness, peak) dB
         self._offset_applied = 0.0     # the live track's offset
         self._i = 0
         self._player: Player | None = None
@@ -72,29 +72,31 @@ class PlayQueue:
         if self._player is None:
             off = 0.0
             if self._normalize:
-                off = self._offsets.get(self._i)
-                if off is None:
-                    from ..dsp.loudness import (TARGET_DB,
-                                                normalization_gain_db)
-                    from ..pipeline import track_levels
-                    tgt = (TARGET_DB if self._target_db is None
-                           else self._target_db)
-                    ld, peak_db = track_levels(self._paths[self._i])
-                    off = normalization_gain_db(ld, tgt, peak_db=peak_db)
-                    self._offsets[self._i] = off
-            self._offset_applied = off
-            if self._normalize:
+                from ..config import get_active
+                from ..dsp.loudness import (TARGET_DB,
+                                            normalization_gain_db)
                 # offsets are RELATIVE corrections on top of whatever
                 # gain would otherwise apply — resolve the config
                 # default so a zero offset and a 0.1 dB offset land on
-                # the same base level
-                from ..config import get_active
+                # the same base level; the clipping clamp bounds the
+                # TOTAL (base + offset), so the offset is recomputed
+                # from the cached (loudness, peak) under the live base
                 base = (get_active().player.gain_db
                         if self._gain_db is None else self._gain_db)
+                lv = self._levels.get(self._i)
+                if lv is None:
+                    from ..pipeline import track_levels
+                    lv = track_levels(self._paths[self._i])
+                    self._levels[self._i] = lv
+                tgt = (TARGET_DB if self._target_db is None
+                       else self._target_db)
+                off = normalization_gain_db(lv[0], tgt, peak_db=lv[1],
+                                            base_gain_db=base)
                 gain = base + off
             else:
                 # None keeps the Player on the config default gain
                 gain = self._gain_db
+            self._offset_applied = off
             self._player = Player(
                 self._paths[self._i], sink=self.sink, gain_db=gain,
                 eq_gains_db=self._eq_gains_db,

@@ -182,3 +182,32 @@ def test_track_levels_peak():
     ref = 20 * np.log10(np.abs(pcm).max() + 1e-12)
     assert abs(pk_db - ref) < 0.1
     assert ld < pk_db  # loudness is a mean-square statistic
+
+
+def test_normalization_clamp_accounts_for_base_gain():
+    """The 'never clips' promise bounds the TOTAL gain (base + offset):
+    with 2 dB of base gain and 4 dB of peak headroom only +2 dB of
+    normalization boost fits."""
+    from mp3tpu.dsp.loudness import normalization_gain_db
+    assert normalization_gain_db(-26.0, -14.0, peak_db=-4.0,
+                                 base_gain_db=2.0) == 2.0
+    # base alone exceeding headroom: offset collapses to 0, the base
+    # stays the caller's explicit choice
+    assert normalization_gain_db(-26.0, -14.0, peak_db=-4.0,
+                                 base_gain_db=6.0) == 0.0
+
+
+def test_levels_batch_matches_single():
+    """Batched levels (fused-envelope fast path, int16 peak) agree with
+    the per-file scan within the quantization/timeline margins."""
+    pytest.importorskip("lameref")
+    import mp3tpu
+    from mp3tpu.pipeline import track_levels
+    files = [fixtures.lame_fixture("tonal", seconds=1.2, bitrate=160),
+             fixtures.lame_fixture("bursts", seconds=2.0, bitrate=128),
+             fixtures.lame_fixture("sweep", ch=1, bitrate=96, mode="mono")]
+    batch = mp3tpu.levels_batch(files)
+    for f, (ld, pk) in zip(files, batch):
+        ld1, pk1 = track_levels(f)
+        assert abs(ld - ld1) < 0.3, (ld, ld1)
+        assert abs(pk - pk1) < 0.3, (pk, pk1)

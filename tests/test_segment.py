@@ -237,3 +237,15 @@ def test_split_file_mp3_roundtrip(tmp_path):
         corr = (x * y).sum() / (np.linalg.norm(x) * np.linalg.norm(y)
                                 + 1e-12)
         assert corr > 0.95, corr
+
+
+def test_segment_batch_does_not_mutate_kwargs():
+    """hop_s validation must not pop from the caller's dict (batched
+    paths validate the SAME kwargs against every chunk's rate)."""
+    import mp3tpu
+    pytest.importorskip("lameref")
+    mp3_a = fixtures.lame_fixture("bursts", seconds=2.0, bitrate=128)
+    kw = {"hop_s": 576 / 44100.0}
+    res = mp3tpu.segment_batch([mp3_a, mp3_a], **kw)
+    assert kw == {"hop_s": 576 / 44100.0}
+    assert res[0] == res[1] == mp3tpu.segment(mp3_a)
