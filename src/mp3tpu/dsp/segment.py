@@ -74,9 +74,14 @@ def segments_from_envelope(env_db: np.ndarray, hop: int, sr: int,
     if not len(env_db) or n_total <= 0:
         return []
     if threshold_db is None:
-        hi = float(np.percentile(env_db, 90))
-        if hi < FLOOR_DB:
+        # active level from the NON-SILENT frames only: a track that is
+        # >90% silence (one short sentence in a long recording) would
+        # put the unconditional 90th percentile below the floor and
+        # return nothing despite clear speech (ADVICE r3)
+        voiced = env_db[env_db > FLOOR_DB]
+        if not len(voiced):
             return []                      # all silence
+        hi = float(np.percentile(voiced, 90))
         # a pause is a frame >= 25 dB under the active level — an
         # ABSOLUTE drop, not a percentile of the distribution: on
         # continuous material (music) the quiet frames are still music

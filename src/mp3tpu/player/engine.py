@@ -165,6 +165,11 @@ class Player:
             self._eq = GraphicEQ(eq_gains_db, self.track.sample_rate)
         self._speed = 1.0
         self._stretch = None  # TimeStretch, active iff a speed was set
+        # pending-emission state must exist BEFORE set_speed below: a
+        # speed that quantizes to unity (e.g. 1.0005) takes set_speed's
+        # disengage branch, which flushes pending PCM (ADVICE r3)
+        self._pending: list = []      # PCM awaiting block-aligned emission
+        self._pending_n = 0
         if speed is None:
             speed = cfg.player.speed
         if speed != 1.0:
@@ -180,8 +185,6 @@ class Player:
         else:
             self._start, self._end = 0, st.n_granules * self.spf
         self._pos = self._start       # absolute decoded-sample position
-        self._pending: list = []      # PCM awaiting block-aligned emission
-        self._pending_n = 0
         self._state = None
         self._state_granule = None    # granule the device state is valid for
         # decoded groups kept on device, newest-last, capped at two so a

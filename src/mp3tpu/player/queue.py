@@ -193,5 +193,10 @@ class PlayQueue:
 
         import numpy as np
         z = np.load(io.BytesIO(blob))
-        self._advance(int(z["track"]))
+        # discard the live player WITHOUT _advance: restoring over an
+        # in-progress queue must not merge the discarded playback into
+        # the session metrics nor carry its gain/speed forward — the
+        # snapshot defines the session state (ADVICE r3)
+        self._player = None
+        self._i = int(z["track"])
         self.player.restore(z["player"].tobytes())

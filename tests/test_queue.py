@@ -120,6 +120,29 @@ def test_queue_snapshot_resume(two_tracks):
         [decode_file(p)[0] for p in two_tracks]))
 
 
+def test_queue_restore_discards_live_playback(two_tracks):
+    """restore() over an in-progress queue must not merge the discarded
+    pre-restore playback into the session metrics, nor carry the live
+    player's gain/speed over the snapshot's (ADVICE r3)."""
+    q1 = PlayQueue(two_tracks)
+    q1.player.play(max_samples=32 * 576)
+    blob = q1.snapshot()
+
+    q2 = PlayQueue(two_tracks)
+    q2.player.play(max_samples=2 * 32 * 576)  # pre-restore playback
+    q2.player.gain_db = -6.0                  # live setting to discard
+    q2.set_speed(0.5)
+    q2.restore(blob)
+    assert q2.metrics.samples_out == 0        # discarded, not merged
+    assert q2.player.gain_db == 0.0           # snapshot's, not -6
+    assert q2.player.speed == 1.0
+    q2.play()
+    # the sink keeps the 2 pre-restore blocks (sinks are external);
+    # the post-restore output continues from the snapshot position
+    ref = np.concatenate([decode_file(p)[0] for p in two_tracks])
+    assert np.array_equal(q2.sink.pcm[2 * 32 * 576:], ref[32 * 576:])
+
+
 def test_queue_empty_iterator_rejected():
     with pytest.raises(ValueError, match="empty queue"):
         PlayQueue(iter([]))

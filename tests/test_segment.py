@@ -67,6 +67,21 @@ def test_edge_cases():
     assert segs == [(0, SR)]
 
 
+def test_mostly_silent_track_still_splits():
+    """A recording that is >90% silence with one short sentence: the
+    adaptive threshold derives the active level from NON-silent frames,
+    so the sentence is found (ADVICE r3 — the unconditional 90th
+    percentile sat below the floor and returned nothing)."""
+    n = 20 * SR
+    pcm = np.zeros((n, 1), np.float32)
+    t = np.arange(SR) / SR
+    pcm[9 * SR: 10 * SR, 0] = 0.4 * np.sin(2 * np.pi * 440 * t)
+    segs = split_silence(pcm, SR)
+    assert len(segs) == 1
+    a, b = segs[0]
+    assert abs(a / SR - 9.0) <= TOL and abs(b / SR - 10.0) <= TOL
+
+
 def test_out_of_phase_stereo():
     """Inverted-phase stereo must not read as silence — the envelope
     sums channel POWER; an amplitude downmix would cancel L = -R."""

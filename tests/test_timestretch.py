@@ -208,6 +208,13 @@ def test_player_set_speed_unity_semantics(mp3):
     p = Player(mp3, apply_gapless=False)
     p.set_speed(1.0005)  # quantizes to ha == HOP_SYN: must NOT engage
     assert p.speed == 1.0 and p._stretch is None
+    # the same quantize-to-unity speed at CONSTRUCTION time: set_speed's
+    # disengage branch flushes pending PCM, which must already be
+    # initialized (ADVICE r3 — crashed with AttributeError before)
+    p = Player(mp3, apply_gapless=False, speed=1.0005)
+    assert p.speed == 1.0 and p._stretch is None
+    p.play(max_samples=32 * 576)
+    assert len(p.sink.pcm) > 0
     p = Player(mp3, apply_gapless=False, speed=0.5)
     p.play(max_samples=4 * 32 * 576)    # paced: stretcher holds residue
     before = len(p.sink.pcm)
