@@ -49,5 +49,5 @@ def _enable_jit_cache():
 _enable_jit_cache()
 
 from .api import (decode, decode_batch, encode, encode_batch,  # noqa: F401
-                  init, levels, levels_batch, loudness, play, segment,
-                  segment_batch, split)
+                  global_metrics, init, levels, levels_batch, loudness, play,
+                  segment, segment_batch, split)

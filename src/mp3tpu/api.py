@@ -115,6 +115,17 @@ def encode_batch(pcms, sample_rate, **kw):
     return _impl(pcms, sample_rate, **kw)
 
 
+def global_metrics():
+    """Process-wide observability counters (SURVEY.md F3/§5.5): every
+    decode path — decode/decode_batch, the scheduler, the player —
+    feeds this Metrics instance alongside its local one, so the fault
+    family (frames_ok/frames_error/granules_muted/resyncs/underruns)
+    reflects everything this process decoded. Tail .log_line() for
+    structured JSON."""
+    from .metrics import GLOBAL
+    return GLOBAL
+
+
 def play(path_or_bytes, sink=None, **kw):
     """Open a playback session (SURVEY.md §3.3): returns a Player with
     play/seek/loop/stop/snapshot; decodes to the given sink (default:

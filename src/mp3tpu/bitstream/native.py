@@ -117,7 +117,8 @@ def unpack_native_into(data: bytes, G: int, is_, exp, bt, mixed, smode,
 
 def unpack_native_into12(data: bytes, G: int, is_, exp, bt, mixed, smode,
                          is12, esc, stream_idx: int = 0, n_streams: int = 1,
-                         win: int = 0, plane_bits: int = 12) -> bool:
+                         win: int = 0, plane_bits: int = 12,
+                         err=None) -> bool:
     """Like unpack_native_into but additionally emits the packed spectrum
     plane + escape channel (transfer-optimized device input).
 
@@ -145,11 +146,14 @@ def unpack_native_into12(data: bytes, G: int, is_, exp, bt, mixed, smode,
     g = lib.mp3tpu_probe(data, len(data), meta)
     if g <= 0 or g != G:
         return False
-    err = np.zeros(g, np.int16)
+    if err is None:
+        err = np.zeros(g, np.int16)
+    else:  # caller-observed fault flags (Metrics feeding, §5.3/§5.5)
+        assert err.dtype == np.int16 and err.size == g
     slack = np.zeros((g, 2), np.int32)
     lines = np.zeros((g, 2), np.int32)
     ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
-    for a in (is_, exp, bt, mixed, smode, is12, esc):
+    for a in (is_, exp, bt, mixed, smode, is12, esc, err):
         assert a is None or a.flags["C_CONTIGUOUS"]
     r = lib.mp3tpu_unpack(data, len(data), ptr(is_), ptr(exp), ptr(bt),
                           ptr(mixed), ptr(smode), ptr(err), ptr(slack), ptr(lines),

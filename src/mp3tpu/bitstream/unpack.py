@@ -49,6 +49,12 @@ class SymbolTensors:
         return self.is_.shape[0]
 
     @property
+    def granules_per_frame(self) -> int:
+        """2 for MPEG-1, 1 for LSF — the frame grouping the fault
+        counters (Metrics.count_symbol_errors) aggregate over."""
+        return 2 if self.version == fr.VERSION_MPEG1 else 1
+
+    @property
     def mix(self) -> np.ndarray:
         """float64 [G, 64, 2, 2] mixing matrices (palette-expanded)."""
         return spal.PALETTE[self.smode]

@@ -111,6 +111,8 @@ class FrameIndex:
     sample_rate: int
     channels: int
     version: int
+    resyncs: int = 0          # mid-stream lost-sync events (junk runs
+    #                           after the first accepted frame — §5.3)
 
     @property
     def n_frames(self) -> int:
@@ -133,6 +135,8 @@ def scan_frames(data: bytes | np.ndarray, start: int = 0, end: int | None = None
     offsets: list[int] = []
     headers: list[FrameHeader] = []
     junk = 0
+    resyncs = 0
+    pending_resync = False
     pos = start
     while pos + 4 <= end:
         word = (int(buf[pos]) << 24) | (int(buf[pos + 1]) << 16) | \
@@ -155,7 +159,15 @@ def scan_frames(data: bytes | np.ndarray, start: int = 0, end: int | None = None
             offsets.append(pos)
             headers.append(h)
             pos += h.frame_bytes
+            if pending_resync:  # sync recovered after mid-stream junk
+                resyncs += 1
+                pending_resync = False
         else:
+            # a resync EVENT is a junk run BETWEEN accepted frames:
+            # leading garbage (tag remnants) and trailing bytes (ID3v1)
+            # are container slack, not mid-stream sync loss — so the
+            # event commits only when a later frame is accepted
+            pending_resync = bool(headers)
             pos += 1
             junk += 1
     if not headers:
@@ -164,7 +176,7 @@ def scan_frames(data: bytes | np.ndarray, start: int = 0, end: int | None = None
     return FrameIndex(
         offsets=np.asarray(offsets, np.int64), headers=headers,
         junk_bytes=junk, sample_rate=h0.sample_rate,
-        channels=h0.channels, version=h0.version)
+        channels=h0.channels, version=h0.version, resyncs=resyncs)
 
 
 def check_crc16(buf: np.ndarray, frame_off: int, h: FrameHeader) -> bool:

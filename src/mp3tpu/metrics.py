@@ -3,12 +3,26 @@
 Counters and gauges for the decode/play pipelines. The aggregate
 realtime factor (the north-star metric) is derived from samples_out
 against wall-clock spans recorded with `span()`.
+
+The fault-counter family (frames_ok/frames_error/granules_muted/
+resyncs — SURVEY.md §5.3 "error counters increment") is fed from the
+per-granule error taxonomy every unpack emits (bitstream.unpack ERR_*
+flags) via count_symbol_errors(); every decode path (decode_file,
+the batch fast path, the scheduler, the player) feeds both its local
+Metrics and the process-wide GLOBAL instance, so an operator tailing
+GLOBAL.log_line() sees corruption the moment any path decodes it.
 """
 from __future__ import annotations
 
 import json
 import time
 from dataclasses import dataclass, field
+
+import numpy as np
+
+# flag values mirrored from bitstream.unpack (import would be circular
+# at module load; tests/test_faults.py pins the equality)
+_ERR_MUTED_MASK = 1 | 8  # ERR_RESERVOIR | ERR_BAD_DATA: spectrum zeroed
 
 
 @dataclass
@@ -31,6 +45,25 @@ class Metrics:
     def span(self, name: str):
         return _Span(self, name)
 
+    def count_symbol_errors(self, errors, granules_per_frame: int = 2) -> None:
+        """Feed one unpacked granule range's fault taxonomy (the int16
+        ERR_* flag array of SymbolTensors.errors) into the frame/granule
+        counter family: frames_error counts frames carrying any flagged
+        granule, frames_ok the rest, granules_muted the granules whose
+        spectrum was zeroed (reservoir underflow / bad data — the §5.3
+        mute policy)."""
+        e = np.asarray(errors, np.int64).ravel()
+        if e.size == 0:
+            return
+        self.granules_muted += int(((e & _ERR_MUTED_MASK) != 0).sum())
+        ngr = max(1, granules_per_frame)
+        pad = (-len(e)) % ngr
+        if pad:  # partial trailing frame in a window slice
+            e = np.concatenate([e, np.zeros(pad, np.int64)])
+        bad = (e.reshape(-1, ngr) != 0).any(axis=1)
+        self.frames_error += int(bad.sum())
+        self.frames_ok += int((~bad).sum())
+
     def realtime_factor(self, sample_rate: int) -> float:
         wall = self.host_seconds + self.device_seconds
         if wall <= 0:
@@ -52,6 +85,30 @@ class Metrics:
 
     def log_line(self) -> str:
         return json.dumps({"mp3tpu_metrics": self.to_dict()})
+
+
+# process-wide counters: the operator-facing aggregate every decode
+# path feeds alongside its local Metrics (mp3tpu.metrics() returns it)
+GLOBAL = Metrics()
+
+
+def record_symbol_errors(errors, granules_per_frame: int,
+                         *locals_: Metrics) -> None:
+    """Count one granule range's error flags into GLOBAL plus any
+    path-local Metrics instances (the single feed point call sites use,
+    so local and global books always agree)."""
+    GLOBAL.count_symbol_errors(errors, granules_per_frame)
+    for m in locals_:
+        m.count_symbol_errors(errors, granules_per_frame)
+
+
+def record_resyncs(n: int, *locals_: Metrics) -> None:
+    """Count scanner resync events (container.frames.FrameIndex.resyncs)
+    into GLOBAL plus any path-local Metrics."""
+    if n:
+        GLOBAL.resyncs += n
+        for m in locals_:
+            m.resyncs += n
 
 
 class _Span:

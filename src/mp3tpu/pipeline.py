@@ -345,11 +345,14 @@ def load_symbols(data: bytes):
 
     Skips ID3v2 regions and a leading Xing/Info/VBRI metadata frame
     (which carries no audio)."""
+    from .metrics import record_resyncs, record_symbol_errors
     id3 = parse_id3v2(data)
     buf = np.frombuffer(data, np.uint8)
     index = fr.scan_frames(buf, start=id3.size)
     info = parse_stream_info(data, int(index.offsets[0]), index.headers[0])
     st = unpack_fast(data)
+    record_resyncs(index.resyncs)
+    record_symbol_errors(st.errors, st.granules_per_frame)
     if is_metadata_frame(info):
         n = index.headers[0].n_granules
         st = SymbolTensors(
@@ -361,7 +364,8 @@ def load_symbols(data: bytes):
         index = fr.FrameIndex(
             offsets=index.offsets[1:], headers=index.headers[1:],
             junk_bytes=index.junk_bytes, sample_rate=index.sample_rate,
-            channels=index.channels, version=index.version)
+            channels=index.channels, version=index.version,
+            resyncs=index.resyncs)
     return st, info, index
 
 
@@ -382,7 +386,8 @@ def load_source(data: bytes):
         index = fr.FrameIndex(
             offsets=index.offsets[1:], headers=index.headers[1:],
             junk_bytes=index.junk_bytes, sample_rate=index.sample_rate,
-            channels=index.channels, version=index.version)
+            channels=index.channels, version=index.version,
+            resyncs=index.resyncs)
     return src, info, index
 
 
@@ -486,7 +491,8 @@ def _decode_files_fast(datas, gapless: bool, output: str = "pcm",
                 if mdb != 0:
                     return None
                 body = body[off:]
-            metas.append((body, info, index.sample_rate, index.channels))
+            metas.append((body, info, index.sample_rate, index.channels,
+                          index.version, index.resyncs))
     except Exception:
         return None
 
@@ -567,12 +573,18 @@ def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg,
         import os
         from concurrent.futures import ThreadPoolExecutor
 
+        errs: dict = {}
+
         def _one(args):
             k, i = args
-            return unpack_native_into12(
+            e = np.zeros(Gs[k], np.int16)
+            r = unpack_native_into12(
                 metas[i][0], Gs[k], None, b["exp"], b["bt"], b["mx"],
                 b["smode"], b["is12"], b["esc"], k, S, win,
-                plane_bits=plane_bits | (0x10 if exp_bytes else 0))
+                plane_bits=plane_bits | (0x10 if exp_bytes else 0), err=e)
+            if r:
+                errs[k] = e
+            return r
 
         # streams are independent and the C ABI releases the GIL: pool
         # across cores (SURVEY.md P4 host worker pool; sequential on a
@@ -593,6 +605,14 @@ def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg,
             plane_bits = 12
         else:
             return False
+
+    # fault accounting for the streams riding THIS fast path (the
+    # general/slow paths count their own — no double books)
+    from .metrics import record_resyncs, record_symbol_errors
+    for k, i in enumerate(chunk):
+        ngr = 2 if metas[i][4] == fr.VERSION_MPEG1 else 1
+        record_symbol_errors(errs[k], ngr)
+        record_resyncs(metas[i][5])
 
     from .kernels import pipeline as kp
     state = kp.init_state(S)

@@ -23,8 +23,8 @@ from ..container.seek import SeekTable
 from ..container.xing import StreamInfo
 from ..dsp.gapless import gapless_bounds
 from ..kernels import pipeline as kp
-from ..metrics import Metrics
-from .sink import CollectSink, Sink
+from ..metrics import Metrics, record_resyncs, record_symbol_errors
+from .sink import CollectSink, Sink, take_underruns
 
 WINDOW_GRANULES = 32  # must match pipeline.WINDOW for bit-identity
 GROUP_WINDOWS = 8     # must match pipeline.GROUP_WINDOWS (shared scan program)
@@ -156,6 +156,7 @@ class Player:
         self.track = open_track(path_or_bytes)
         self.sink = sink or CollectSink()
         self.metrics = Metrics()
+        record_resyncs(self.track.index.resyncs, self.metrics)
         self.gain_db = gain_db
         self._applied_gain_db = gain_db  # last gain the DSP chain emitted at
         self._eq = None
@@ -235,9 +236,15 @@ class Player:
         with self.metrics.span("host"):
             if cached is not None and cached[0] == q:
                 ext = src.granules(g0 + cached[2], g0 + n)
+                # fault accounting on the FRESH granules only (the
+                # cached prefix was counted when first unpacked)
+                record_symbol_errors(ext.errors, ext.granules_per_frame,
+                                     self.metrics)
                 st = SymbolTensors.concat([cached[1], ext])
             else:
                 st = src.granules(g0, g0 + n)
+                record_symbol_errors(st.errors, st.granules_per_frame,
+                                     self.metrics)
         self._group_syms = (q, st, n)
         return st
 
@@ -416,6 +423,11 @@ class Player:
     def _push_i16(self, i16: np.ndarray):
         self.sink.push(i16)
         self.metrics.samples_out += len(i16)
+        u = take_underruns(self.sink)
+        if u:  # aggregate sink-level starvation (§5.5)
+            from ..metrics import GLOBAL
+            self.metrics.underruns += u
+            GLOBAL.underruns += u
 
     def _emit_multi_dev(self, prev, cur, off: int, m: int):
         """Dispatch m EMIT_BLOCKs through the device-resident DSP chain

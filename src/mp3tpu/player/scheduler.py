@@ -24,8 +24,8 @@ import numpy as np
 
 from ..bitstream.unpack import SymbolTensors, unpack_fast
 from ..kernels import pipeline as kp
-from ..metrics import Metrics
-from .sink import CollectSink, Sink
+from ..metrics import Metrics, record_resyncs, record_symbol_errors
+from .sink import CollectSink, Sink, take_underruns
 
 
 @dataclass
@@ -91,6 +91,7 @@ class StreamScheduler:
             from ..pipeline import load_source
             with self.metrics.span("host"):
                 st, _info, _index = load_source(bytes(data_or_symbols))
+            record_resyncs(_index.resyncs, self.metrics)
         if st.sample_rate != self.sample_rate:
             raise ValueError(
                 f"scheduler is bucketed at {self.sample_rate} Hz, stream is "
@@ -159,6 +160,11 @@ class StreamScheduler:
                 # here (overlapping the in-flight device step — P4);
                 # pre-unpacked SymbolTensors return a view
                 ck = st.granules(slot.cursor, slot.cursor + n)
+                # fault accounting: the ERR_* flags of exactly the
+                # granules this step decodes (cursor is monotonic, so
+                # each granule is counted once — SURVEY.md §5.3/§5.5)
+                record_symbol_errors(ck.errors, ck.granules_per_frame,
+                                     self.metrics)
                 is_[i, :n] = ck.is_
                 exp[i, :n] = ck.exp
                 bt[i, :n] = ck.block_type
@@ -206,6 +212,12 @@ class StreamScheduler:
             if hi > lo:
                 sink.push(out[lo:hi])
                 emitted += hi - lo
+            # aggregate sink-level starvation into the books (§5.5)
+            u = take_underruns(sink)
+            if u:
+                from ..metrics import GLOBAL
+                self.metrics.underruns += u
+                GLOBAL.underruns += u
         self.metrics.samples_out += emitted
         return emitted
 

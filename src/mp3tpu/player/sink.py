@@ -15,13 +15,33 @@ import numpy as np
 
 
 class Sink:
-    """Abstract PCM sink: int16 [n, ch] chunks."""
+    """Abstract PCM sink: int16 [n, ch] chunks.
+
+    `underruns` is the sink's own starvation count (nonzero only for
+    sinks with realtime consumption semantics, e.g. a ring a consumer
+    drains); producers aggregate it into Metrics.underruns via
+    take_underruns() (SURVEY.md §5.5)."""
+
+    underruns = 0
 
     def push(self, pcm: np.ndarray) -> None:
         raise NotImplementedError
 
     def close(self) -> None:
         pass
+
+
+def take_underruns(sink) -> int:
+    """Delta of sink-reported underruns since the last take (0 for
+    sinks without underrun accounting). The producer that routes PCM
+    into the sink calls this after each push and adds the delta to its
+    Metrics — sink-level counts aggregate instead of being stranded."""
+    u = int(getattr(sink, "underruns", 0) or 0)
+    seen = getattr(sink, "_underruns_taken", 0)
+    if u <= seen:
+        return 0
+    sink._underruns_taken = u
+    return u - seen
 
 
 class WavFileSink(Sink):
@@ -157,6 +177,10 @@ class RealtimeSink(Sink):
                 self.backend = pcm
             except Exception:
                 self.backend = None
+
+    @property
+    def underruns(self) -> int:
+        return self.ring.underruns
 
     def push(self, pcm: np.ndarray) -> None:
         self.ring.push(pcm)

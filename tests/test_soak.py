@@ -1,8 +1,10 @@
 """Reduced scheduler soak/chaos session (SURVEY.md §5.2-§5.3; the
 hour-scale run lives in tools/soak.py, its committed snapshot in
-docs/soak_r03.json). Same harness, ~4 minutes of audio: elastic
-refill churn, corrupt-stream injection, live ring consumers — zero
-crashes, no starvation, bounded memory, exact accounting."""
+docs/soak_r04.json). Same harness, ~4 minutes of audio: elastic
+refill churn, three-kind corrupt-stream injection, live ring
+consumers on corrupted streams too — zero crashes, no starvation,
+bounded memory, exact per-stream sample accounting, and the fault
+taxonomy visible in the scheduler's Metrics."""
 import numpy as np
 import pytest
 
@@ -14,6 +16,8 @@ def test_soak_scheduler_chaos_session():
     rep = soak.run_soak(total_audio_s=240.0, wave_streams=12)
     assert rep["n_streams"] >= 30
     assert rep["n_corrupted"] >= 3
+    # every corruption kind was exercised (flip / cut / header)
+    assert all(v >= 1 for v in rep["n_kind"].values()), rep["n_kind"]
     assert rep["n_ring_consumers"] >= 2
     # zero underruns: every wave decodes faster than realtime, so a
     # 1x-paced consumer with one-window buffering never starves
@@ -22,8 +26,17 @@ def test_soak_scheduler_chaos_session():
     assert rep["last_third_x"] >= 0.6 * rep["first_third_x"], rep
     # bounded RSS after the warmup wave's jit compiles
     assert rep["rss_growth_post_warmup_mb"] < 300.0, rep
-    # exact accounting survived the chaos
+    # exact accounting survived the chaos: every stream's routed sample
+    # count matched its container scan (run_soak asserts per stream;
+    # the report records how many were checked)
+    assert rep["streams_sample_checked"] == rep["n_streams"]
     m = rep["metrics"]
     assert m["streams_finished"] == rep["n_streams"]
+    # the fault taxonomy reached the operator counters (§5.3 "error
+    # counters increment" — VERDICT r3 missing #1)
+    assert m["frames_error"] > 0
+    assert m["granules_muted"] > 0
+    assert m["resyncs"] > 0
+    assert m["frames_ok"] > 0
     assert rep["clean_streams_checked"] >= 1
     assert rep["ring_samples_drained"] > 0

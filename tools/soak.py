@@ -1,12 +1,16 @@
 """Scheduler soak / chaos session (SURVEY.md §5.2-§5.3; VERDICT r2
-task 8: the reference's defining failure is the player that crackles
-and needs restarting — this harness proves the engine survives an
-hour-scale session without it).
+task 8 / r4 task 1: the reference's defining failure is the player
+that crackles and needs restarting — this harness proves the engine
+survives an hour-scale session without it, WITH exact accounting).
 
 Hundreds of streams churn through the StreamScheduler's elastic refill
-in waves, with chaos-injected byte corruption on every Nth stream and
-live ring-buffer consumer threads draining a subset concurrently.
-Asserted invariants:
+in waves, with chaos-injected corruption on every Nth stream (three
+kinds, round-robin: byte flips inside side-info/main-data, mid-file
+frame cuts that dangle reservoir back-pointers, and broken frame
+headers that force a scanner resync) and live ring-buffer consumer
+threads draining a subset concurrently — including corrupted streams
+(the reference's crackle lived exactly in the concurrent+corrupted
+combination). Asserted invariants:
 
 * zero crashes — every submitted stream finishes and routes PCM;
 * zero underruns — the per-wave aggregate realtime factor never drops
@@ -18,12 +22,16 @@ Asserted invariants:
   pay one-time jit compiles);
 * stable throughput — the last-third mean realtime factor stays
   within 40% of the first-third mean (no drift/leak-induced decay);
-* exact accounting — corrupted streams finish with their full sample
-  count (flagged granules decode as silence, ERR counters fire), and
-  a clean stream's scheduler output matches decode_file to <=1 LSB.
+* exact accounting — EVERY stream (clean, corrupted, ring-drained)
+  routes exactly the sample count its own container scan implies
+  (flagged granules decode as silence, never drop samples), the ERR
+  taxonomy shows up in the scheduler's Metrics (frames_error /
+  granules_muted / resyncs — SURVEY.md §5.3 "error counters
+  increment"), and a clean stream's scheduler output matches
+  decode_file to <=1 LSB.
 
 Run:  python tools/soak.py [total_audio_seconds]   (default 3600)
-writes docs/soak_r03.json. tests/test_soak.py runs a reduced session
+writes docs/soak_r04.json. tests/test_soak.py runs a reduced session
 through the same harness.
 """
 from __future__ import annotations
@@ -83,14 +91,74 @@ def _pool(seed: int = 11):
     return out
 
 
-def _corrupt(mp3: bytes, rng, n_hits: int = 4) -> bytes:
-    """Flip bytes inside n_hits frame payloads past the Xing frame."""
+# ---- chaos corruption (three kinds, all with scan-exact accounting) --
+
+def _scan(mp3: bytes):
+    from mp3tpu.container import frames as fr
+    return fr.scan_frames(np.frombuffer(mp3, np.uint8))
+
+
+def _corrupt_flip(mp3: bytes, rng, n_hits: int = 4) -> bytes:
+    """Flip bytes inside side-info/main-data of mid-file audio frames.
+    Headers are untouched, so frame geometry — and therefore the
+    expected sample count — is preserved exactly."""
+    idx = _scan(mp3)
     b = bytearray(mp3)
-    lo = 2100  # past the Xing/LAME metadata frame
     for _ in range(n_hits):
-        pos = int(rng.integers(lo, len(b) - 4))
+        j = int(rng.integers(3, idx.n_frames - 1))
+        off = int(idx.offsets[j])
+        h = idx.headers[j]
+        lo = off + 4 + (2 if h.crc_protected else 0)
+        pos = int(rng.integers(lo, off + h.frame_bytes))
         b[pos] ^= int(rng.integers(1, 256))
     return bytes(b)
+
+
+def _corrupt_cut(mp3: bytes, rng) -> bytes:
+    """Drop the leading audio frames up to a mid-file frame whose
+    reservoir back-pointer is nonzero: at its new stream position the
+    pointer reaches behind the first byte -> reservoir underflow ->
+    ERR_RESERVOIR muting fires (§5.3 mute policy). The metadata frame
+    (gapless tag) is kept, so the container parse stays normal."""
+    idx = _scan(mp3)
+    j = 4
+    for _ in range(32):
+        j = int(rng.integers(4, idx.n_frames - 4))
+        off = int(idx.offsets[j])
+        h = idx.headers[j]
+        si = off + 4 + (2 if h.crc_protected else 0)
+        if (mp3[si] << 1) | (mp3[si + 1] >> 7):  # main_data_begin != 0
+            break
+    return mp3[: int(idx.offsets[1])] + mp3[int(idx.offsets[j]):]
+
+
+def _corrupt_header(mp3: bytes, rng) -> bytes:
+    """Break one mid-file frame header: the scanner loses sync over
+    that frame and must resync (FrameIndex.resyncs fires)."""
+    idx = _scan(mp3)
+    j = int(rng.integers(4, idx.n_frames - 4))
+    b = bytearray(mp3)
+    b[int(idx.offsets[j])] = 0x00   # kill the syncword
+    return bytes(b)
+
+
+_CORRUPTIONS = (("flip", _corrupt_flip),
+                ("cut", _corrupt_cut),
+                ("header", _corrupt_header))
+
+
+def _expected_samples(data: bytes) -> int:
+    """The sample count the scheduler MUST route for this exact byte
+    stream: granules from the container scan, gapless bounds from the
+    same parse submit() performs — exact accounting by construction,
+    valid for every corruption kind."""
+    from mp3tpu.pipeline import load_source
+    from mp3tpu.player.scheduler import gapless_bounds_of
+    src, _info, _index = load_source(data)
+    total = src.n_granules * 576
+    skip, end = gapless_bounds_of(data, src.n_granules)
+    hi = total if end is None else min(end, total)
+    return max(hi - skip, 0)
 
 
 class _RingConsumer:
@@ -133,6 +201,10 @@ def run_soak(total_audio_s: float = 3600.0, n_slots: int = 8,
         def __init__(self, ring):
             self.ring = ring
 
+        @property
+        def underruns(self):
+            return self.ring.underruns
+
         def push(self, pcm):
             off = 0
             while off < len(pcm):
@@ -140,6 +212,16 @@ def run_soak(total_audio_s: float = 3600.0, n_slots: int = 8,
                 off += n
                 if n == 0:
                     time.sleep(0.0005)
+
+    class CountSink(Sink):
+        """Sample accounting without retaining PCM (RSS stays bounded
+        over an hour-scale session)."""
+
+        def __init__(self):
+            self.samples = 0
+
+        def push(self, pcm):
+            self.samples += len(pcm)
 
     rng = np.random.default_rng(seed)
     pool = _pool()
@@ -150,14 +232,15 @@ def run_soak(total_audio_s: float = 3600.0, n_slots: int = 8,
 
     sched = StreamScheduler(n_slots=n_slots, win=win, sample_rate=SR)
     report = {"waves": [], "n_streams": 0, "n_corrupted": 0,
+              "n_kind": {k: 0 for k, _ in _CORRUPTIONS},
               "n_ring_consumers": 0, "config": {
                   "n_slots": n_slots, "win": win,
                   "corrupt_every": corrupt_every,
                   "total_audio_s": total_audio_s}}
     rss0 = _rss_mb()
     consumers = []
-    collect_checks = []   # (stream_id, base_idx) clean CollectSinks
-    expect_samples = {}
+    collect_checks = []   # (stream_id, base_idx, sink) clean CollectSinks
+    accounting = {}       # sid -> (expected_samples, getter())
     submitted_audio = 0.0
     sid = 0
     t_session = time.time()
@@ -174,21 +257,33 @@ def run_soak(total_audio_s: float = 3600.0, n_slots: int = 8,
             data = pool[k]
             corrupted = sid % corrupt_every == corrupt_every - 1
             if corrupted:
-                data = _corrupt(data, rng)
+                kind, fn = _CORRUPTIONS[
+                    report["n_corrupted"] % len(_CORRUPTIONS)]
+                data = fn(data, rng)
                 report["n_corrupted"] += 1
-            if sid % ring_every == ring_every - 1 and not corrupted:
+                report["n_kind"][kind] += 1
+            # ring consumers attach regardless of corruption — the
+            # concurrent path must survive corrupted streams too
+            # (VERDICT r3 weak #3)
+            if sid % ring_every == ring_every - 1:
                 ring = RingBuffer(1 << 15, 2)
                 sink = RingSink(ring)
                 c = _RingConsumer(ring)
                 consumers.append(c)
                 wave_consumers.append(c)
                 report["n_ring_consumers"] += 1
-            else:
+                accounting[sid] = (_expected_samples(data),
+                                   (lambda c=c: c.samples))
+            elif not corrupted and len(collect_checks) < 3:
                 sink = CollectSink()
-                if not corrupted and len(collect_checks) < 3:
-                    collect_checks.append((sid, k, sink))
+                collect_checks.append((sid, k, sink))
+                accounting[sid] = (_expected_samples(data),
+                                   (lambda s=sink: len(s.pcm)))
+            else:
+                sink = CountSink()
+                accounting[sid] = (_expected_samples(data),
+                                   (lambda s=sink: s.samples))
             sched.submit(data, sink=sink, stream_id=sid)
-            expect_samples[sid] = int(round(durations[k] * SR))
             wave_ids.append(sid)
             submitted_audio += durations[k]
             report["n_streams"] += 1
@@ -240,8 +335,21 @@ def run_soak(total_audio_s: float = 3600.0, n_slots: int = 8,
     assert sched.metrics.streams_finished == report["n_streams"], \
         "streams lost"
     assert sched.n_active == 0 and not sched.queue, "scheduler stuck"
-    # ring consumers drained every routed sample (no corruption of the
-    # concurrent path)
+    # exact accounting: EVERY stream — clean, corrupted, ring-drained —
+    # routed exactly the sample count its container scan implies
+    bad = [(s, exp, got()) for s, (exp, got) in accounting.items()
+           if got() != exp]
+    assert not bad, f"sample accounting off for {len(bad)} streams: {bad[:5]}"
+    report["streams_sample_checked"] = len(accounting)
+    # the fault taxonomy reached the operator-facing counters (§5.3/5.5)
+    m = sched.metrics
+    if report["n_kind"]["cut"]:
+        assert m.frames_error > 0, "cut streams produced no frame errors"
+        assert m.granules_muted > 0, "dangling reservoir granules not muted"
+    if report["n_kind"]["header"]:
+        assert m.resyncs > 0, "broken headers produced no resync count"
+    if report["n_streams"] > report["n_corrupted"]:
+        assert m.frames_ok > 0
     ring_total = sum(c.samples for c in consumers)
     report["ring_samples_drained"] = int(ring_total)
     # clean streams: scheduler output == decode_file to <=1 LSB
@@ -258,7 +366,7 @@ def run_soak(total_audio_s: float = 3600.0, n_slots: int = 8,
 def main():
     total = float(sys.argv[1]) if len(sys.argv) > 1 else 3600.0
     rep = run_soak(total_audio_s=total)
-    path = os.path.join(_REPO, "docs", "soak_r03.json")
+    path = os.path.join(_REPO, "docs", "soak_r04.json")
     with open(path, "w") as f:
         json.dump(rep, f, indent=1)
     print(json.dumps({k: v for k, v in rep.items() if k != "waves"},
