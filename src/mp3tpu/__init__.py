@@ -51,3 +51,12 @@ _enable_jit_cache()
 from .api import (decode, decode_batch, encode, encode_batch,  # noqa: F401
                   global_metrics, init, levels, levels_batch, loudness, play,
                   segment, segment_batch, split)
+
+
+def __getattr__(name):
+    # lazy: DecodedBatch lives in pipeline, which pulls in jax/kernels —
+    # keep `import mp3tpu` light (api functions import on first call)
+    if name == "DecodedBatch":
+        from .pipeline import DecodedBatch
+        return DecodedBatch
+    raise AttributeError(name)

@@ -56,6 +56,10 @@ def decode(path_or_bytes, **kw):
 
 
 def decode_batch(paths, **kw):
+    """Batched multi-stream decode (SURVEY.md §3.2). Default returns
+    [(pcm, sample_rate), ...]; output="device" returns a DecodedBatch
+    handle whose int16 PCM stays in HBM for downstream device stages
+    (levels/segments/custom jax), materializable via .numpy()."""
     from .pipeline import decode_files
     return decode_files(paths, **kw)
 

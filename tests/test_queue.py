@@ -196,12 +196,13 @@ def test_normalization_gain_peak_clamp():
 
 
 def test_track_levels_peak():
-    """track_levels' device-reduced peak matches the decoded PCM's."""
+    """track_levels' device-reduced peak matches the PLAYABLE decoded
+    PCM's (gapless-trimmed — the range the listener hears)."""
     pytest.importorskip("lameref")
     from mp3tpu.pipeline import track_levels
     mp3 = fixtures.lame_fixture("tonal", seconds=1.2, bitrate=160)
     ld, pk_db = track_levels(mp3)
-    pcm = decode_file(mp3, output="float32", gapless=False)[0]
+    pcm = decode_file(mp3, output="float32", gapless=True)[0]
     ref = 20 * np.log10(np.abs(pcm).max() + 1e-12)
     assert abs(pk_db - ref) < 0.1
     assert ld < pk_db  # loudness is a mean-square statistic
