@@ -64,6 +64,12 @@ def _fixture_mp3(seconds: float = 10.0, sr: int = 44100) -> bytes:
         return craft_frame(gr, GranuleSpec()) * int(seconds * 38.28)
 
 
+# weather-tolerant headline floor (BASELINE.md "Perf-regression
+# floors"): worst observed 1869x (r2); a real regression fails
+# `python bench.py --assert` while tunnel weather passes
+HEADLINE_FLOOR = 1000.0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -312,6 +318,10 @@ def main():
         },
     }
     print(json.dumps(result))
+    if "--assert" in sys.argv and value < HEADLINE_FLOOR:
+        print(json.dumps({"floors": "FAIL", "value": round(value, 1),
+                          "floor": HEADLINE_FLOOR}))
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -31,12 +31,38 @@ def _signal(seconds, sr=44100):
     return np.stack([sig, 0.8 * sig + 0.05 * np.sin(3.3 * ph)], 1)
 
 
+# Weather-tolerant perf-regression floors (SURVEY.md §4.4 last row;
+# BASELINE.md "Perf-regression floors" documents the provenance — keep
+# in sync). Each sits below the worst x_realtime observed across rounds
+# on this tunnel, so flow-control weather passes and real regressions
+# fail. Enforced by `python bench_configs.py --assert` on hardware.
+FLOORS = {
+    "1_single_file_cbr_decode": 25.0,
+    "2_vbr_joint_stereo_decode": 30.0,
+    "4_player_seek_gapless_dsp": 15.0,
+    "5_encode_path_single": 4.0,
+    "5_encode_batch_aggregate": 7.0,
+}
+
+RESULTS: list = []
+
+
+def check_floors(results, floors=None):
+    """[(config, got_x, floor_x)] for every result below its floor."""
+    floors = FLOORS if floors is None else floors
+    return [(r["config"], r["x_realtime"], floors[r["config"]])
+            for r in results
+            if r.get("config") in floors
+            and r["x_realtime"] < floors[r["config"]]]
+
+
 def report(name, audio_s, wall_s, extra=None):
     line = {"config": name, "audio_seconds": round(audio_s, 1),
             "wall_seconds": round(wall_s, 3),
             "x_realtime": round(audio_s / wall_s, 1)}
     if extra:
         line.update(extra)
+    RESULTS.append(line)
     print(json.dumps(line))
 
 
@@ -120,3 +146,12 @@ def main():
 
 if __name__ == "__main__":
     main()
+    if "--assert" in sys.argv:
+        bad = check_floors(RESULTS)
+        if bad:
+            print(json.dumps({"floors": "FAIL", "below": [
+                {"config": c, "x_realtime": x, "floor": f}
+                for c, x, f in bad]}))
+            sys.exit(1)
+        print(json.dumps({"floors": "ok",
+                          "checked": sorted(FLOORS)}))

@@ -116,12 +116,20 @@ def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
                  short_blocks: bool | None = None,
                  joint_stereo: bool | None = None,
                  noise_shaping: bool | None = None,
-                 reservoir: bool = True) -> list[bytes]:
+                 reservoir: bool = True, mesh=None) -> list[bytes]:
     """Encode a batch of float PCM arrays ([n] or [n, ch], same channel
     count and sample rate) to MP3 bytes. See module docstring.
 
     Unset parameters fall back to the active EncodeConfig (SURVEY.md
-    §5.6), mirroring encode_pcm."""
+    §5.6), mirroring encode_pcm.
+
+    mesh: an optional 1-D jax Mesh ("streams" axis — SURVEY.md §2.4
+    P2): the staged PCM is placed stream-sharded and every device
+    stage (transforms, psymodel, rate loops) runs SPMD over the mesh;
+    streams are independent, so the only cross-device traffic is the
+    row gathers the loop dispatches perform. Output bytes are
+    identical to the single-device path (tested on the 8-device CPU
+    mesh)."""
     from ..config import get_active
     ecfg = get_active().encode
     bitrate = ecfg.bitrate if bitrate is None else bitrate
@@ -190,6 +198,9 @@ def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
     from .device import granule_spectra_device_handle, stage_chunked
     Bn = B * nch
     Bpad = 1 << max(Bn - 1, 0).bit_length()
+    if mesh is not None:  # stream axis must split evenly over the mesh
+        d = int(mesh.devices.size)
+        Bpad = -(-Bpad // d) * d
     Gpad = -(-Gmax // 64) * 64
     pcm_b = np.zeros((Bpad, Gpad * SPF), np.float32)
     bts_b = np.zeros((Bpad, Gpad), np.int64)
@@ -198,6 +209,14 @@ def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
             pcm_b[s * nch + c, : G_s[s] * SPF] = pad_s[s][:, c]
             bts_b[s * nch + c, : G_s[s]] = bts_s[s]
     pcm_dev = stage_chunked(pcm_b)
+    if mesh is not None:
+        # P2 sharding seam: place the staged PCM stream-sharded; every
+        # downstream jit (transform/psymodel/prep/loops) compiles SPMD
+        # from the input sharding (compute follows data)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pcm_dev = jax.device_put(pcm_dev,
+                                 NamedSharding(mesh, P("streams")))
     _mark('stage')
     X = granule_spectra_device_handle(pcm_dev, bts_b, sample_rate)
     if noise_shaping:
