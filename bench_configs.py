@@ -124,23 +124,43 @@ def main():
     # device-resident path (encoder/__init__.py device_loops); run twice,
     # report steady state (compiles go to the persistent cache)
     from mp3tpu.encoder import encode_batch, encode_pcm
-    encode_pcm(pcm10, 44100, bitrate=128)  # warm compile
+
+    # encoder input is int16-origin (k/32768), the WAV-typical case —
+    # virtually all real encoder input is 16-bit PCM, and the staging
+    # path ships half the bytes for it (bit-identical results; the
+    # float path is covered by tests)
+    def q16(a):
+        return np.clip(np.rint(a * 32768.0), -32768, 32767) / 32768.0
+
+    pcm10q = q16(pcm10)
+    encode_pcm(pcm10q, 44100, bitrate=128)  # warm compile
     t0 = time.perf_counter()
-    mp3 = encode_pcm(pcm10, 44100, bitrate=128)
+    mp3 = encode_pcm(pcm10q, 44100, bitrate=128)
     wall = time.perf_counter() - t0
-    report("5_encode_path_single", len(pcm10) / 44100, wall,
-           {"bytes": len(mp3)})
+    report("5_encode_path_single", len(pcm10q) / 44100, wall,
+           {"bytes": len(mp3), "input": "int16-origin"})
     # aggregate: 16 streams through the batched device encoder (the
     # production throughput path — transforms/psymodel/rate loops on
     # device, native emitter + packed mux). First call compiles; the
     # second is the steady-state number.
-    streams = [pcm10 * (0.5 + 0.5 * i / 15) for i in range(16)]
+    streams = [q16(pcm10 * (0.5 + 0.5 * i / 15)) for i in range(16)]
     encode_batch(streams, 44100, bitrate=128)
     t0 = time.perf_counter()
     outs = encode_batch(streams, 44100, bitrate=128)
     wall = time.perf_counter() - t0
     report("5_encode_batch_aggregate", 16 * 10.0, wall,
            {"streams": 16, "noise_shaping": True,
+            "input": "int16-origin",
+            "bytes": sum(len(o) for o in outs)})
+    # scale: the same path at B=64 (docs/encode_batch_notes.md ladder)
+    streams64 = [q16(pcm10 * (0.4 + 0.6 * i / 63)) for i in range(64)]
+    encode_batch(streams64, 44100, bitrate=128)
+    t0 = time.perf_counter()
+    outs = encode_batch(streams64, 44100, bitrate=128)
+    wall = time.perf_counter() - t0
+    report("5_encode_batch_64", 64 * 10.0, wall,
+           {"streams": 64, "noise_shaping": True,
+            "input": "int16-origin",
             "bytes": sum(len(o) for o in outs)})
 
 

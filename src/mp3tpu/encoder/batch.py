@@ -195,7 +195,7 @@ def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
     _mark('host_prep_labels')
 
     # ---- stage once; transform + psymodel on device ---------------------
-    from .device import granule_spectra_device_handle, stage_chunked
+    from .device import granule_spectra_device_handle, stage_pcm
     Bn = B * nch
     Bpad = 1 << max(Bn - 1, 0).bit_length()
     if mesh is not None:  # stream axis must split evenly over the mesh
@@ -208,7 +208,9 @@ def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
         for c in range(nch):
             pcm_b[s * nch + c, : G_s[s] * SPF] = pad_s[s][:, c]
             bts_b[s * nch + c, : G_s[s]] = bts_s[s]
-    pcm_dev = stage_chunked(pcm_b)
+    pcm_dev, staged_i16 = stage_pcm(pcm_b)
+    if _prof:
+        _ph['stage_int16'] = int(staged_i16)
     if mesh is not None:
         # P2 sharding seam: place the staged PCM stream-sharded; every
         # downstream jit (transform/psymodel/prep/loops) compiles SPMD

@@ -106,6 +106,38 @@ def stage_chunked(arr: np.ndarray, piece_bytes: int = 2 << 20):
     return jnp.concatenate(parts, axis=0)
 
 
+FORCE_F32_STAGE = False  # test hook: pin the f32 staging path
+
+
+@functools.lru_cache(maxsize=None)
+def _dequant_i16_jit():
+    @jax.jit
+    def f(v):
+        return v.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    return f
+
+
+def stage_pcm(pcm_b: np.ndarray):
+    """Stage encoder input PCM [B, n] f32, shipping int16 when every
+    sample is int16-origin (k/32768 with k in range — WAV files and
+    decoder output, i.e. almost all real encoder input): HALF the H2D
+    bytes, and k/2^15 dequantized on device is exact in f32, so the
+    encode is bit-identical to f32 staging (tested). H2D of staged PCM
+    is a measured encode_batch wall on this tunnel
+    (docs/encode_batch_notes.md). Returns (pcm_dev, staged_int16)."""
+    if FORCE_F32_STAGE:
+        return stage_chunked(pcm_b), False
+    rows = max(1, (4 << 20) // max(pcm_b.shape[1] * 4, 1))
+    i16 = np.empty(pcm_b.shape, np.int16)
+    for lo in range(0, pcm_b.shape[0], rows):
+        x = pcm_b[lo:lo + rows] * np.float32(32768.0)
+        if not (np.array_equal(x, np.rint(x))
+                and (x >= -32768.0).all() and (x <= 32767.0).all()):
+            return stage_chunked(pcm_b), False
+        i16[lo:lo + rows] = x.astype(np.int16)
+    return _dequant_i16_jit()(stage_chunked(i16)), True
+
+
 def granule_spectra_device_handle(pcm_dev, block_types: np.ndarray,
                                   sample_rate: int):
     """As granule_spectra_device_batch but takes an ALREADY-STAGED

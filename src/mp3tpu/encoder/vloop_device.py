@@ -338,8 +338,11 @@ def _jit_outer_long(sample_rate: int, max_iters: int,
         ix = _quantize(jnp, p34_base * amp_line ** 0.75, sign, best_gg)
         ix = jnp.where(has_any[:, None], ix, 0)
         bits, selr, _bv, _k, c1sel = _count_rows(jnp, C, ix, switched)
-        return (best_gg, best_sf, has_any, ix.astype(jnp.int16), bits,
-                selr.astype(jnp.int8), c1sel, done_end)
+        # wire dtypes: D2H is the measured wall — ship the narrowest
+        # exact types (hosts upcast on arrival)
+        return (best_gg.astype(jnp.uint8), best_sf.astype(jnp.uint8),
+                has_any, ix.astype(jnp.int16), bits.astype(jnp.int16),
+                selr.astype(jnp.int8), c1sel.astype(jnp.int8), done_end)
 
     @jax.jit
     def run(xr, xmin, budgets):
@@ -445,8 +448,10 @@ def _jit_outer_short(sample_rate: int, max_iters: int):
         ix = _quantize(jnp, p34_base * amp ** 0.75, sign, best_gg)
         ix = jnp.where(has_any[:, None], ix, 0)
         bits, selr, _bv, _k, c1sel = _count_rows(jnp, C, ix, True)
-        return (best_gg, best_sf, best_sbg, has_any,
-                ix.astype(jnp.int16), bits, selr.astype(jnp.int8), c1sel,
+        return (best_gg.astype(jnp.uint8), best_sf.astype(jnp.uint8),
+                best_sbg.astype(jnp.uint8), has_any,
+                ix.astype(jnp.int16), bits.astype(jnp.int16),
+                selr.astype(jnp.int8), c1sel.astype(jnp.int8),
                 done_end)
 
     @jax.jit
@@ -481,8 +486,9 @@ def _jit_rate_only(sample_rate: int, short_split: bool):
         ix = _quantize(jnp, p34, sign, gg)
         ix = jnp.where(has[:, None], ix, 0)
         bits, selr, _bv, _k, c1sel = _count_rows(jnp, C, ix, short_split)
-        return gg, has, ix.astype(jnp.int16), bits, \
-            selr.astype(jnp.int8), c1sel
+        return gg.astype(jnp.uint8), has, ix.astype(jnp.int16), \
+            bits.astype(jnp.int16), selr.astype(jnp.int8), \
+            c1sel.astype(jnp.int8)
 
     @jax.jit
     def run(xr, budgets):
@@ -535,6 +541,56 @@ def _block_plan(n: int):
 #: MP3TPU_ENCODE_PROFILE=1 (keys: dispatch_s, materialize_s, rows,
 #: dl_bytes) — read by tools/ profiling probes.
 PROF: dict = {}
+
+# ---- wire packing of the emitted spectra ----------------------------
+# D2H is the measured encode_batch wall (docs/encode_batch_notes.md):
+# ix int16[576] is ~83% of the downloaded bytes. On the wire it ships
+# as an int8 plane (values in [-127, 127] inline, -128 = escape) plus
+# a <= _ESC_K-entry COO sideband (line positions + int16 values, in
+# line order) — 642 B/row instead of 1152, bit-exact. |v| > 127 needs
+# >= 192 kbps material; rows with more than _ESC_K escapes are flagged
+# and their exact rows gathered from the device-resident raw ix (rare
+# to nonexistent at supported bitrates).
+_ESC_K = 16
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_pack_ix():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(ix):
+        v = ix.astype(jnp.int32)
+        big = jnp.abs(v) > 127
+        plane = jnp.where(big, jnp.int32(-128), v).astype(jnp.int8)
+        # escapes first (ascending line), then leading non-escape lines
+        # as harmless identity fills — unpack assigns all K slots
+        score = big.astype(jnp.int32) * 4096 + \
+            (SPF - jax.lax.iota(jnp.int32, SPF))[None, :]
+        _s, pos = jax.lax.top_k(score, _ESC_K)
+        vals = jnp.take_along_axis(v, pos, axis=1).astype(jnp.int16)
+        n_esc = jnp.sum(big, axis=1).astype(jnp.int16)
+        return plane, pos.astype(jnp.int16), vals, n_esc
+
+    return pack
+
+
+def _unpack_ix_host(plane, pos, vals):
+    """Wire plane + COO sideband -> ix int16 [R, 576]. Slots beyond a
+    row's escape count carry non-escape lines whose value equals the
+    plane's — assigning all slots unconditionally is identity there."""
+    ix = plane.astype(np.int16)
+    r = np.arange(ix.shape[0])[:, None]
+    ix[r, pos.astype(np.int64)] = vals
+    return ix
+
+
+def _bucket_rows(cnt: int, size: int) -> int:
+    """Rows to download for a block with cnt valid of size dispatched:
+    tail padding rounds to 1024 (a handful of cached slice programs)
+    instead of shipping the full MACRO pad over the ~0.04 GB/s D2H."""
+    return min(size, max(1024, -(-cnt // 1024) * 1024))
 
 
 def _prof_add(key, v):
@@ -606,11 +662,18 @@ class _Pending:
     Used by encode_batch's two-pass reservoir walk: pass A only needs
     per-row bit counts + scalefactors to plan upgrades, and ~99% of
     rows are re-quantized in pass B, so downloading pass-A spectra
-    up front is almost entirely wasted bytes."""
+    up front is almost entirely wasted bytes.
 
-    def __init__(self, blocks, n):
+    With ix_idx set, the blocks hold the WIRE layout: the ix slot
+    carries the int8 plane and (pos, vals, n_esc) ride appended at the
+    end; _decode() reconstructs exact ix on host, patching the rare
+    over-_ESC_K rows from the device-resident raw blocks."""
+
+    def __init__(self, blocks, n, ix_idx=None, raw=None):
         self.blocks = blocks          # [(valid_count, tuple(Array))]
         self.n = n
+        self.ix_idx = ix_idx
+        self.raw = raw or []          # device ix blocks (overflow patch)
 
     def prefetch(self):
         """Start async D2H of every output now (non-blocking). Call
@@ -619,10 +682,43 @@ class _Pending:
         for _cnt, blk in self.blocks:
             _async_copy(blk)
 
+    def _patch_overflow(self, ix, nesc, global_rows):
+        """Exact rows for >_ESC_K-escape rows, gathered from the raw
+        device ix blocks (zero rows at supported bitrates — measured)."""
+        over = np.nonzero(nesc > _ESC_K)[0]
+        if not len(over):
+            return ix
+        import jax.numpy as jnp
+        rows = np.asarray(global_rows, np.int64)[over]
+        bucket = max(256, 1 << int(len(rows) - 1).bit_length())
+        rp = np.zeros(bucket, np.int64)
+        rp[: len(rows)] = rows
+        out = _gather_fn(len(self.raw), 1)(jnp.asarray(rp), *self.raw)
+        ix[over] = np.asarray(out[0])[: len(rows)]
+        _prof_add("overflow_rows", len(rows))
+        return ix
+
+    def _decode(self, outs, global_rows):
+        """Wire-layout host tuple -> the logical raw layout callers
+        (post_long/post_short/post_rate) consume."""
+        if self.ix_idx is None:
+            return outs
+        pos, vals, nesc = outs[-3], outs[-2], outs[-1]
+        ix = _unpack_ix_host(outs[self.ix_idx], pos, vals)
+        ix = self._patch_overflow(ix, nesc, global_rows)
+        return outs[: self.ix_idx] + (ix,) + outs[self.ix_idx + 1: -3]
+
+    def materialize_all(self):
+        """Full logical outputs for every valid row (the eager path)."""
+        full = _materialize(self.blocks)
+        return self._decode(full, np.arange(self.n))
+
     def take(self, *out_idx):
         """Download ONLY the selected outputs (per-output Arrays are
         independent, so untouched outputs never cross the tunnel)."""
         import time
+        assert self.ix_idx is None or self.ix_idx not in out_idx, \
+            "take() cannot select the packed ix slot; use fetch_rows"
         t0 = time.perf_counter()
         for _cnt, blk in self.blocks:
             _async_copy(blk, only=set(out_idx))
@@ -640,15 +736,15 @@ class _Pending:
         return tuple(outs)
 
     def fetch_rows(self, rows):
-        """Full outputs for the given local row positions. Small row
-        sets ride a one-dispatch device gather (padded to a power-of-two
-        bucket); large ones just materialize the blocks."""
+        """Full logical outputs for the given local row positions.
+        Small row sets ride a one-dispatch device gather (padded to a
+        power-of-two bucket); large ones just materialize the blocks."""
         import time
         rows = np.asarray(rows, np.int64)
         total = sum(cnt for cnt, _ in self.blocks)
         if len(rows) > total // 4:
             full = _materialize(self.blocks)
-            return tuple(o[rows] for o in full)
+            return self._decode(tuple(o[rows] for o in full), rows)
         import jax.numpy as jnp
         t0 = time.perf_counter()
         n_outs = len(self.blocks[0][1])
@@ -668,7 +764,7 @@ class _Pending:
             hs.append(h[: len(rows)])
         _prof_add("materialize_s", time.perf_counter() - t0)
         _prof_add("dl_bytes", nbytes)
-        return tuple(hs)
+        return self._decode(tuple(hs), rows)
 
 
 def _run_padded(fn, n_rows, *arrays):
@@ -694,17 +790,25 @@ def _run_padded(fn, n_rows, *arrays):
 _TID = np.asarray(TABLE_IDS)
 
 
-def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=False):
+def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=False,
+                  ix_idx=None):
     """Run MACRO blocks gathering rows from DEVICE-resident tensors
     (no host round-trip of the spectra): idx/budgets are small host
     arrays; xr_dev [N,576] f32 and optional xmin_dev [N,...] f32 live
     on device (SURVEY.md §3.4 — one host/device boundary per batch).
 
     defer=True returns a _Pending instead of downloading: no D2H is
-    started, so the caller can pay only for the outputs/rows it needs."""
+    started, so the caller can pay only for the outputs/rows it needs.
+
+    ix_idx marks the emitted-spectrum output: it ships packed (int8
+    plane + COO escape sideband, ~1.8x fewer bytes) with the raw ix
+    kept device-resident for the rare overflow rows; tail blocks are
+    additionally sliced to 1024-row buckets on device so MACRO padding
+    never crosses the ~0.04 GB/s D2H tunnel."""
     import time
     import jax.numpy as jnp
     blocks = []
+    raw = []
     n = len(idx)
     t0 = time.perf_counter()
     lo = 0
@@ -720,15 +824,24 @@ def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=False):
         bud[: hi - lo] = budgets[lo:hi]
         args.append(jnp.asarray(bud))
         block = fn(*args)
+        b = _bucket_rows(hi - lo, size)
+        if ix_idx is not None:
+            plane, pos, vals, nesc = _jit_pack_ix()(block[ix_idx])
+            raw.append(block[ix_idx] if b == size else block[ix_idx][:b])
+            block = block[: ix_idx] + (plane,) + block[ix_idx + 1:] \
+                + (pos, vals, nesc)
+        if b < size:
+            block = tuple(o[:b] for o in block)
         if not defer:
             _async_copy(block)
         blocks.append((hi - lo, block))
         lo += size
     _prof_add("dispatch_s", time.perf_counter() - t0)
     _prof_add("rows", n)
+    pend = _Pending(blocks, n, ix_idx=ix_idx, raw=raw)
     if defer:
-        return _Pending(blocks, n)
-    return _materialize(blocks)
+        return pend
+    return pend.materialize_all()
 
 
 def post_long(raw):
@@ -763,18 +876,21 @@ def outer_rows_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
     window-switched region split for the bit counter (start/stop
     shaping)."""
     fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
-    return post_long(_run_gathered(fn, xr_dev, xmin_dev, idx, budgets))
+    return post_long(_run_gathered(fn, xr_dev, xmin_dev, idx, budgets,
+                                  ix_idx=3))
 
 
 def outer_rows_short_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
                               max_iters=12):
     fn = _jit_outer_short(sample_rate, max_iters)
-    return post_short(_run_gathered(fn, xr_dev, xmin_dev, idx, budgets))
+    return post_short(_run_gathered(fn, xr_dev, xmin_dev, idx, budgets,
+                                    ix_idx=4))
 
 
 def rate_rows_gathered(xr_dev, idx, budgets, sample_rate, block_type):
     fn = _jit_rate_only(sample_rate, bool(block_type))
-    return post_rate(_run_gathered(fn, xr_dev, None, idx, budgets))
+    return post_rate(_run_gathered(fn, xr_dev, None, idx, budgets,
+                                   ix_idx=2))
 
 
 # Deferred variants: dispatch the same jits but download ONLY the light
@@ -788,7 +904,8 @@ def rate_rows_gathered(xr_dev, idx, budgets, sample_rate, block_type):
 def outer_rows_gathered_light(xr_dev, xmin_dev, idx, budgets, sample_rate,
                               max_iters=16, block_type=0):
     fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
-    pend = _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True)
+    pend = _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True,
+                         ix_idx=3)
     sf, bits = pend.take(1, 4)
     return (sf, bits.astype(np.int64)), pend
 
@@ -796,14 +913,16 @@ def outer_rows_gathered_light(xr_dev, xmin_dev, idx, budgets, sample_rate,
 def outer_rows_short_gathered_light(xr_dev, xmin_dev, idx, budgets,
                                     sample_rate, max_iters=12):
     fn = _jit_outer_short(sample_rate, max_iters)
-    pend = _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True)
+    pend = _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True,
+                         ix_idx=4)
     sf, bits = pend.take(1, 5)
     return (sf, bits.astype(np.int64)), pend
 
 
 def rate_rows_gathered_light(xr_dev, idx, budgets, sample_rate, block_type):
     fn = _jit_rate_only(sample_rate, bool(block_type))
-    pend = _run_gathered(fn, xr_dev, None, idx, budgets, defer=True)
+    pend = _run_gathered(fn, xr_dev, None, idx, budgets, defer=True,
+                         ix_idx=2)
     (bits,) = pend.take(3)
     return (bits.astype(np.int64),), pend
 
@@ -815,19 +934,22 @@ def rate_rows_gathered_light(xr_dev, idx, budgets, sample_rate, block_type):
 def outer_rows_gathered_pending(xr_dev, xmin_dev, idx, budgets,
                                 sample_rate, max_iters=16, block_type=0):
     fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
-    return _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True)
+    return _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True,
+                         ix_idx=3)
 
 
 def outer_rows_short_gathered_pending(xr_dev, xmin_dev, idx, budgets,
                                       sample_rate, max_iters=12):
     fn = _jit_outer_short(sample_rate, max_iters)
-    return _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True)
+    return _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True,
+                         ix_idx=4)
 
 
 def rate_rows_gathered_pending(xr_dev, idx, budgets, sample_rate,
                                block_type):
     fn = _jit_rate_only(sample_rate, bool(block_type))
-    return _run_gathered(fn, xr_dev, None, idx, budgets, defer=True)
+    return _run_gathered(fn, xr_dev, None, idx, budgets, defer=True,
+                         ix_idx=2)
 
 
 def outer_rows_device(xr, xmin, budget_bits, sample_rate, max_iters=16):

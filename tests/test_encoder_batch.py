@@ -254,3 +254,33 @@ def test_encode_pcm_device_loops_routing():
         host = encode_pcm(pcm, sr, bitrate=128)
         ref = encode_pcm(pcm, sr, bitrate=128, device_loops=False)
         assert host == ref
+
+
+def test_int16_staging_bit_identical():
+    """int16-origin input (WAV/decoder output) stages at half the H2D
+    bytes; k/2^15 dequantized on device is exact in f32, so the encoded
+    bytes must be IDENTICAL to the f32 staging path."""
+    from mp3tpu.encoder import device as edev
+    from mp3tpu.encoder import encode_batch
+    rng = np.random.default_rng(5)
+    sr = 44100
+    n = int(0.4 * sr)
+    t = np.arange(n) / sr
+    pcms = []
+    for i in range(3):
+        x = 0.4 * np.sin(2 * np.pi * (300 + 60 * i) * t) \
+            + 0.05 * rng.standard_normal(n)
+        k = np.clip(np.rint(x * 32768.0), -32768, 32767)
+        pcms.append((k / 32768.0).astype(np.float64))
+    ref = None
+    edev.FORCE_F32_STAGE = True
+    try:
+        ref = encode_batch(pcms, sr, bitrate=128)
+    finally:
+        edev.FORCE_F32_STAGE = False
+    got = encode_batch(pcms, sr, bitrate=128)
+    assert all(a == b for a, b in zip(ref, got))
+    # non-integral input must take (and keep) the f32 path unchanged
+    bad = [p + 1e-9 for p in pcms]
+    out = encode_batch(bad, sr, bitrate=128)
+    assert all(len(b) > 400 for b in out)

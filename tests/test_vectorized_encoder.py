@@ -159,3 +159,47 @@ def test_outer_rows_switched_equals_scalar():
             assert sgg == vgg[i]
             assert np.array_equal(ssf, vsf[i])
             assert np.array_equal(six, vix[i])
+
+
+def test_gathered_wire_packing_matches_eager():
+    """The gathered dispatch path ships ix over the wire as an int8
+    plane + COO escape sideband (D2H is the measured encode wall);
+    reconstruction must be bit-exact vs the unpacked eager path —
+    including rows with MANY |v|>127 escapes, which overflow the
+    sideband and ride the raw-row patch (vloop_device._ESC_K)."""
+    import jax.numpy as jnp
+    from mp3tpu.encoder import vloop_device as vd
+    rng = np.random.default_rng(9)
+    R = 96
+    xr = np.zeros((R, 576), np.float32)
+    for i in range(R):
+        n_loud = int(rng.integers(0, 40))  # up to ~40 potential escapes
+        pos = rng.choice(288, n_loud, replace=False)
+        xr[i, pos] = rng.uniform(200.0, 4000.0, n_loud) * \
+            rng.choice([-1.0, 1.0], n_loud)
+        xr[i] += rng.normal(0, 1.0, 576) * (rng.uniform(0, 1, 576) > 0.5)
+    budgets = np.full(R, 3800, np.int64)
+    idx = np.arange(R)
+    xr_dev = jnp.asarray(xr)
+    got = vd.rate_rows_gathered(xr_dev, idx, budgets, SR, 0)
+    ref = vd.rate_rows_device(xr, budgets, SR, 0)
+    for g, r, name in zip(got, ref, ("gg", "has", "ix", "bits", "ts", "c1")):
+        assert np.array_equal(np.asarray(g), np.asarray(r)), name
+    # the fixture really exercised the overflow patch
+    n_esc = (np.abs(got[2]) > 127).sum(axis=1)
+    assert (n_esc > vd._ESC_K).any(), "fixture produced no overflow rows"
+
+
+def test_pack_unpack_ix_roundtrip():
+    import jax.numpy as jnp
+    from mp3tpu.encoder import vloop_device as vd
+    rng = np.random.default_rng(4)
+    ix = rng.integers(-120, 120, (64, 576)).astype(np.int16)
+    ix[3, :10] = 8191          # escapes
+    ix[3, 20:25] = -8000
+    ix[7] = 0
+    plane, pos, vals, nesc = vd._jit_pack_ix()(jnp.asarray(ix))
+    out = vd._unpack_ix_host(np.asarray(plane), np.asarray(pos),
+                             np.asarray(vals))
+    assert np.array_equal(out, ix)
+    assert int(np.asarray(nesc)[3]) == 15
