@@ -970,11 +970,33 @@ def decode_symbols_chunked(st: SymbolTensors, chunk_granules: int = 128,
                     out[c, w] = a[g]
         return jnp.asarray(out)
 
-    state = kp.init_state(S)
     fn = kp.decode_window_i16 if output == "int16" else kp.decode_window
-    pcm, _ = fn(gather(st.is_), gather(st.exp),
-                gather(st.block_type), gather(st.mixed),
-                gather(st.smode), state, st.sample_rate)
-    pcm = np.asarray(pcm)[:, halo * 576:]          # drop halo output
+    args = (gather(st.is_), gather(st.exp), gather(st.block_type),
+            gather(st.mixed), gather(st.smode))
+    # Chunks are mutually independent (that IS the halo design), so
+    # split the batch into segments and start each segment's D2H
+    # asynchronously while the next one computes — on this tunnel the
+    # output download is the single-file wall (~125 ms for a 10 s
+    # stereo int16 result vs ~35 ms of device compute; measured in
+    # docs/dispatch_floor_notes.md). K=2 keeps the extra executable
+    # count at one; odd/small batches take the single dispatch.
+    segs = 2
+    if S >= 2 * segs and S % segs == 0:
+        parts = []
+        per = S // segs
+        for j in range(segs):
+            sl = slice(j * per, (j + 1) * per)
+            p, _ = fn(*(a[sl] for a in args), kp.init_state(per),
+                      st.sample_rate)
+            try:
+                p.copy_to_host_async()
+            except Exception:
+                pass
+            parts.append(p)
+        pcm = np.concatenate([np.asarray(p) for p in parts], axis=0)
+    else:
+        pcm, _ = fn(*args, kp.init_state(S), st.sample_rate)
+        pcm = np.asarray(pcm)
+    pcm = pcm[:, halo * 576:]                      # drop halo output
     out = pcm.reshape(S * chunk_granules * 576, 2)[: G * 576]
     return out[:, : st.channels]
