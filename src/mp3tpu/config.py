@@ -32,6 +32,11 @@ class DecodeConfig:
     #                                from ~97-99x to ~146x median (~1.5x),
     #                                ~1.15x best-case; K=8 is on par, K=1
     #                                = single dispatch.
+    d2h_segments_single: int = 2   # same mechanism for the single-file
+    #                                independent-chunk path; K=2 measured
+    #                                best there (one extra executable,
+    #                                docs/dispatch_floor_notes.md); 1
+    #                                disables the overlap split.
 
 
 @dataclass(frozen=True)

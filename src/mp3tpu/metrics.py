@@ -15,6 +15,7 @@ GLOBAL.log_line() sees corruption the moment any path decodes it.
 from __future__ import annotations
 
 import json
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -88,8 +89,13 @@ class Metrics:
 
 
 # process-wide counters: the operator-facing aggregate every decode
-# path feeds alongside its local Metrics (mp3tpu.metrics() returns it)
+# path feeds alongside its local Metrics (mp3tpu.metrics() returns it).
+# GLOBAL is shared by every concurrently-running decoder (a Player and
+# a StreamScheduler on separate threads is a supported pattern), so its
+# read-modify-write updates go through _GLOBAL_LOCK; path-local Metrics
+# have a single owner and stay lock-free.
 GLOBAL = Metrics()
+_GLOBAL_LOCK = threading.Lock()
 
 
 def record_symbol_errors(errors, granules_per_frame: int,
@@ -97,18 +103,36 @@ def record_symbol_errors(errors, granules_per_frame: int,
     """Count one granule range's error flags into GLOBAL plus any
     path-local Metrics instances (the single feed point call sites use,
     so local and global books always agree)."""
-    GLOBAL.count_symbol_errors(errors, granules_per_frame)
+    tmp = Metrics()
+    tmp.count_symbol_errors(errors, granules_per_frame)
+    with _GLOBAL_LOCK:
+        GLOBAL.frames_ok += tmp.frames_ok
+        GLOBAL.frames_error += tmp.frames_error
+        GLOBAL.granules_muted += tmp.granules_muted
     for m in locals_:
-        m.count_symbol_errors(errors, granules_per_frame)
+        m.frames_ok += tmp.frames_ok
+        m.frames_error += tmp.frames_error
+        m.granules_muted += tmp.granules_muted
 
 
 def record_resyncs(n: int, *locals_: Metrics) -> None:
     """Count scanner resync events (container.frames.FrameIndex.resyncs)
     into GLOBAL plus any path-local Metrics."""
     if n:
-        GLOBAL.resyncs += n
+        with _GLOBAL_LOCK:
+            GLOBAL.resyncs += n
         for m in locals_:
             m.resyncs += n
+
+
+def record_underruns(n: int, *locals_: Metrics) -> None:
+    """Aggregate sink-level starvation events into GLOBAL plus any
+    path-local Metrics (§5.5; sinks count locally via take_underruns)."""
+    if n:
+        with _GLOBAL_LOCK:
+            GLOBAL.underruns += n
+        for m in locals_:
+            m.underruns += n
 
 
 class _Span:

@@ -259,7 +259,9 @@ class DecodedBatch:
             return [self.numpy(j) for j in range(len(self._recs))]
         r = self._recs[i]
         if r.dev is None:
-            return r.host[r.skip:r.end, : r.nch], r.rate
+            # copy like the device branch below: callers own the result
+            # and must not be able to mutate the handle's stored PCM
+            return r.host[r.skip:r.end, : r.nch].copy(), r.rate
         pcm = np.asarray(r.dev)
         return pcm[r.row, r.skip:r.end, : r.nch].copy(), r.rate
 
@@ -353,14 +355,6 @@ def _host_rec(pcm, rate, info, gapless: bool) -> _DecodedStream:
     return _DecodedStream(dev=None, row=0, host=pcm, n=n, skip=0, end=n,
                           t_lo=t_lo, t_hi=t_hi, nch=pcm.shape[1],
                           rate=rate, info=info)
-
-
-def _info_of(data: bytes) -> StreamInfo:
-    """Container-parse just the StreamInfo (no unpack)."""
-    id3 = parse_id3v2(data)
-    buf = np.frombuffer(data, np.uint8)
-    index = fr.scan_frames(buf, start=id3.size)
-    return parse_stream_info(data, int(index.offsets[0]), index.headers[0])
 
 
 def segment_file(path_or_bytes, gapless: bool | None = None, **kw):
@@ -458,10 +452,22 @@ def track_levels_batch(paths) -> list:
     quantized int16 PCM (<=1 LSB below the single-stream float
     measurement) over each stream's playable window."""
     datas = [_read(p) for p in paths]
-    res = _decode_files_fast(datas, gapless=False, output="device")
+    res = _decode_files_fast(datas, gapless=False, output="device",
+                             slow_streams="skip")
     if res is None:  # no native unpacker / general-path corner
         return [track_levels(d) for d in datas]
-    return DecodedBatch(res).levels()
+    # over-budget (very long) streams skip the batch handle and ride the
+    # per-file device-envelope path — KBs of D2H instead of the full PCM
+    # download the handle's host-fallback records would pay
+    idx = [i for i, r in enumerate(res) if r is not None]
+    vals = DecodedBatch([res[i] for i in idx]).levels()
+    out: list = [None] * len(datas)
+    for i, v in zip(idx, vals):
+        out[i] = v
+    for i, r in enumerate(res):
+        if r is None:
+            out[i] = track_levels(datas[i])
+    return out
 
 
 def segment_files(paths, gapless: bool | None = None, **kw):
@@ -474,10 +480,22 @@ def segment_files(paths, gapless: bool | None = None, **kw):
     if gapless is None:
         gapless = get_active().decode.gapless
     datas = [_read(p) for p in paths]
-    res = _decode_files_fast(datas, gapless=False, output="device")
+    res = _decode_files_fast(datas, gapless=False, output="device",
+                             slow_streams="skip")
     if res is None:  # no native unpacker / general-path corner
         return [segment_file(d, gapless=gapless, **kw) for d in datas]
-    return DecodedBatch(res).segments(gapless=gapless, **kw)
+    # over-budget streams take the per-file envelope path (see
+    # track_levels_batch) — segmentation never needs their PCM on host
+    idx = [i for i, r in enumerate(res) if r is not None]
+    vals = DecodedBatch([res[i] for i in idx]).segments(gapless=gapless,
+                                                        **kw)
+    out: list = [None] * len(datas)
+    for i, v in zip(idx, vals):
+        out[i] = v
+    for i, r in enumerate(res):
+        if r is None:
+            out[i] = segment_file(datas[i], gapless=gapless, **kw)
+    return out
 
 
 def split_file(path_or_bytes, out_dir, fmt: str = "wav",
@@ -558,8 +576,6 @@ def load_symbols(data: bytes):
     index = fr.scan_frames(buf, start=id3.size)
     info = parse_stream_info(data, int(index.offsets[0]), index.headers[0])
     st = unpack_fast(data)
-    record_resyncs(index.resyncs)
-    record_symbol_errors(st.errors, st.granules_per_frame)
     if is_metadata_frame(info):
         n = index.headers[0].n_granules
         st = SymbolTensors(
@@ -573,6 +589,11 @@ def load_symbols(data: bytes):
             junk_bytes=index.junk_bytes, sample_rate=index.sample_rate,
             channels=index.channels, version=index.version,
             resyncs=index.resyncs)
+    # count AFTER the metadata-frame trim so the single-file books agree
+    # with the batch fast path (which strips the Xing/Info frame's bytes
+    # before unpacking — same audio frames, same counters)
+    record_resyncs(index.resyncs)
+    record_symbol_errors(st.errors, st.granules_per_frame)
     return st, info, index
 
 
@@ -647,7 +668,14 @@ def decode_files(paths, gapless: bool = True, output: str = "pcm"):
     shape per-window device steps); falls back to the masked-batch
     scheduler otherwise (pure-Python unpack, mixed corner cases) — a
     "device" handle then carries host-resident records that behave
-    identically."""
+    identically.
+
+    slow_streams: what to do with over-budget chunks (streams too long
+    for the staging budget). "decode" (default) runs them through the
+    scheduler path; "skip" leaves their result slots None so envelope-
+    only consumers (track_levels_batch/segment_files) can route them
+    through the per-file device-envelope path instead of paying a full
+    PCM download they would immediately reduce away."""
     if output not in ("pcm", "device"):
         raise ValueError(f'output must be "pcm" or "device", got {output!r}')
     datas = []
@@ -661,15 +689,17 @@ def decode_files(paths, gapless: bool = True, output: str = "pcm"):
     if fast is not None:
         return DecodedBatch(fast) if output == "device" else fast
     from .player.scheduler import decode_batch_streams
-    res = decode_batch_streams(datas, gapless=gapless)
     if output != "device":
-        return res
+        return decode_batch_streams(datas, gapless=gapless)
+    res, infos = decode_batch_streams(datas, gapless=gapless,
+                                      return_info=True)
     return DecodedBatch([
-        _host_rec(pcm, rate, _info_of(d), gapless)
-        for d, (pcm, rate) in zip(datas, res)])
+        _host_rec(pcm, rate, info, gapless)
+        for info, (pcm, rate) in zip(infos, res)])
 
 
-def _decode_files_fast(datas, gapless: bool, output: str = "pcm"):
+def _decode_files_fast(datas, gapless: bool, output: str = "pcm",
+                       slow_streams: str = "decode"):
     """Throughput path for decode_files (SURVEY.md §3.2, the structure
     bench.py measures): C++ unpacks every stream's granules directly
     into window-major packed batch tensors (4-bit spectrum plane +
@@ -730,6 +760,7 @@ def _decode_files_fast(datas, gapless: bool, output: str = "pcm"):
 
     out: list = [None] * len(datas)
     slow: list = []
+    pending_faults: list = []
     rates = sorted({m[2] for m in metas})
     for rate in rates:
         idxs = sorted((i for i, m in enumerate(metas) if m[2] == rate),
@@ -751,8 +782,18 @@ def _decode_files_fast(datas, gapless: bool, output: str = "pcm"):
                 continue
             if not _fast_chunk(datas, metas, chunk,
                                [G_all[i] for i in chunk], rate, gapless,
-                               out, lib, jnp, cfg, output):
+                               out, lib, jnp, cfg, output, pending_faults):
                 return None
+    # fault accounting commits only once the WHOLE fast path succeeded:
+    # a later chunk's `return None` sends every stream to the fallback,
+    # which keeps its own books — recording per-chunk would double-count
+    # the chunks that had already landed
+    from .metrics import record_resyncs, record_symbol_errors
+    for errs, ngr, nrs in pending_faults:
+        record_symbol_errors(errs, ngr)
+        record_resyncs(nrs)
+    if slow and slow_streams == "skip":
+        slow = []
     if slow:
         from .player.scheduler import decode_batch_streams
         res = decode_batch_streams([datas[i] for i in slow],
@@ -770,7 +811,7 @@ def _decode_files_fast(datas, gapless: bool, output: str = "pcm"):
 
 
 def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg,
-                output: str = "pcm"):
+                output: str = "pcm", pending_faults: list | None = None):
     from .bitstream.native import unpack_native_into12
     S = cfg.batch_chunk_streams
     win = cfg.window_granules
@@ -828,13 +869,14 @@ def _fast_chunk(datas, metas, chunk, Gs, rate, gapless, out, lib, jnp, cfg,
         else:
             return False
 
-    # fault accounting for the streams riding THIS fast path (the
-    # general/slow paths count their own — no double books)
-    from .metrics import record_resyncs, record_symbol_errors
-    for k, i in enumerate(chunk):
-        ngr = 2 if metas[i][4] == fr.VERSION_MPEG1 else 1
-        record_symbol_errors(errs[k], ngr)
-        record_resyncs(metas[i][5])
+    # fault accounting for the streams riding THIS fast path, DEFERRED:
+    # the caller commits these only when every chunk succeeds (a later
+    # chunk's abort reruns everything through the fallback, which keeps
+    # its own books)
+    if pending_faults is not None:
+        for k, i in enumerate(chunk):
+            ngr = 2 if metas[i][4] == fr.VERSION_MPEG1 else 1
+            pending_faults.append((errs[k], ngr, metas[i][5]))
 
     from .kernels import pipeline as kp
     state = kp.init_state(S)
@@ -978,10 +1020,12 @@ def decode_symbols_chunked(st: SymbolTensors, chunk_granules: int = 128,
     # asynchronously while the next one computes — on this tunnel the
     # output download is the single-file wall (~125 ms for a 10 s
     # stereo int16 result vs ~35 ms of device compute; measured in
-    # docs/dispatch_floor_notes.md). K=2 keeps the extra executable
-    # count at one; odd/small batches take the single dispatch.
-    segs = 2
-    if S >= 2 * segs and S % segs == 0:
+    # docs/dispatch_floor_notes.md). The default K=2 keeps the extra
+    # executable count at one; odd/small batches take the single
+    # dispatch; decode.d2h_segments_single=1 disables the split.
+    from .config import get_active
+    segs = max(1, int(get_active().decode.d2h_segments_single))
+    if segs > 1 and S >= 2 * segs and S % segs == 0:
         parts = []
         per = S // segs
         for j in range(segs):

@@ -196,6 +196,7 @@ class Player:
         # incrementally accumulated symbols for ONE group (host unpack
         # stays linear when a group is decoded in growing prefixes):
         self._group_syms = None       # (q, SymbolTensors, n_granules)
+        self._err_counted = {}        # group q -> granules already booked
         self._segments = None         # (param_key, [(start_s, end_s)])
         self.stopped = False
 
@@ -236,15 +237,19 @@ class Player:
         with self.metrics.span("host"):
             if cached is not None and cached[0] == q:
                 ext = src.granules(g0 + cached[2], g0 + n)
-                # fault accounting on the FRESH granules only (the
-                # cached prefix was counted when first unpacked)
-                record_symbol_errors(ext.errors, ext.granules_per_frame,
-                                     self.metrics)
                 st = SymbolTensors.concat([cached[1], ext])
             else:
                 st = src.granules(g0, g0 + n)
-                record_symbol_errors(st.errors, st.granules_per_frame,
-                                     self.metrics)
+        # fault accounting on NEVER-BOOKED granules only: a replay loop
+        # or backward seek re-unpacks evicted groups, and re-counting
+        # them would report phantom escalating corruption — the per-
+        # group high-water mark makes the books count each granule once
+        # per player, like the scheduler's monotonic cursor does
+        c = self._err_counted.get(q, 0)
+        if n > c:
+            record_symbol_errors(st.errors[c:], st.granules_per_frame,
+                                 self.metrics)
+            self._err_counted[q] = n
         self._group_syms = (q, st, n)
         return st
 
@@ -425,9 +430,8 @@ class Player:
         self.metrics.samples_out += len(i16)
         u = take_underruns(self.sink)
         if u:  # aggregate sink-level starvation (§5.5)
-            from ..metrics import GLOBAL
-            self.metrics.underruns += u
-            GLOBAL.underruns += u
+            from ..metrics import record_underruns
+            record_underruns(u, self.metrics)
 
     def _emit_multi_dev(self, prev, cur, off: int, m: int):
         """Dispatch m EMIT_BLOCKs through the device-resident DSP chain

@@ -215,9 +215,8 @@ class StreamScheduler:
             # aggregate sink-level starvation into the books (§5.5)
             u = take_underruns(sink)
             if u:
-                from ..metrics import GLOBAL
-                self.metrics.underruns += u
-                GLOBAL.underruns += u
+                from ..metrics import record_underruns
+                record_underruns(u, self.metrics)
         self.metrics.samples_out += emitted
         return emitted
 
@@ -326,10 +325,13 @@ class StreamScheduler:
 
 
 def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32,
-                         gapless: bool = True):
+                         gapless: bool = True, return_info: bool = False):
     """Convenience batched decode: returns list of (pcm, sample_rate)
     aligned with the inputs (SURVEY.md §3.2). Honors each stream's LAME
-    gapless tag like single-file decode does (same trim, same lengths)."""
+    gapless tag like single-file decode does (same trim, same lengths).
+    return_info=True returns (results, [StreamInfo]) so callers that
+    need container metadata (decode_files' device-handle fallback) do
+    not re-parse every file."""
     from ..pipeline import load_source
     datas = []
     for p in paths_or_bytes:
@@ -341,7 +343,9 @@ def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32,
     # load_source skips ID3 regions and a leading Xing/Info metadata
     # frame, exactly like single-file decode — then materializes the
     # stream (batch throughput path wants whole-file symbols)
-    symbols = [load_source(d)[0].whole() for d in datas]
+    loaded = [load_source(d) for d in datas]
+    infos = [info for _src, info, _index in loaded]
+    symbols = [src.whole() for src, _info, _index in loaded]
     rates = {st.sample_rate for st in symbols}
     out: list = [None] * len(datas)
     for rate in sorted(rates):
@@ -358,4 +362,4 @@ def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32,
         sched.run()
         for i in idxs:
             out[i] = (sinks[i].pcm, rate)
-    return out
+    return (out, infos) if return_info else out

@@ -109,6 +109,43 @@ def test_handle_segments_matches_segment_file():
         assert abs(a - a1) < 0.02 and abs(b - b1) < 0.02
 
 
+def test_handle_numpy_returns_owned_copy(batch_files):
+    """Mutating a materialized result must not corrupt the handle's
+    stored PCM — device chunks and host-fallback records alike."""
+    from mp3tpu.config import resolve, set_active
+    for native in (True, False):
+        set_active(resolve(decode={"use_native": native}))
+        try:
+            handle = decode_files(batch_files, output="device")
+            p0, _ = handle.numpy(0)
+            orig = p0.copy()
+            p0[:] = 0
+            p1, _ = handle.numpy(0)
+            assert np.array_equal(p1, orig)
+        finally:
+            set_active(resolve())
+
+
+def test_levels_segments_over_budget_fallback(batch_files):
+    """Streams over the staging budget take the per-file device-envelope
+    path in the batch levels/segments consumers (KBs of D2H) instead of
+    a full-PCM host fallback they would immediately reduce away."""
+    from mp3tpu.config import resolve, set_active
+    from mp3tpu.pipeline import segment_files, track_levels_batch
+    ref_lv = track_levels_batch(batch_files)
+    ref_sg = segment_files(batch_files)
+    set_active(resolve(decode={"batch_max_mb": 0}))  # force over-budget
+    try:
+        got_lv = track_levels_batch(batch_files)
+        got_sg = segment_files(batch_files)
+    finally:
+        set_active(resolve())
+    for (l0, p0), (l1, p1) in zip(ref_lv, got_lv):
+        assert abs(l0 - l1) < 0.6
+        assert abs(min(p0, 0.0) - min(p1, 0.0)) < 0.3
+    assert [len(s) for s in got_sg] == [len(s) for s in ref_sg]
+
+
 def test_handle_rejects_bad_output(batch_files):
     with pytest.raises(ValueError, match="output"):
         decode_files(batch_files, output="hbm")

@@ -117,6 +117,57 @@ def test_error_counters_feed_global(mp3):
     assert d["frames_error"] > 0 and d["granules_muted"] > 0
 
 
+def test_metadata_frame_not_counted(mp3):
+    """The leading Xing/Info frame carries no audio: the frame books
+    count only audio frames, matching the batch fast path (which strips
+    the metadata frame's bytes before unpacking)."""
+    full = fr.scan_frames(np.frombuffer(mp3, np.uint8))
+    d = {}
+    with _global_delta()(d):
+        _st, _info, index = load_symbols(mp3)
+    assert len(index.offsets) == len(full.offsets) - 1  # Info frame cut
+    assert d["frames_ok"] + d["frames_error"] == len(index.offsets)
+
+
+def test_batch_books_match_singles(mp3):
+    """decode_files counts each stream's faults exactly once, and the
+    totals equal the single-file path's for the same bytes (no per-path
+    drift, no double booking on fast/fallback boundaries)."""
+    from mp3tpu.pipeline import decode_files
+    idx = fr.scan_frames(np.frombuffer(mp3, np.uint8))
+    cut = bytes(mp3[int(idx.offsets[20]):])
+    d_single: dict = {}
+    with _global_delta()(d_single):
+        decode_file(mp3, gapless=False)
+        decode_file(cut, gapless=False)
+    d_batch: dict = {}
+    with _global_delta()(d_batch):
+        decode_files([mp3, cut], gapless=False)
+    for k in ("frames_ok", "frames_error", "granules_muted", "resyncs"):
+        assert d_batch[k] == d_single[k], (k, d_batch, d_single)
+
+
+def test_player_replay_counts_once():
+    """Repeat-listening (the reference's core gesture) replays the same
+    granules many times; the books count each granule ONCE per player —
+    re-unpacking an evicted group must not re-record its faults."""
+    pytest.importorskip("lameref")
+    mp3 = fixtures.lame_fixture("transients", ch=2, bitrate=128,
+                                mode="jstereo")
+    idx = fr.scan_frames(np.frombuffer(mp3, np.uint8))
+    cut = bytes(mp3[int(idx.offsets[20]):])
+    from mp3tpu.player import Player
+    p = Player(cut, apply_gapless=False)
+    p.play()
+    once = (p.metrics.frames_ok, p.metrics.frames_error,
+            p.metrics.granules_muted)
+    assert once[1] > 0 and once[2] > 0
+    p.seek(0.0)
+    p.play()   # full replay re-unpacks every evicted group
+    assert (p.metrics.frames_ok, p.metrics.frames_error,
+            p.metrics.granules_muted) == once
+
+
 def test_resync_counter_feeds_global(mp3):
     bad = bytearray(mp3)
     lo = len(bad) // 2
