@@ -1,4 +1,5 @@
-"""mp3tpu CLI (SURVEY.md L5): decode | play | encode | info | bench."""
+"""mp3tpu CLI (SURVEY.md L5): decode | play | practice | encode | info
+| segments | split | loudness | bench."""
 from __future__ import annotations
 
 import argparse
@@ -80,6 +81,29 @@ def _cmd_play(args):
         sink.close()
     print(json.dumps({"duration": p.duration, "metadata": p.metadata,
                       "metrics": p.metrics.to_dict()}, default=str))
+
+
+def _cmd_practice(args):
+    """Sentence-repeat study session (the reference's described study
+    method in one command): segment the file, then play each sentence
+    --times times at --speed with --gap seconds of shadowing silence
+    after every repetition."""
+    from .player import Player, WavFileSink
+    sink = None
+    if args.output:
+        tmp = Player(args.input)  # probe rate/channels
+        sink = WavFileSink(args.output, tmp.track.sample_rate,
+                           tmp.track.channels)
+    p = Player(args.input, sink=sink, gain_db=args.gain)
+    segs = p.practice(times=args.times, gap_s=args.gap,
+                      speed=args.speed if args.speed != 1.0 else None,
+                      start=args.start, stop=args.stop)
+    if sink:
+        sink.close()
+    print(json.dumps({
+        "sentences": [[round(a, 3), round(b, 3)] for a, b in segs],
+        "times": args.times, "speed": p.speed, "gap_s": args.gap,
+        "metrics": p.metrics.to_dict()}))
 
 
 def _cmd_segments(args):
@@ -207,6 +231,25 @@ def main(argv=None):
     i = sub.add_parser("info", help="stream/tag info as JSON")
     i.add_argument("input")
     i.set_defaults(fn=_cmd_info)
+
+    pr = sub.add_parser("practice", help="sentence-repeat study session: "
+                                         "each detected sentence, --times "
+                                         "times at --speed, with --gap s "
+                                         "of shadowing silence")
+    pr.add_argument("input")
+    pr.add_argument("-o", "--output", help="WAV sink path")
+    pr.add_argument("--times", type=int, default=3,
+                    help="repetitions per sentence (default 3)")
+    pr.add_argument("--speed", type=float, default=1.0,
+                    help="pitch-preserving tempo, 0.25-4.0")
+    pr.add_argument("--gap", type=float, default=0.0,
+                    help="seconds of silence after each repetition")
+    pr.add_argument("--start", type=int, default=0,
+                    help="first sentence index (from `segments`)")
+    pr.add_argument("--stop", type=int, default=None,
+                    help="one past the last sentence index")
+    pr.add_argument("--gain", type=float, default=0.0)
+    pr.set_defaults(fn=_cmd_practice)
 
     s = sub.add_parser("segments", help="sentence boundaries per file "
                                         "(device-side envelope, no PCM "

@@ -691,6 +691,34 @@ class Player:
         a, b = segs[i]
         self.loop(a, b, times=times)
 
+    def practice(self, times: int = 3, gap_s: float = 0.0,
+                 speed: float | None = None, start: int = 0,
+                 stop: int | None = None) -> list:
+        """Sentence-by-sentence study session — the reference's whole
+        described method (/root/reference/README.md:46: play an article
+        a few sentences at a time, replay each sentence repeatedly,
+        slow listening) as one call. For each detected sentence in
+        [start, stop), replay it `times` times at the pitch-preserving
+        `speed`, inserting `gap_s` seconds of silence after every
+        repetition — a shadowing window for the learner to speak into.
+        A stop() from a sink callback ends the session between
+        repetitions. Returns the practiced [(start_s, end_s), ...]."""
+        segs = self.segments()
+        lo = max(0, start)
+        hi = len(segs) if stop is None else min(stop, len(segs))
+        if speed is not None:
+            self.set_speed(speed)
+        gap = int(round(gap_s * self.track.sample_rate))
+        nch = self.track.channels
+        for a, b in segs[lo:hi]:
+            for _ in range(times):
+                self.loop(a, b, times=1)
+                if gap:
+                    self._push_i16(np.zeros((gap, nch), np.int16))
+                if self.stopped:
+                    return segs[lo:hi]
+        return segs[lo:hi]
+
     def stop(self):
         self.stopped = True
 

@@ -65,6 +65,24 @@ def test_play_segment_slow(mp3_path, tmp_path, capsys):
     assert abs(w.getnframes() - span * 44100 / 0.5) <= N_FFT
 
 
+def test_practice_subcommand(mp3_path, tmp_path, capsys):
+    """The whole study session as one command: every sentence x2 with
+    a 0.1 s shadowing gap, written to a WAV."""
+    out = str(tmp_path / "practice.wav")
+    cli.main(["practice", mp3_path, "--times", "2", "--gap", "0.1",
+              "-o", out])
+    d = _last_json(capsys)
+    assert len(d["sentences"]) == len(fixtures.BURST_SPANS)
+    assert d["times"] == 2 and d["speed"] == 1.0
+    sr, gap = 44100, int(0.1 * 44100)
+    expect = sum(2 * (int(round(b * sr)) - int(round(a * sr))) + 2 * gap
+                 for a, b in d["sentences"])
+    w = wave.open(out)
+    # sentences are reported rounded to 1 ms: up to ~23 samples of slop
+    # per played edge (2 edges x 2 times x 3 sentences)
+    assert abs(w.getnframes() - expect) <= 23 * 2 * 2 * len(d["sentences"])
+
+
 def test_play_queue(mp3_path, tmp_path, capsys):
     out = str(tmp_path / "q.wav")
     cli.main(["play", mp3_path, mp3_path, "-o", out])

@@ -198,6 +198,31 @@ def test_player_play_segment_slow(mp3):
     assert abs(len(p.sink.pcm) - span / 0.75) <= N_FFT
 
 
+def test_player_practice(mp3):
+    """The full study session (reference README.md:46) in one call:
+    every sentence x2 at unity speed with a 0.2 s shadowing gap —
+    output length == sum of (2*span + 2*gap) per sentence; a `stop`
+    bound limits which sentences play."""
+    from mp3tpu.player import Player
+    p = Player(mp3)
+    segs = p.practice(times=2, gap_s=0.2)
+    assert segs == p.segments()
+    sr = p.track.sample_rate
+    gap = int(round(0.2 * sr))
+    expect = sum(2 * (int(round(b * sr)) - int(round(a * sr))) + 2 * gap
+                 for a, b in segs)
+    assert abs(len(p.sink.pcm) - expect) <= 2 * len(segs)
+    # the gaps really are silence: the last pushed chunk ends dead quiet
+    assert int(np.abs(p.sink.pcm[-gap // 2:]).max()) == 0
+
+    p2 = Player(mp3)
+    only = p2.practice(times=1, start=1, stop=2)
+    a, b = p2.segments()[1]
+    span = int(round(b * sr)) - int(round(a * sr))
+    assert abs(len(p2.sink.pcm) - span) <= 2
+    assert only == p2.segments()[1:2]
+
+
 def test_segment_file_hop_s_rejected():
     """segment_file's device envelope has a fixed granule hop; a
     hop_s that cannot be honored fails loudly instead of being
