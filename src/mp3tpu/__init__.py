@@ -50,7 +50,7 @@ _enable_jit_cache()
 
 from .api import (decode, decode_batch, encode, encode_batch,  # noqa: F401
                   global_metrics, init, levels, levels_batch, loudness, play,
-                  segment, segment_batch, split)
+                  segment, segment_batch, split, transcode_batch)
 
 
 def __getattr__(name):

@@ -111,12 +111,26 @@ def encode(pcm, sample_rate, **kw):
     return encode_pcm(pcm, sample_rate, **kw)
 
 
-def encode_batch(pcms, sample_rate, **kw):
+def encode_batch(pcms, sample_rate=None, **kw):
     """Batched multi-stream encode (SURVEY.md §3.4, the encoder's
     aggregate-throughput path): spectra stay device-resident from the
-    analysis transform through the rate loops."""
+    analysis transform through the rate loops. Also accepts a
+    DecodedBatch handle (see transcode_batch)."""
     from .encoder import encode_batch as _impl
     return _impl(pcms, sample_rate, **kw)
+
+
+def transcode_batch(paths, bitrate=None, **kw) -> list[bytes]:
+    """Batched MP3 -> MP3 re-encode with the PCM device-resident end
+    to end (SURVEY.md §3.2 + §3.4 chained): decode_batch(...,
+    output="device") feeds encode_batch directly — the int16 PCM is
+    decoded into HBM, trimmed/dequantized/padded there, and consumed
+    by the encoder's device transforms without ever crossing the
+    host boundary. Returns MP3 bytes aligned with the inputs."""
+    from .encoder import encode_batch as _enc
+    from .pipeline import decode_files
+    return _enc(decode_files(list(paths), output="device"),
+                bitrate=bitrate, **kw)
 
 
 def global_metrics():

@@ -1,5 +1,5 @@
-"""mp3tpu CLI (SURVEY.md L5): decode | play | practice | encode | info
-| segments | split | loudness | bench."""
+"""mp3tpu CLI (SURVEY.md L5): decode | play | practice | encode
+| transcode | info | segments | split | loudness | bench."""
 from __future__ import annotations
 
 import argparse
@@ -162,6 +162,23 @@ def _cmd_encode(args):
           f"{len(pcm) / sr / dt:.1f}x realtime)")
 
 
+def _cmd_transcode(args):
+    """Batched MP3->MP3 re-encode at a new bitrate/quality; the PCM
+    stays device-resident between decode and encode (api.transcode_batch)."""
+    import os
+    from .api import transcode_batch
+    t0 = time.perf_counter()
+    blobs = transcode_batch(args.input, bitrate=args.bitrate)
+    dt = time.perf_counter() - t0
+    outs = []
+    for p, b in zip(args.input, blobs):
+        base = os.path.basename(p).rsplit(".", 1)[0] + ".transcoded.mp3"
+        out = os.path.join(args.out_dir, base)
+        open(out, "wb").write(b)
+        outs.append(out)
+    print(json.dumps({"outputs": outs, "wall_s": round(dt, 3)}))
+
+
 def _cmd_info(args):
     from .player.engine import open_track
     t = open_track(args.input)
@@ -227,6 +244,16 @@ def main(argv=None):
     e.add_argument("--vbr-quality", type=int, default=None,
                    help="constant-quality VBR, 0 (best) .. 9 (smallest)")
     e.set_defaults(fn=_cmd_encode)
+
+    tc = sub.add_parser("transcode", help="batched MP3->MP3 re-encode at "
+                                          "a new bitrate; PCM stays "
+                                          "device-resident between decode "
+                                          "and encode")
+    tc.add_argument("input", nargs="+")
+    tc.add_argument("-d", "--out-dir", default=".")
+    tc.add_argument("-b", "--bitrate", type=int, default=None,
+                    help="target CBR kbps (default: active config, 128)")
+    tc.set_defaults(fn=_cmd_transcode)
 
     i = sub.add_parser("info", help="stream/tag info as JSON")
     i.add_argument("input")

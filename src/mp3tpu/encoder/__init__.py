@@ -545,9 +545,11 @@ def encode_pcm(pcm: np.ndarray, sample_rate: int, bitrate: int | None = None,
     return out
 
 
-def encode_batch(pcms, sample_rate: int, **kwargs) -> list:
+def encode_batch(pcms, sample_rate: int | None = None, **kwargs) -> list:
     """Batched multi-stream encode (BASELINE config 5 aggregate path):
     transforms, psymodel and the rate/distortion loops batch across ALL
-    streams on device; see encoder.batch for the architecture."""
+    streams on device; see encoder.batch for the architecture. pcms
+    may be a DecodedBatch handle (device-resident transcode; the
+    sample rate is then inferred from the handle)."""
     from .batch import encode_batch as _impl
     return _impl(pcms, sample_rate, **kwargs)

@@ -111,7 +111,8 @@ def _prep_jits(sample_rate: int, nch: int):
     return energies, prep
 
 
-def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
+def encode_batch(pcms, sample_rate: int | None = None,
+                 bitrate: int | None = None,
                  gapless_tag: bool | None = None,
                  short_blocks: bool | None = None,
                  joint_stereo: bool | None = None,
@@ -119,6 +120,18 @@ def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
                  reservoir: bool = True, mesh=None) -> list[bytes]:
     """Encode a batch of float PCM arrays ([n] or [n, ch], same channel
     count and sample rate) to MP3 bytes. See module docstring.
+
+    pcms may also be a DecodedBatch handle (decode_batch(...,
+    output="device")): the device-resident transcode path. The int16
+    PCM is trimmed/dequantized/padded IN HBM (one gather dispatch per
+    decode chunk) and block-type labels come from a device sub-block
+    energy reduction — no staging H2D and no decode D2H. sample_rate
+    is inferred from the handle (must be uniform). Output is
+    bit-identical to encoding the handle's .numpy() PCM, except that
+    transient labels derive from f32 device energies instead of f64
+    host energies (same decision logic, ULP-level input difference).
+    Host-fallback records, mixed channel counts, and mesh mode
+    materialize to the host path (correct, not zero-copy).
 
     Unset parameters fall back to the active EncodeConfig (SURVEY.md
     §5.6), mirroring encode_pcm.
@@ -138,8 +151,12 @@ def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
     joint_stereo = ecfg.joint_stereo if joint_stereo is None else joint_stereo
     noise_shaping = (ecfg.noise_shaping if noise_shaping is None
                      else noise_shaping)
-    if sample_rate not in SR_IDX or bitrate not in BITRATES_V1_L3:
-        raise ValueError("unsupported sample rate or bitrate")
+    if bitrate not in BITRATES_V1_L3:
+        raise ValueError("unsupported bitrate")
+    is_dev_batch = (hasattr(pcms, "device_pcm")
+                    and hasattr(pcms, "sample_rates"))
+    if not is_dev_batch and sample_rate not in SR_IDX:
+        raise ValueError("unsupported sample rate")
     import os
     import time
     import jax.numpy as jnp
@@ -154,38 +171,72 @@ def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
             t = time.perf_counter()
             _ph[name] = _ph.get(name, 0.0) + t - _t0
             _t0 = t
+    # ---- device-resident input (DecodedBatch, SURVEY.md §3.2) -----------
+    # transcode path: decode_batch(output="device") -> encode_batch —
+    # the PCM never crosses the host boundary (no stage H2D, no decode
+    # D2H). Host-fallback records / mixed channels / mesh materialize
+    # to the host path below (correct, just not zero-copy).
+    dev_batch = pcms if is_dev_batch else None
+    recs = None
+    if dev_batch is not None:
+        rates = set(dev_batch.sample_rates)
+        if len(rates) != 1:
+            raise ValueError("device-batch encode needs one sample rate, "
+                             f"got {sorted(rates)}")
+        rate = rates.pop()
+        if sample_rate is not None and sample_rate != rate:
+            raise ValueError(f"sample_rate {sample_rate} != decoded {rate}")
+        sample_rate = rate
+        if sample_rate not in SR_IDX:
+            raise ValueError("unsupported decoded sample rate")
+        recs = [dev_batch.device_pcm(i) for i in range(len(dev_batch))]
+        nchs = {r[4] for r in recs}
+        if (mesh is not None or len(nchs) != 1 or next(iter(nchs)) > 2
+                or any(isinstance(r[0], np.ndarray) for r in recs)):
+            pcms = [p.astype(np.float64) / 32768.0
+                    for p, _sr in dev_batch.numpy()]
+            dev_batch, recs = None, None
+
     arrs = []
-    for p in pcms:
-        a = np.asarray(p, np.float64)
-        if a.ndim == 1:
-            a = a[:, None]
-        arrs.append(a)
-    nchs = {a.shape[1] for a in arrs}
-    if len(nchs) != 1 or arrs[0].shape[1] > 2:
-        from . import encode_pcm
-        return [encode_pcm(a, sample_rate, bitrate=bitrate,
-                           gapless_tag=gapless_tag,
-                           short_blocks=short_blocks,
-                           joint_stereo=joint_stereo,
-                           noise_shaping=noise_shaping,
-                           reservoir=reservoir) for a in arrs]
-    nch = arrs[0].shape[1]
-    B = len(arrs)
+    if dev_batch is None:
+        for p in pcms:
+            a = np.asarray(p, np.float64)
+            if a.ndim == 1:
+                a = a[:, None]
+            arrs.append(a)
+        nchs = {a.shape[1] for a in arrs}
+        if len(nchs) != 1 or arrs[0].shape[1] > 2:
+            from . import encode_pcm
+            return [encode_pcm(a, sample_rate, bitrate=bitrate,
+                               gapless_tag=gapless_tag,
+                               short_blocks=short_blocks,
+                               joint_stereo=joint_stereo,
+                               noise_shaping=noise_shaping,
+                               reservoir=reservoir) for a in arrs]
+        nch = arrs[0].shape[1]
+        B = len(arrs)
+    else:
+        nch = recs[0][4]
+        B = len(recs)
     sr_idx = SR_IDX[sample_rate]
     br_idx = BITRATES_V1_L3.index(bitrate)
 
     # ---- per-stream padding / block types -------------------------------
     G_s, pad_s, bts_s, encpad_s = [], [], [], []
-    for a in arrs:
-        n = len(a)
+    ns = ([len(a) for a in arrs] if dev_batch is None
+          else [int(r[3] - r[2]) for r in recs])
+    for s, n in enumerate(ns):
         total_needed = n + ENCODER_DELAY + 529
         G = -(-total_needed // SPF)
         G += G & 1
+        G_s.append(G)
+        encpad_s.append(G * SPF - ENCODER_DELAY - n)
+        if dev_batch is not None:
+            continue  # PCM stays on device; labels after the gather
+        a = arrs[s]
         padded = np.zeros((G * SPF, nch))
         padded[:n] = a
-        G_s.append(G)
         pad_s.append(padded)
-        encpad_s.append(G * SPF - ENCODER_DELAY - n)
         # labels on the MDCT-aligned copy (see psymodel.MDCT_ALIGN):
         # granule g's spectrum holds time content delayed by the
         # analysis chain, so unshifted labels switch one granule early
@@ -202,23 +253,63 @@ def encode_batch(pcms, sample_rate: int, bitrate: int | None = None,
         d = int(mesh.devices.size)
         Bpad = -(-Bpad // d) * d
     Gpad = -(-Gmax // 64) * 64
-    pcm_b = np.zeros((Bpad, Gpad * SPF), np.float32)
+    if dev_batch is not None:
+        # one gather dispatch per run of streams sharing a decode chunk:
+        # trim + dequantize + zero-pad in-HBM (device._gather_rows_jit)
+        from .device import _gather_rows_jit, _subblock_energy_jit
+        T = Gpad * SPF
+        blocks = []
+        i = 0
+        while i < B:
+            chunk = recs[i][0]
+            k = i
+            while k < B and recs[k][0] is chunk:
+                k += 1
+            blocks.append(_gather_rows_jit(T, nch)(
+                chunk,
+                jnp.asarray(np.array([recs[t][1] for t in range(i, k)],
+                                     np.int32)),
+                jnp.asarray(np.array([recs[t][2] for t in range(i, k)],
+                                     np.int32)),
+                jnp.asarray(np.array(ns[i:k], np.int32))))
+            i = k
+        pcm_bnt = blocks[0] if len(blocks) == 1 else \
+            jnp.concatenate(blocks, axis=0)                 # [B, nch, T]
+        if short_blocks:
+            # reduction on device, decision on host — same semantics as
+            # the host path (shared block_types_from_subblock_energy);
+            # energies are f32 here vs f64 there (ULP-level, tested)
+            from .psymodel import block_types_from_subblock_energy
+            e = np.asarray(_subblock_energy_jit(MDCT_ALIGN)(pcm_bnt),
+                           np.float64)                      # [B, T//64]
+            bts_s = [block_types_from_subblock_energy(e[s, : G_s[s] * 9])
+                     for s in range(B)]
+        else:
+            bts_s = [np.zeros(G, np.int64) for G in G_s]
+        pcm_dev = jnp.pad(pcm_bnt.reshape(B * nch, T),
+                          ((0, Bpad - B * nch), (0, 0)))
+        staged_i16 = True
+    else:
+        pcm_b = np.zeros((Bpad, Gpad * SPF), np.float32)
+        for s in range(B):
+            for c in range(nch):
+                pcm_b[s * nch + c, : G_s[s] * SPF] = pad_s[s][:, c]
+        pcm_dev, staged_i16 = stage_pcm(pcm_b)
+        if mesh is not None:
+            # P2 sharding seam: place the staged PCM stream-sharded;
+            # every downstream jit (transform/psymodel/prep/loops)
+            # compiles SPMD from the input sharding (compute follows
+            # data)
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            pcm_dev = jax.device_put(pcm_dev,
+                                     NamedSharding(mesh, P("streams")))
     bts_b = np.zeros((Bpad, Gpad), np.int64)
     for s in range(B):
         for c in range(nch):
-            pcm_b[s * nch + c, : G_s[s] * SPF] = pad_s[s][:, c]
             bts_b[s * nch + c, : G_s[s]] = bts_s[s]
-    pcm_dev, staged_i16 = stage_pcm(pcm_b)
     if _prof:
         _ph['stage_int16'] = int(staged_i16)
-    if mesh is not None:
-        # P2 sharding seam: place the staged PCM stream-sharded; every
-        # downstream jit (transform/psymodel/prep/loops) compiles SPMD
-        # from the input sharding (compute follows data)
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        pcm_dev = jax.device_put(pcm_dev,
-                                 NamedSharding(mesh, P("streams")))
     _mark('stage')
     X = granule_spectra_device_handle(pcm_dev, bts_b, sample_rate)
     if noise_shaping:

@@ -138,6 +138,47 @@ def stage_pcm(pcm_b: np.ndarray):
     return _dequant_i16_jit()(stage_chunked(i16)), True
 
 
+@functools.lru_cache(maxsize=None)
+def _gather_rows_jit(T: int, nch: int):
+    """Device-resident encode input (SURVEY.md §3.2 chained the other
+    way): pull trimmed, zero-padded, dequantized stream rows straight
+    out of a DecodedBatch int16 chunk — the PCM never crosses the
+    host boundary between decode and encode (transcode path)."""
+    @jax.jit
+    def g(chunk_i16, rows, skips, lens):
+        """chunk int16 [S, n, C]; rows/skips/lens int32 [K] ->
+        f32 [K, nch, T]: stream k's [skips[k], skips[k]+lens[k]) PCM,
+        dequantized k/2^15 (exact in f32 — identical to stage_pcm's
+        int16-origin staging), zero-padded to T."""
+        j = jnp.arange(T, dtype=jnp.int32)
+        n = chunk_i16.shape[1]
+        idx = jnp.minimum(skips[:, None] + j[None], jnp.int32(n - 1))
+        sel = jnp.take(chunk_i16, rows, axis=0)               # [K, n, C]
+        x = jnp.take_along_axis(sel, idx[:, :, None], axis=1)  # [K, T, C]
+        x = jnp.where(j[None, :, None] < lens[:, None, None], x,
+                      jnp.int16(0))
+        out = x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        return out[:, :, :nch].transpose(0, 2, 1)             # [K, nch, T]
+    return g
+
+
+@functools.lru_cache(maxsize=None)
+def _subblock_energy_jit(align: int):
+    """64-sample sub-block energies of the high-passed channel mean —
+    block_type_sequence's reduction half, on device (the decision half
+    stays host: psymodel.block_types_from_subblock_energy). `align`
+    applies align_to_mdct's delay inside the same dispatch."""
+    @jax.jit
+    def f(pcm_bnt):
+        """f32 [B, nch, T] (T % 64 == 0) -> e f32 [B, T//64]."""
+        x = jnp.mean(pcm_bnt, axis=1)                          # [B, T]
+        T = x.shape[1]
+        x = jnp.pad(x, ((0, 0), (align, 0)))[:, :T]
+        hp = x - jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+        return jnp.sum(hp.reshape(x.shape[0], T // 64, 64) ** 2, axis=2)
+    return f
+
+
 def granule_spectra_device_handle(pcm_dev, block_types: np.ndarray,
                                   sample_rate: int):
     """As granule_spectra_device_batch but takes an ALREADY-STAGED

@@ -278,7 +278,22 @@ def block_type_sequence(pcm: np.ndarray, sample_rate: int,
     # granule, head starting the next) is never missed — the per-granule
     # formulation reset its baseline at each boundary and lost exactly
     # those onsets.
-    e = (hp[: G * SPF].reshape(G * 9, 64) ** 2).sum(axis=1) + floor
+    e = (hp[: G * SPF].reshape(G * 9, 64) ** 2).sum(axis=1)
+    return block_types_from_subblock_energy(e, attack_ratio, floor)
+
+
+def block_types_from_subblock_energy(e: np.ndarray,
+                                     attack_ratio: float = 8.0,
+                                     floor: float = 1e-6) -> np.ndarray:
+    """block_type_sequence's decision half, from precomputed 64-sample
+    sub-block energies e [G*9] (sum of squared high-pass samples). The
+    device-resident encode path computes e ON DEVICE (device.py
+    _subblock_energy_jit) and downloads only these tiny rows — the
+    label semantics live here, shared with the host-PCM path."""
+    G = len(e) // 9
+    if G == 0:
+        return np.zeros(0, np.int64)
+    e = e[: G * 9].astype(np.float64) + floor
     from numpy.lib.stride_tricks import sliding_window_view
     prev = np.concatenate([np.full(9, e[0]), e[:-1]])
     ctx = sliding_window_view(prev, 9)            # [G*9, 9] trailing blocks

@@ -65,6 +65,23 @@ def test_play_segment_slow(mp3_path, tmp_path, capsys):
     assert abs(w.getnframes() - span * 44100 / 0.5) <= N_FFT
 
 
+def test_transcode_subcommand(mp3_path, tmp_path, capsys):
+    """Batched re-encode at a new bitrate through the device-resident
+    handle path: outputs decode to the same audio."""
+    cli.main(["transcode", mp3_path, "-b", "96", "-d", str(tmp_path)])
+    d = _last_json(capsys)
+    assert len(d["outputs"]) == 1
+    import mp3tpu
+    p0, r0 = mp3tpu.decode(mp3_path)
+    p1, r1 = mp3tpu.decode(d["outputs"][0])
+    assert r1 == r0
+    n = min(len(p0), len(p1))
+    a = p0[:n].astype(np.float64)
+    b = p1[:n].astype(np.float64)
+    ref = np.sqrt(np.mean(a ** 2)) + 1e-9
+    assert np.sqrt(np.mean((a - b) ** 2)) / ref < 0.25
+
+
 def test_practice_subcommand(mp3_path, tmp_path, capsys):
     """The whole study session as one command: every sentence x2 with
     a 0.1 s shadowing gap, written to a WAV."""
