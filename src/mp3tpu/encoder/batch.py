@@ -411,6 +411,15 @@ def encode_batch(pcms, sample_rate: int | None = None,
     _mark('passA_walk')
 
     # ---- device quantization --------------------------------------------
+    # device emission (encoder/emit_device.py): the deferred/reservoir
+    # path downloads packed bitstream bytes instead of spectra
+    device_emit = (reservoir and bool(getattr(ecfg, "device_emit", True))
+                   and os.environ.get("MP3TPU_DEVICE_EMIT", "1") != "0")
+    from . import native_emit
+    CAP = native_emit._CAP
+    bits_bytes = np.zeros((n_gc, CAP), np.uint8)
+    meta = np.zeros((n_gc, 6), np.int32)
+    emitted = np.zeros(n_gc, bool)
     ix_a = np.zeros((n_gc, 576), np.int16)
     gg_a = np.full(n_gc, 210, np.int64)
     lsf_a = np.zeros((n_gc, 21), np.int64)
@@ -471,7 +480,9 @@ def encode_batch(pcms, sample_rate: int | None = None,
                                 rows_dev, xminl_dev, vid[idx[sel]], b[sel],
                                 sample_rate, block_type=int(bt))
                         o_lsf[sel], o_bits[sel] = sf, bits
-                    pend_list.append((idx[sel], "long", pend))
+                    pend_list.append((idx[sel], "long",
+                                      "long" if bt == 0 else "switched",
+                                      b[sel], pend))
                     continue
                 gg, sf, _has, ix, bits, ts, c1 = \
                     vloop_device.outer_rows_gathered(
@@ -492,7 +503,8 @@ def encode_batch(pcms, sample_rate: int | None = None,
                             rows_dev, xmins_dev, vid[idx[sel]], b[sel],
                             sample_rate)
                     o_ssf[sel], o_bits[sel] = sf, bits
-                pend_list.append((idx[sel], "short", pend))
+                pend_list.append((idx[sel], "short", "short", b[sel],
+                                  pend))
             else:
                 gg, sf, sbg, _has, ix, bits, ts, c1 = \
                     vloop_device.outer_rows_short_gathered(
@@ -515,7 +527,9 @@ def encode_batch(pcms, sample_rate: int | None = None,
                                 rows_dev, vid[idx[sel]], b[sel],
                                 sample_rate, int(bt))
                         o_bits[sel] = bits
-                    pend_list.append((idx[sel], "rate", pend))
+                    lay = ("long" if bt == 0
+                           else "short" if bt == 2 else "switched")
+                    pend_list.append((idx[sel], "rate", lay, b[sel], pend))
                     continue
                 gg, _has, ix, bits, ts, c1 = \
                     vloop_device.rate_rows_gathered(
@@ -529,16 +543,53 @@ def encode_batch(pcms, sample_rate: int | None = None,
             return (o_bits, o_lsf, o_ssf), pend_list
         return o_ix, o_gg, o_lsf, o_ssf, o_sbg, o_bits, o_ts, o_c1
 
-    def finalize_pending(pend_list, keep_mask):
+    def finalize_pending(pend_list, keep_mask, verify_p23=False):
         """Download deferred results for the rows keep_mask selects
         (identical values to the eager path: same device Arrays,
         post-processed by the same post_* helpers). Entries carry the
-        GLOBAL gc ids of their rows; fetch_rows takes local positions."""
-        for gids, kind, pend in pend_list:
+        GLOBAL gc ids of their rows; fetch_rows takes local positions.
+
+        With device_emit on, the packed part2+part3 BYTES download
+        instead of the spectra (emit_device via _Pending.emit_and_take
+        — ~83% of the path's D2H removed); bits_bytes/meta/p23 are
+        written directly and the host emitter is bypassed for these
+        rows. verify_p23 pins the count==emit contract against the
+        host-side pass-A predictions."""
+        for gids, kind, layout, bud, pend in pend_list:
             loc = np.nonzero(keep_mask[gids])[0]
             if not len(loc):
                 continue
             tgt = gids[loc]
+            if device_emit:
+                cap_bits = np.minimum(bud + 94, 3994)
+                by, m5, gg, tcols, c1, hb, sbg = pend.emit_and_take(
+                    kind, layout, sample_rate, kind != "rate", cap_bits)
+                wb = by.shape[1]
+                bits_bytes[tgt, :wb] = by[loc]
+                meta[tgt, :5] = m5[loc]
+                gg_a[tgt] = gg[loc]
+                tsel_a[tgt] = vloop_device._TID[tcols[loc].astype(np.int64)]
+                c1t_a[tgt] = c1[loc]
+                hbits_a[tgt] = hb[loc]
+                if sbg is not None:
+                    sbg_a[tgt] = sbg[loc]
+                # count == emit, device-to-device: the emitter's bit
+                # total must equal the count kernel's huffman bits plus
+                # the scalefactor side bits its sfc implies
+                sfc = m5[loc, 2].astype(np.int64)
+                if layout == "short":
+                    sfb = 18 * (vloop._SLEN1[sfc] + vloop._SLEN2[sfc])
+                else:
+                    sfb = 11 * vloop._SLEN1[sfc] + 10 * vloop._SLEN2[sfc]
+                assert np.array_equal(m5[loc, 0].astype(np.int64),
+                                      hb[loc].astype(np.int64) + sfb), \
+                    "device emitter/count drift"
+                if verify_p23:  # vs the host pass-A prediction
+                    assert np.array_equal(m5[loc, 0].astype(np.int64),
+                                          p23[tgt]), "emitter/p23 drift"
+                p23[tgt] = m5[loc, 0]
+                emitted[tgt] = True
+                continue
             raw = pend.fetch_rows(loc)
             if kind == "long":
                 gg, sf, _has, ix, bits, ts, c1 = vloop_device.post_long(raw)
@@ -668,44 +719,54 @@ def encode_batch(pcms, sample_rate: int | None = None,
         if upg_idx_parts:
             ubud = np.concatenate(upg_bud_parts)
             pend_b = quantize_rows_dev(uidx, ubud, defer="pending")
-            for _g, _k, pend in pend_a:
-                pend.prefetch()
-            finalize_pending(pend_a, keep_mask)
+            if not device_emit:
+                # emitted mode never downloads the wire spectra, so
+                # there is nothing worth prefetching ahead of pass B
+                for _g, _k, _l, _b, pend in pend_a:
+                    pend.prefetch()
+            finalize_pending(pend_a, keep_mask, verify_p23=device_emit)
             finalize_pending(pend_b, ~keep_mask)
-            p23[uidx] = p23_of(uidx)
+            if not device_emit:
+                p23[uidx] = p23_of(uidx)
         else:
-            finalize_pending(pend_a, keep_mask)
+            finalize_pending(pend_a, keep_mask, verify_p23=device_emit)
         pend_a = None
     _mark('passB_upgrade')
 
-    # ---- emission: native batched emitter -------------------------------
+    # ---- emission: host path for rows the device didn't emit ------------
+    # (all of them with device_emit off / the eager no-reservoir path;
+    # none with it on — the deferred finalize wrote bits_bytes directly)
+    todo = np.nonzero(~emitted)[0]
     use_sf = np.full(n_gc, bool(noise_shaping))
-    from . import native_emit
     from ..bitstream import native as _nat
     import ctypes
     lib = _nat._load()
-    have_native = lib is not None and hasattr(lib, "mp3tpu_encode_rows")
-    CAP = native_emit._CAP
-    bits_bytes = np.zeros((n_gc, CAP), np.uint8)
-    meta = np.zeros((n_gc, 6), np.int32)
+    have_native = (len(todo) > 0 and lib is not None
+                   and hasattr(lib, "mp3tpu_encode_rows"))
     if have_native:
+        nt = len(todo)
         pp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
-        ix16 = np.ascontiguousarray(ix_a, np.int16)
-        bt8 = np.ascontiguousarray(bt_all, np.uint8)
-        us8 = np.ascontiguousarray(use_sf, np.uint8)
-        lsf16 = np.ascontiguousarray(lsf_a, np.int16)
-        ssf16 = np.ascontiguousarray(ssf_a.reshape(n_gc, 36), np.int16)
-        ts16 = np.ascontiguousarray(tsel_a, np.int16)
-        c18 = np.ascontiguousarray(c1t_a, np.uint8)
+        ix16 = np.ascontiguousarray(ix_a[todo], np.int16)
+        bt8 = np.ascontiguousarray(bt_all[todo], np.uint8)
+        us8 = np.ascontiguousarray(use_sf[todo], np.uint8)
+        lsf16 = np.ascontiguousarray(lsf_a[todo], np.int16)
+        ssf16 = np.ascontiguousarray(ssf_a[todo].reshape(nt, 36), np.int16)
+        ts16 = np.ascontiguousarray(tsel_a[todo], np.int16)
+        c18 = np.ascontiguousarray(c1t_a[todo], np.uint8)
+        bb = np.zeros((nt, CAP), np.uint8)
+        mt = np.zeros((nt, 6), np.int32)
         fn = lib.mp3tpu_encode_rows
         fn.restype = ctypes.c_int
         rr = fn(pp(ix16), pp(bt8), pp(us8), pp(lsf16), pp(ssf16), pp(ts16),
                 pp(c18), ctypes.c_int32(native_emit._SR9[sample_rate]),
-                ctypes.c_int32(n_gc), pp(bits_bytes), ctypes.c_int32(CAP),
-                pp(meta))
+                ctypes.c_int32(nt), pp(bb), ctypes.c_int32(CAP),
+                pp(mt))
         have_native = rr == 0
+        if have_native:
+            bits_bytes[todo] = bb
+            meta[todo] = mt
     if not have_native:
-        for i in range(n_gc):
+        for i in todo:
             b = int(bt_all[i])
             kw = {}
             if use_sf[i] and b != 2:

@@ -38,7 +38,9 @@ from .vloop import _SLEN1, _SLEN2
 
 SPF = 576
 FIELDS = 36 + 288 * 5 + 144 * 5          # sf + pairs + quads
-CAP_WORDS = 132                          # > 4095-bit part2_3 + 1 spill word
+# 4095-bit part2_3 max = 128 words + 1 spill; 130 words == the native
+# emitter's 520-byte row cap, so device byte rows drop straight in
+CAP_WORDS = 130
 
 
 @functools.lru_cache(maxsize=None)
@@ -256,7 +258,9 @@ def _jit_emit(sample_rate: int, layout: str, use_sf: bool, W: int):
             [Ls, Lp.reshape(R, -1), Lq.reshape(R, -1)], axis=1)
         nbits = jnp.sum(L, axis=1).astype(jnp.int32)
         words = _pack_words(jnp, V, L, W)
-        return words, nbits, bv.astype(jnp.int32), sfc, r0c, r1c
+        meta = jnp.stack([nbits, bv.astype(jnp.int32), sfc, r0c, r1c],
+                         axis=1)              # one small D2H per block
+        return words, meta
 
     return emit
 
@@ -264,9 +268,10 @@ def _jit_emit(sample_rate: int, layout: str, use_sf: bool, W: int):
 def emit_rows_device(ix, sf, tsel_cols, c1sel, sample_rate: int,
                      layout: str, use_sf: bool, W: int = CAP_WORDS):
     """Emit rows on device from device (or host) arrays; returns device
-    arrays (words u32 [R, W] MSB-first big-endian word stream, nbits,
-    bv, sfc, r0c, r1c). tsel_cols are TABLE_IDS COLUMN indices (the
-    loop kernels' selr output), not raw table ids."""
+    arrays (words u32 [R, W] MSB-first big-endian word stream,
+    meta i32 [R, 5] = (part2_3_length, big_values, scalefac_compress,
+    region0_count, region1_count)). tsel_cols are TABLE_IDS COLUMN
+    indices (the loop kernels' selr output), not raw table ids."""
     return _jit_emit(sample_rate, layout, bool(use_sf), W)(
         ix, sf, tsel_cols, c1sel)
 

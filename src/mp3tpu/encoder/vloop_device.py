@@ -735,6 +735,77 @@ class _Pending:
         _prof_add("dl_bytes", nbytes)
         return tuple(outs)
 
+    # raw-output slot indices per block kind (wire layout: plane at
+    # ix_idx, (pos, vals, nesc) appended)
+    _EMIT_IDX = {
+        "long": dict(sf=1, selr=5, c1=6, gg=0, bits=4, sbg=None),
+        "short": dict(sf=1, selr=6, c1=7, gg=0, bits=5, sbg=2),
+        "rate": dict(sf=None, selr=4, c1=5, gg=0, bits=3, sbg=None),
+    }
+
+    def emit_and_take(self, kind, layout, sample_rate, use_sf, bits_cap):
+        """Device-emit every block row (encoder/emit_device.py) and
+        download the packed part2+part3 BYTES plus the side-info
+        smalls — the spectra never cross the tunnel (they are ~83% of
+        the encode path's D2H; docs/encode_batch_notes.md).
+
+        bits_cap: host-known per-local-row upper bound on part2_3 bits
+        (pass-A p23 predictions / pass-B budgets) -> the downloaded
+        word-slice width per block, stepped to bound executable count.
+
+        Returns host arrays aligned with the pend's local rows:
+        (bytes [n, <=520], meta [n, 5] (p23, bv, sfc, r0c, r1c),
+        gg, tsel_cols, c1, hbits, sbg-or-None)."""
+        import time
+        import jax.numpy as jnp
+        from . import emit_device
+        IDX = self._EMIT_IDX[kind]
+        t0 = time.perf_counter()
+        per_block = []
+        lo = 0
+        for (cnt, blk), raw_ix in zip(self.blocks, self.raw):
+            R = raw_ix.shape[0]
+            if IDX["sf"] is not None and use_sf:
+                sf = blk[IDX["sf"]]
+            else:
+                sf = jnp.zeros((R, 3, 12) if layout == "short" else (R, 21),
+                               jnp.int32)
+            words, meta = emit_device.emit_rows_device(
+                raw_ix, sf, blk[IDX["selr"]], blk[IDX["c1"]],
+                sample_rate, layout, use_sf)
+            cap = int(bits_cap[lo: lo + cnt].max(initial=0))
+            W0 = min(emit_device.CAP_WORDS, max(cap + 31, 31) // 32 + 1)
+            W0 = min(-(-W0 // 32) * 32, emit_device.CAP_WORDS)  # 4 shapes
+            outs = [words[:, :W0], meta, blk[IDX["gg"]],
+                    blk[IDX["selr"]], blk[IDX["c1"]], blk[IDX["bits"]]]
+            if IDX["sbg"] is not None:
+                outs.append(blk[IDX["sbg"]])
+            _async_copy(outs)
+            per_block.append((cnt, outs))
+            lo += cnt
+        _prof_add("emit_dispatch_s", time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        cols = []
+        nbytes = 0
+        n_outs = len(per_block[0][1])
+        for o in range(n_outs):
+            parts = []
+            for cnt, outs in per_block:
+                h = np.asarray(outs[o])
+                nbytes += h.nbytes
+                if o == 0:  # words -> byte rows, zero-padded to align
+                    h = emit_device.words_to_bytes(h)
+                parts.append(h[:cnt])
+            w = max(p.shape[1] for p in parts) if parts[0].ndim > 1 else None
+            if o == 0 and w is not None:
+                parts = [np.pad(p, ((0, 0), (0, w - p.shape[1])))
+                         for p in parts]
+            cols.append(np.concatenate(parts))
+        _prof_add("materialize_s", time.perf_counter() - t0)
+        _prof_add("dl_bytes", nbytes)
+        sbg = cols[6] if len(cols) > 6 else None
+        return (cols[0], cols[1], cols[2], cols[3], cols[4], cols[5], sbg)
+
     def fetch_rows(self, rows):
         """Full logical outputs for the given local row positions.
         Small row sets ride a one-dispatch device gather (padded to a

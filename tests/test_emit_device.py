@@ -61,16 +61,16 @@ def _check_layout(rows, bt, layout, use_sf, lsf=None, ssf=None):
     else:
         sf = (np.zeros((n, 21), np.int32) if lsf is None
               else lsf.astype(np.int32))
-    words, nbits, bv, sfc, r0c, r1c = emit_rows_device(
-        rows, sf, tsel, c1, SR, layout, use_sf)
+    words, meta = emit_rows_device(rows, sf, tsel, c1, SR, layout, use_sf)
+    meta = np.asarray(meta)
     got = words_to_bytes(np.asarray(words))
     for i in range(n):
-        assert int(nbits[i]) == gs[i].part2_3_length, i
+        assert int(meta[i, 0]) == gs[i].part2_3_length, i
         assert np.array_equal(got[i], refs[i]), i
-        assert int(bv[i]) == gs[i].big_values, i
-        assert int(sfc[i]) == gs[i].scalefac_compress, i
-        assert int(r0c[i]) == gs[i].region0_count, i
-        assert int(r1c[i]) == gs[i].region1_count, i
+        assert int(meta[i, 1]) == gs[i].big_values, i
+        assert int(meta[i, 2]) == gs[i].scalefac_compress, i
+        assert int(meta[i, 3]) == gs[i].region0_count, i
+        assert int(meta[i, 4]) == gs[i].region1_count, i
 
 
 def test_long_plain():
@@ -125,6 +125,26 @@ def test_degenerate_rows():
     _check_layout(rows, 0, "long", False)
 
 
+def test_encode_batch_device_emit_identity(monkeypatch):
+    """encode_batch bytes are identical with device emission on (packed
+    bytes download, host emitter bypassed) and off (wire spectra +
+    native emitter) — transients included so short/switched layouts and
+    the pass-B upgrade path are all crossed."""
+    import fixtures
+    from mp3tpu.encoder import encode_batch
+    rng = np.random.default_rng(7)
+    t = np.arange(int(1.5 * SR)) / SR
+    tone = np.stack([np.sin(2 * np.pi * 330 * t) * 0.5,
+                     np.sin(2 * np.pi * 440 * t) * 0.4], 1)
+    clicky = fixtures.transients(1.2, SR)
+    pcms = [tone, clicky, 0.25 * rng.standard_normal((len(t), 2))]
+    monkeypatch.setenv("MP3TPU_DEVICE_EMIT", "1")
+    on = encode_batch(pcms, SR, bitrate=128)
+    monkeypatch.setenv("MP3TPU_DEVICE_EMIT", "0")
+    off = encode_batch(pcms, SR, bitrate=128)
+    assert on == off
+
+
 def test_production_loop_rows():
     """Rows produced by the REAL device rate loop on random spectra:
     emission must agree with the host emitter under the loop's own
@@ -141,15 +161,16 @@ def test_production_loop_rows():
     gg, _has, ix, bits, tsel, c1 = vloop_device.rate_rows_gathered(
         jnp.asarray(xr), idx, budgets, SR, 0)
     tcols = np.vectorize(COL_OF.get)(tsel)
-    words, nbits, bv, _sfc, _r0, _r1 = emit_rows_device(
+    words, meta = emit_rows_device(
         ix.astype(np.int32), np.zeros((len(ix), 21), np.int32),
         tcols.astype(np.int32), c1.astype(np.int32), SR, "long", False)
+    meta = np.asarray(meta)
     got = words_to_bytes(np.asarray(words))
     for i in range(n):
         g = encode_granule(np.asarray(ix[i], np.int32), int(gg[i]), SR, 0,
                            tsel=tuple(int(t) for t in tsel[i]),
                            c1table=int(c1[i]))
-        assert int(nbits[i]) == g.part2_3_length == int(bits[i]), i
+        assert int(meta[i, 0]) == g.part2_3_length == int(bits[i]), i
         ref = np.zeros(CAP_WORDS * 4, np.uint8)
         row = np.packbits(np.asarray(g.bits.bits, np.uint8))
         ref[: len(row)] = row
