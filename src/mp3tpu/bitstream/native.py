@@ -30,7 +30,8 @@ def _load():
     if os.environ.get("MP3TPU_NO_NATIVE"):
         return None
     try:
-        srcs = [os.path.join(_DIR, f) for f in ("unpack.cpp", "encode_rows.cpp")]
+        srcs = [os.path.join(_DIR, f)
+                for f in ("unpack.cpp", "encode_rows.cpp", "mux_stream.cpp")]
         if not os.path.exists(_SO) or (
                 os.path.getmtime(_SO) < max(os.path.getmtime(s) for s in srcs)):
             subprocess.run(["make", "-s", "-C", _DIR], check=True, capture_output=True)
@@ -48,6 +49,14 @@ def _load():
             [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32] +
             [ctypes.c_void_p] * 8 + [ctypes.c_int32] * 3 +
             [ctypes.c_void_p] * 2 + [ctypes.c_int32])
+        try:  # stale .so without the mux entry -> Python mux fallback
+            lib.mp3tpu_mux_stream.restype = ctypes.c_int64
+            lib.mp3tpu_mux_stream.argtypes = (
+                [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+                + [ctypes.c_void_p] * 11 + [ctypes.c_int32] * 6
+                + [ctypes.c_void_p, ctypes.c_int64])
+        except AttributeError:
+            pass
         _lib = lib
     except Exception:
         _lib = None

@@ -237,13 +237,12 @@ def encode_batch(pcms, sample_rate: int | None = None,
         padded = np.zeros((G * SPF, nch))
         padded[:n] = a
         pad_s.append(padded)
-        # labels on the MDCT-aligned copy (see psymodel.MDCT_ALIGN):
-        # granule g's spectrum holds time content delayed by the
-        # analysis chain, so unshifted labels switch one granule early
-        bts_s.append(block_type_sequence(align_to_mdct(padded), sample_rate)
-                     if short_blocks else np.zeros(G, np.int64))
+        # labels are computed AFTER the staging puts are issued (below):
+        # the tunnel moves the staged PCM while this host thread labels,
+        # measured full overlap when the transfers are enqueued first
+        # (tools/h2d_overlap_timing.py; docs/encode_batch_notes.md)
     Gmax = max(G_s)
-    _mark('host_prep_labels')
+    _mark('host_prep')
 
     # ---- stage once; transform + psymodel on device ---------------------
     from .device import granule_spectra_device_handle, stage_pcm
@@ -304,6 +303,15 @@ def encode_batch(pcms, sample_rate: int | None = None,
             from jax.sharding import NamedSharding, PartitionSpec as P
             pcm_dev = jax.device_put(pcm_dev,
                                      NamedSharding(mesh, P("streams")))
+        # block-type labels on the MDCT-aligned copy (psymodel.MDCT_ALIGN:
+        # granule g's spectrum holds time content delayed by the analysis
+        # chain, so unshifted labels switch one granule early) — computed
+        # HERE, after the staging puts are enqueued, so this host work
+        # rides inside the H2D flight window instead of serializing
+        # before it (~0.8 s at B=64; tools/h2d_overlap_timing.py)
+        bts_s = [block_type_sequence(align_to_mdct(pad_s[s]), sample_rate)
+                 if short_blocks else np.zeros(G_s[s], np.int64)
+                 for s in range(B)]
     bts_b = np.zeros((Bpad, Gpad), np.int64)
     for s in range(B):
         for c in range(nch):

@@ -19,6 +19,9 @@ from .mux import FrameSizer, ReservoirMux, frame_capacity_bits
 MAX_BACK = ReservoirMux.MAX_BACK
 
 
+FORCE_PYTHON_MUX = False  # test hook: pin the Python reference mux
+
+
 def assemble_stream(bits_bytes: np.ndarray, p23: np.ndarray,
                     bv: np.ndarray, gg: np.ndarray, sfc: np.ndarray,
                     block_type: np.ndarray, tsel: np.ndarray,
@@ -30,7 +33,60 @@ def assemble_stream(bits_bytes: np.ndarray, p23: np.ndarray,
 
     bits_bytes [n_gc, cap] uint8 (MSB-first, zero-padded); all other
     per-gc arrays ordered frame-major, granule-major, channel-minor.
-    """
+    Dispatches to the C++ mux (native/mux_stream.cpp, ~90x less
+    host-serial wall at batch scale) when available; this module's
+    _assemble_python is the semantics reference and mandatory fallback,
+    byte-identical (tested both ways in test_vectorized_encoder)."""
+    if not FORCE_PYTHON_MUX:
+        body = _assemble_native(bits_bytes, p23, bv, gg, sfc, block_type,
+                                tsel, sbg, r0c, r1c, c1t, ms_f, nch,
+                                sr_idx, br_idx, sample_rate, bitrate)
+        if body is not None:
+            return body
+    return _assemble_python(bits_bytes, p23, bv, gg, sfc, block_type,
+                            tsel, sbg, r0c, r1c, c1t, ms_f, nch,
+                            sr_idx, br_idx, sample_rate, bitrate)
+
+
+def _assemble_native(bits_bytes, p23, bv, gg, sfc, block_type, tsel, sbg,
+                     r0c, r1c, c1t, ms_f, nch, sr_idx, br_idx,
+                     sample_rate, bitrate):
+    import ctypes
+
+    from ..bitstream import native as _nat
+    lib = _nat._load()
+    if lib is None or not hasattr(lib, "mp3tpu_mux_stream"):
+        return None
+    n_gc = len(p23)
+    n_frames = n_gc // (2 * nch)
+    side = 17 if nch == 1 else 32
+    # worst-case output: every frame padded
+    out_cap = n_frames * (144 * bitrate * 1000 // sample_rate + 1)
+    out = np.empty(out_cap, np.uint8)
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    bb = np.ascontiguousarray(bits_bytes, np.uint8)
+    arrs = [i32(a) for a in (p23, bv, gg, sfc, block_type,
+                             tsel, sbg, r0c, r1c, c1t)]
+    msb = np.ascontiguousarray(np.asarray(ms_f, np.uint8))
+    assert len(msb) == n_frames, (len(msb), n_frames, side)
+    pp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    n = lib.mp3tpu_mux_stream(
+        pp(bb), n_gc, bits_bytes.shape[1], *[pp(a) for a in arrs],
+        pp(msb), nch, sr_idx, br_idx, sample_rate, bitrate * 1000,
+        MAX_BACK, pp(out), out_cap)
+    if n < 0:
+        return None
+    return bytes(out[:n].tobytes())
+
+
+def _assemble_python(bits_bytes: np.ndarray, p23: np.ndarray,
+                     bv: np.ndarray, gg: np.ndarray, sfc: np.ndarray,
+                     block_type: np.ndarray, tsel: np.ndarray,
+                     sbg: np.ndarray, r0c: np.ndarray, r1c: np.ndarray,
+                     c1t: np.ndarray, ms_f: np.ndarray,
+                     nch: int, sr_idx: int, br_idx: int,
+                     sample_rate: int, bitrate: int) -> bytes:
+    """Pure-Python reference implementation (see assemble_stream)."""
     n_gc = len(p23)
     n_frames = n_gc // (2 * nch)
     sizer = FrameSizer(sample_rate, bitrate * 1000)

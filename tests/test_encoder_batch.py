@@ -284,3 +284,32 @@ def test_int16_staging_bit_identical():
     bad = [p + 1e-9 for p in pcms]
     out = encode_batch(bad, sr, bitrate=128)
     assert all(len(b) > 400 for b in out)
+
+
+def test_native_mux_byte_identical():
+    """The C++ mux (native/mux_stream.cpp) must be byte-identical to
+    the Python reference for real encodes, including streams that
+    saturate the reservoir back-window (quiet audio drives the walk's
+    MAX_BACK=400 clamp every frame — the clamp is where a native port
+    can silently diverge; it did during development)."""
+    from mp3tpu.bitstream import native as bnat
+    from mp3tpu.encoder import encode_batch, mux_packed
+    if bnat._load() is None or not hasattr(bnat._load(), "mp3tpu_mux_stream"):
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    sr = 44100
+    n = int(1.2 * sr)
+    t = np.arange(n) / sr
+    loud = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(n)
+    loud[n // 2: n // 2 + 800] += 0.5 * rng.standard_normal(800)  # short blocks
+    quiet = 0.003 * np.sin(2 * np.pi * 220 * t)  # reservoir clamp saturates
+    for streams in ([np.stack([loud, 0.7 * loud], 1), quiet[:, None] * [1, 1]],
+                    [loud[:, None]], [quiet[:, None]]):
+        mux_packed.FORCE_PYTHON_MUX = True
+        try:
+            ref = encode_batch(streams, sr, bitrate=128)
+        finally:
+            mux_packed.FORCE_PYTHON_MUX = False
+        got = encode_batch(streams, sr, bitrate=128)
+        assert all(a == b for a, b in zip(ref, got))
