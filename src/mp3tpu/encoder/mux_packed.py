@@ -36,7 +36,8 @@ def assemble_stream(bits_bytes: np.ndarray, p23: np.ndarray,
     Dispatches to the C++ mux (native/mux_stream.cpp, ~90x less
     host-serial wall at batch scale) when available; this module's
     _assemble_python is the semantics reference and mandatory fallback,
-    byte-identical (tested both ways in test_vectorized_encoder)."""
+    byte-identical (test_encoder_batch.test_native_mux_byte_identical
+    pins both ways, incl. reservoir-clamp-saturated quiet streams)."""
     if not FORCE_PYTHON_MUX:
         body = _assemble_native(bits_bytes, p23, bv, gg, sfc, block_type,
                                 tsel, sbg, r0c, r1c, c1t, ms_f, nch,
