@@ -10,6 +10,15 @@ path) + TPU granule pipeline + fused device resampler. Baseline target
 is 1000x realtime aggregate (BASELINE.md); value is seconds of audio
 decoded per wall second on one chip.
 
+Official protocol (VERDICT r4 task 1 — weather-proof headline):
+`python bench.py` runs the measurement in 3 FRESH processes and prints
+the MEDIAN run's JSON with every run's value disclosed (`runs_x`).
+Each run is single-attempt — no in-run staging retry, so a tunnel
+flow-control collapse lands in that run's number and the median absorbs
+it, while a real regression (which moves all three runs) still fails
+`--assert`. `python bench.py --single` runs one measurement directly
+(dev/iteration use; `--no-api` skips the 64-stream API figures).
+
 Pipeline structure (SURVEY.md §2.4 P4, measured on this tunnel):
   * Phases run SERIALLY: this bench host has ONE cpu core, and the
     tunnel client's socket/serialization work is itself CPU-bound, so
@@ -70,7 +79,7 @@ def _fixture_mp3(seconds: float = 10.0, sr: int = 44100) -> bytes:
 HEADLINE_FLOOR = 1000.0
 
 
-def main():
+def main(with_api: bool = True):
     import jax
     import jax.numpy as jnp
     from mp3tpu.bitstream.unpack import unpack_fast
@@ -176,39 +185,31 @@ def main():
         assert _unpack_one(si)
     t_unpack = time.perf_counter() - t0
 
-    # ---- timed phase 2: staging — one async device_put pytree per
-    # group (6 planes, each <=2 MB), drained once at the end. The relay
-    # intermittently collapses ~10x for a stretch (flow-control weather);
-    # a pathological stage is an infrastructure hiccup, not a property
-    # of the pipeline — re-stage in-process (disclosed in `attempt`). ---
-    attempt = 0
-    stage_attempts = []   # EVERY attempt's wall, visible in the JSON
-    while True:
-        attempt += 1
-        ts0 = time.perf_counter()
-        dev_groups = []
-        staged_bytes = 0
-        arena_mode = "_arena" in groups[0]
-        for g in groups:
-            if arena_mode:
-                staged_bytes += g["_arena"].nbytes
-                dev_groups.append(jax.device_put(g["_arena"]))
-            else:
-                staged_bytes += sum(a.nbytes for a in g.values())
-                dev_groups.append(jax.device_put(g))
-        enqueue_t = time.perf_counter() - ts0
-        jax.block_until_ready(dev_groups)
-        t_stage = time.perf_counter() - ts0
-        stage_attempts.append(round(t_stage, 3))
-        if t_stage <= 1.5 or attempt >= 3:  # ~3x good-weather cost
-            break
-        del dev_groups
-        time.sleep(2.0)
+    # ---- timed phase 2: staging — one async device_put per group
+    # arena (<=2 MB each), drained once at the end. ONE attempt: no
+    # in-run retry — a flow-control collapse lands in THIS run's number,
+    # and the official headline is the MEDIAN of 3 fresh-process runs
+    # (see _official below), so one collapsed stretch can neither fake
+    # nor mask the result (VERDICT r4 task 1). ----------------------
+    ts0 = time.perf_counter()
+    dev_groups = []
+    staged_bytes = 0
+    arena_mode = "_arena" in groups[0]
+    for g in groups:
+        if arena_mode:
+            staged_bytes += g["_arena"].nbytes
+            dev_groups.append(jax.device_put(g["_arena"]))
+        else:
+            staged_bytes += sum(a.nbytes for a in g.values())
+            dev_groups.append(jax.device_put(g))
+    enqueue_t = time.perf_counter() - ts0
+    jax.block_until_ready(dev_groups)
+    t_stage = time.perf_counter() - ts0
+    stage_attempts = [round(t_stage, 3)]
+    attempt = 1
     stage_drain_t = t_stage - enqueue_t
     t_pipe = t_unpack + t_stage
-    # the un-retried wall: what the pipeline cost INCLUDING the weather
-    # (discarded attempts stay visible; the headline uses the kept one)
-    t_pipe_unretried = t_unpack + sum(stage_attempts)
+    t_pipe_unretried = t_pipe  # no retries: the kept wall IS the wall
 
     # one-time jit compile (untimed warmup: once per deployment, served
     # from the persistent compilation cache in production; SURVEY.md §3.5)
@@ -261,30 +262,10 @@ def main():
     assert int(np.abs(np.asarray(pcm16[0, :1000])).max()) > 0, "silent output"
 
     # ---- API-level figures on a 64-stream batch ----------------------
-    from mp3tpu.pipeline import decode_files
-    api_batch = [mp3] * 64
-    decode_files([mp3])  # warm that path's jit shapes (untimed)
-    # (a) public DEVICE-resident path (VERDICT r4 task 3): PCM stays in
-    # HBM — the serving-pipeline number, now reachable through the API
-    decode_files([mp3], output="device")   # warm (shares shapes)
-    td = time.perf_counter()
-    handle = decode_files(api_batch, output="device")
-    jax.block_until_ready(list({id(handle.device_pcm(i)[0]):
-                                handle.device_pcm(i)[0]
-                                for i in range(len(handle))}.values()))
-    t_dev_api = time.perf_counter() - td
-    dev_audio = sum((handle.device_pcm(i)[3] - handle.device_pcm(i)[2])
-                    / handle.sample_rates[i] for i in range(len(handle)))
-    api_dev_x = dev_audio / t_dev_api
-    del handle
-    # (b) materializing path, D2H INCLUDED (downloads are this tunnel's
-    # wall, ~0.04 GB/s — the honest user-facing number for host PCM)
-    ta = time.perf_counter()
-    api_out = decode_files(api_batch)
-    t_api = time.perf_counter() - ta
-    api_audio = sum(len(p) / s for p, s in api_out)
-    api_x = api_audio / t_api
-
+    api_x = api_dev_x = t_api = t_dev_api = None
+    if with_api:
+        _api_figures = _measure_api(mp3)
+        api_x, t_api, api_dev_x, t_dev_api = _api_figures
     upload_gbps = staged_bytes / max(t_stage, 1e-9) / 1e9
     value = audio_seconds_total / wall
     result = {
@@ -311,18 +292,96 @@ def main():
             "pipeline_unretried_s": round(t_pipe_unretried, 3),
             "x_unretried": round(audio_seconds_total /
                                  (t_pipe_unretried + t_dev), 1),
+        },
+    }
+    if with_api:
+        result["detail"].update({
             "api_decode_batch_x": round(api_x, 1),
             "api_decode_batch_s": round(t_api, 3),
             "api_device_batch_x": round(api_dev_x, 1),
             "api_device_batch_s": round(t_dev_api, 3),
-        },
-    }
+        })
     print(json.dumps(result))
-    if "--assert" in sys.argv and value < HEADLINE_FLOOR:
-        print(json.dumps({"floors": "FAIL", "value": round(value, 1),
-                          "floor": HEADLINE_FLOOR}))
-        sys.exit(1)
+    return result
+
+
+def _measure_api(mp3: bytes):
+    """Public decode_files figures on a 64-stream batch (run in the
+    first child only — compile shapes are shared across children via
+    the persistent cache, and the figure is not part of the median)."""
+    import time
+
+    import jax
+    from mp3tpu.pipeline import decode_files
+    api_batch = [mp3] * 64
+    decode_files([mp3])  # warm that path's jit shapes (untimed)
+    # (a) public DEVICE-resident path (VERDICT r4 task 3): PCM stays in
+    # HBM — the serving-pipeline number, now reachable through the API
+    decode_files([mp3], output="device")   # warm (shares shapes)
+    td = time.perf_counter()
+    handle = decode_files(api_batch, output="device")
+    jax.block_until_ready(list({id(handle.device_pcm(i)[0]):
+                                handle.device_pcm(i)[0]
+                                for i in range(len(handle))}.values()))
+    t_dev_api = time.perf_counter() - td
+    dev_audio = sum((handle.device_pcm(i)[3] - handle.device_pcm(i)[2])
+                    / handle.sample_rates[i] for i in range(len(handle)))
+    api_dev_x = dev_audio / t_dev_api
+    del handle
+    # (b) materializing path, D2H INCLUDED (downloads are this tunnel's
+    # wall, ~0.04 GB/s — the honest user-facing number for host PCM)
+    ta = time.perf_counter()
+    api_out = decode_files(api_batch)
+    t_api = time.perf_counter() - ta
+    api_audio = sum(len(p) / s for p, s in api_out)
+    return api_audio / t_api, t_api, api_dev_x, t_dev_api
+
+
+def _official():
+    """Median-of-3 protocol (VERDICT r4 task 1): run the measurement in
+    3 FRESH processes (fresh tunnel flow-control state, staging before
+    any compiled program loads — the production deployment shape), take
+    the run with the MEDIAN headline value, and print ITS JSON with all
+    three runs disclosed. No run is discarded: a flow-control collapse
+    lands in its run's number and the median absorbs it — one collapsed
+    stretch can neither sink the official number below the floor nor
+    hide a real regression (a regression moves ALL runs).
+
+    Each child is single-attempt (`attempt: 1`, `x_unretried == value`).
+    jit compiles are served from the persistent compilation cache, so
+    children beyond the first pay only warm-cache load (~12 s/program)."""
+    import subprocess
+    runs = []
+    for i in range(3):
+        cmd = [sys.executable, os.path.abspath(__file__), "--single"]
+        if i > 0:
+            cmd.append("--no-api")  # API figures measured once (child 1)
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=5400)
+        line = next((ln for ln in reversed(r.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if r.returncode != 0 or line is None:
+            sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
+            raise RuntimeError(f"bench child {i + 1} failed")
+        runs.append(json.loads(line))
+    ordered = sorted(runs, key=lambda x: x["value"])
+    med = ordered[1]
+    med["detail"]["protocol"] = "median-of-3-fresh-process"
+    med["detail"]["runs_x"] = [r["value"] for r in runs]
+    for k in ("api_decode_batch_x", "api_decode_batch_s",
+              "api_device_batch_x", "api_device_batch_s"):
+        if k in runs[0]["detail"] and k not in med["detail"]:
+            med["detail"][k] = runs[0]["detail"][k]
+    print(json.dumps(med))
+    return med
 
 
 if __name__ == "__main__":
-    main()
+    if "--single" in sys.argv:
+        out = main(with_api="--no-api" not in sys.argv)
+    else:
+        out = _official()
+    if "--assert" in sys.argv and out["value"] < HEADLINE_FLOOR:
+        print(json.dumps({"floors": "FAIL", "value": out["value"],
+                          "floor": HEADLINE_FLOOR}))
+        sys.exit(1)

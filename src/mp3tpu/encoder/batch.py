@@ -569,6 +569,7 @@ def encode_batch(pcms, sample_rate: int | None = None,
                 continue
             tgt = gids[loc]
             if device_emit:
+                vloop_device.take_iter_stats(pend, kind, layout)  # telemetry
                 cap_bits = np.minimum(bud + 94, 3994)
                 by, m5, gg, tcols, c1, hb, sbg = pend.emit_and_take(
                     kind, layout, sample_rate, kind != "rate", cap_bits)
@@ -600,7 +601,8 @@ def encode_batch(pcms, sample_rate: int | None = None,
                 continue
             raw = pend.fetch_rows(loc)
             if kind == "long":
-                gg, sf, _has, ix, bits, ts, c1 = vloop_device.post_long(raw)
+                gg, sf, _has, ix, bits, ts, c1 = vloop_device.post_long(
+                    raw, label=layout)
                 ix_a[tgt], gg_a[tgt], lsf_a[tgt] = ix, gg, sf
             elif kind == "short":
                 gg, sf, sbg, _has, ix, bits, ts, c1 = \

@@ -267,7 +267,8 @@ def _jit_outer_long(sample_rate: int, max_iters: int,
         bol = C["band_of_line"]            # [576] 0..21
 
         def body(_i, carry):
-            sf, gg_lo, done, best_gg, best_sf, has_best = carry
+            sf, gg_lo, done, best_gg, best_sf, has_best, it = carry
+            it = it + (~done).astype(it.dtype)   # per-row active iters
             # scalefactor side-info cost (vector argmin over the 16
             # scalefac_compress codes)
             m1 = jnp.max(sf[:, :11], axis=1)
@@ -308,17 +309,18 @@ def _jit_outer_long(sample_rate: int, max_iters: int,
                 has[:, None]
             done = done | ~(over.any(1))
             sf = sf + over.astype(sf.dtype)
-            return sf, gg_lo, done, best_gg, best_sf, has_best
+            return sf, gg_lo, done, best_gg, best_sf, has_best, it
 
         sf0 = jnp.zeros((R, 21), jnp.int32)
         init = (sf0, jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.bool_),
                 jnp.full((R,), 210, jnp.int32), sf0,
-                jnp.zeros((R,), jnp.bool_))
+                jnp.zeros((R,), jnp.bool_), jnp.zeros((R,), jnp.int32))
         # early-exit while_loop: iterations after every row converges are
-        # exact no-ops (all updates are masked by `done`), so stopping at
-        # all(done) is bit-identical to the fixed-depth fori_loop while
-        # skipping the tail iterations (typ. convergence << max_iters)
-        _i, (_sf, _gl, done_end, best_gg, best_sf, has_best) = \
+        # exact no-ops (all updates are masked by `done`, including the
+        # per-row iteration counter), so stopping at all(done) is
+        # bit-identical to the fixed-depth fori_loop while skipping the
+        # tail iterations (typ. convergence << max_iters)
+        _i, (_sf, _gl, done_end, best_gg, best_sf, has_best, iters) = \
             jax.lax.while_loop(
                 lambda c: (c[0] < max_iters) & ~jnp.all(c[1][2]),
                 lambda c: (c[0] + 1, body(c[0], c[1])),
@@ -342,7 +344,8 @@ def _jit_outer_long(sample_rate: int, max_iters: int,
         # exact types (hosts upcast on arrival)
         return (best_gg.astype(jnp.uint8), best_sf.astype(jnp.uint8),
                 has_any, ix.astype(jnp.int16), bits.astype(jnp.int16),
-                selr.astype(jnp.int8), c1sel.astype(jnp.int8), done_end)
+                selr.astype(jnp.int8), c1sel.astype(jnp.int8), done_end,
+                iters.astype(jnp.uint8))
 
     @jax.jit
     def run(xr, xmin, budgets):
@@ -350,11 +353,12 @@ def _jit_outer_long(sample_rate: int, max_iters: int,
         xrc = xr.reshape(n, CHUNK, SPF)
         xmc = xmin.reshape(n, CHUNK, 21)
         bdc = budgets.reshape(n, CHUNK)
-        gg, sf, has, ix, bits, selr, c1, conv = \
+        gg, sf, has, ix, bits, selr, c1, conv, iters = \
             jax.lax.map(one_chunk, (xrc, xmc, bdc))
         return (gg.reshape(-1), sf.reshape(-1, 21), has.reshape(-1),
                 ix.reshape(-1, SPF), bits.reshape(-1),
-                selr.reshape(-1, 3), c1.reshape(-1), conv.reshape(-1))
+                selr.reshape(-1, 3), c1.reshape(-1), conv.reshape(-1),
+                iters.reshape(-1))
 
     return run
 
@@ -376,7 +380,8 @@ def _jit_outer_short(sample_rate: int, max_iters: int):
 
         def body(_i, carry):
             (sf, sbg, gg_lo, done, best_gg, best_sf, best_sbg,
-             has_best) = carry
+             has_best, it) = carry
+            it = it + (~done).astype(it.dtype)   # per-row active iters
             m1 = jnp.max(sf[:, :, :6], axis=(1, 2))
             m2 = jnp.max(sf[:, :, 6:12], axis=(1, 2))
             need1 = jnp.zeros_like(m1)
@@ -421,19 +426,22 @@ def _jit_outer_short(sample_rate: int, max_iters: int):
             sf = jnp.where(bump[:, :, None], jnp.maximum(sf - 4, 0), sf)
             sf = jnp.where(exceed[:, :, None],
                            jnp.minimum(sf, SF_CAP[None, None]), sf)
-            return sf, sbg, gg_lo, done, best_gg, best_sf, best_sbg, has_best
+            return (sf, sbg, gg_lo, done, best_gg, best_sf, best_sbg,
+                    has_best, it)
 
         sf0 = jnp.zeros((R, 3, 12), jnp.int32)
         sbg0 = jnp.zeros((R, 3), jnp.int32)
         init = (sf0, sbg0, jnp.zeros((R,), jnp.int32),
                 jnp.zeros((R,), jnp.bool_), jnp.full((R,), 210, jnp.int32),
-                sf0, sbg0, jnp.zeros((R,), jnp.bool_))
+                sf0, sbg0, jnp.zeros((R,), jnp.bool_),
+                jnp.zeros((R,), jnp.int32))
         # early-exit while_loop — see _jit_outer_long (bit-identical)
         _i, out = jax.lax.while_loop(
             lambda c: (c[0] < max_iters) & ~jnp.all(c[1][3]),
             lambda c: (c[0] + 1, body(c[0], c[1])),
             (jnp.int32(0), init))
-        _sf, _sbg, _gl, done_end, best_gg, best_sf, best_sbg, has_best = out
+        (_sf, _sbg, _gl, done_end, best_gg, best_sf, best_sbg, has_best,
+         iters) = out
         gg_fb, has_fb = _inner_bisect(
             jnp, C, p34_base, sign, budget_bits,
             jnp.zeros((R,), jnp.int32), True)
@@ -452,19 +460,20 @@ def _jit_outer_short(sample_rate: int, max_iters: int):
                 best_sbg.astype(jnp.uint8), has_any,
                 ix.astype(jnp.int16), bits.astype(jnp.int16),
                 selr.astype(jnp.int8), c1sel.astype(jnp.int8),
-                done_end)
+                done_end, iters.astype(jnp.uint8))
 
     @jax.jit
     def run(xr, xmin, budgets):
         n = xr.shape[0] // CHUNK
-        gg, sf, sbg, has, ix, bits, selr, c1, conv = jax.lax.map(
+        gg, sf, sbg, has, ix, bits, selr, c1, conv, iters = jax.lax.map(
             one_chunk, (xr.reshape(n, CHUNK, SPF),
                         xmin.reshape(n, CHUNK, 3, 12),
                         budgets.reshape(n, CHUNK)))
         return (gg.reshape(-1), sf.reshape(-1, 3, 12),
                 sbg.reshape(-1, 3), has.reshape(-1),
                 ix.reshape(-1, SPF), bits.reshape(-1),
-                selr.reshape(-1, 3), c1.reshape(-1), conv.reshape(-1))
+                selr.reshape(-1, 3), c1.reshape(-1), conv.reshape(-1),
+                iters.reshape(-1))
 
     return run
 
@@ -915,16 +924,54 @@ def _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=False,
     return pend.materialize_all()
 
 
-def post_long(raw):
+ITER_STATS: dict = {}   # kind -> np.int64[max_iters+1] bincount of the
+#                         per-row outer-loop iteration counts (rate-loop
+#                         telemetry, docs/rate_loop_notes.md); populated
+#                         by post_long/post_short when MP3TPU_ITER_HIST=1
+
+
+def _iter_stats_add(kind, iters):
+    import os
+    if not os.environ.get("MP3TPU_ITER_HIST"):
+        return
+    h = np.bincount(np.asarray(iters, np.int64))
+    cur = ITER_STATS.get(kind)
+    if cur is None or len(cur) < len(h):
+        new = np.zeros(max(len(h), 0 if cur is None else len(cur)), np.int64)
+        if cur is not None:
+            new[: len(cur)] += cur
+        cur = new
+    cur[: len(h)] += h
+    ITER_STATS[kind] = cur
+
+
+def take_iter_stats(pend, kind, label=None):
+    """Fold a deferred block set's per-row outer-iteration counters into
+    ITER_STATS (1 byte/row D2H; no-op unless MP3TPU_ITER_HIST=1). Used
+    by the device-emit path, which never routes through post_long/short.
+    Wire slot: iters sits after conv, before the pack sideband."""
+    import os
+    if not os.environ.get("MP3TPU_ITER_HIST"):
+        return
+    idx = {"long": 8, "short": 9}.get(kind)
+    if idx is None:
+        return
+    (it,) = pend.take(idx)
+    _iter_stats_add(label or kind, it)
+
+
+def post_long(raw, label="long"):
     """Raw long-jit outputs -> the public tuple (shared by the eager
     wrappers and _Pending.fetch_rows so post-processing cannot drift)."""
-    gg, sf, has, ix, bits, selr, c1, _conv = raw
+    gg, sf, has, ix, bits, selr, c1, _conv, _it = raw
+    _iter_stats_add(label, _it)
     return gg, sf, has, ix, bits.astype(np.int64), \
         _TID[selr.astype(np.int64)], c1.astype(np.int64)
 
 
-def post_short(raw):
-    gg, sf, sbg, has, ix, bits, selr, c1, _conv = raw
+def post_short(raw, label="short"):
+    gg, sf, sbg, has, ix, bits, selr, c1, _conv, _it = raw
+    _iter_stats_add(label, _it)
     return gg, sf, sbg, has, ix, bits.astype(np.int64), \
         _TID[selr.astype(np.int64)], c1.astype(np.int64)
 
@@ -948,7 +995,8 @@ def outer_rows_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
     shaping)."""
     fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
     return post_long(_run_gathered(fn, xr_dev, xmin_dev, idx, budgets,
-                                  ix_idx=3))
+                                   ix_idx=3),
+                     label="switched" if block_type else "long")
 
 
 def outer_rows_short_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
@@ -968,8 +1016,8 @@ def rate_rows_gathered(xr_dev, idx, budgets, sample_rate, block_type):
 # planning outputs (scalefactors + exact bit counts — what the pass-B
 # reservoir walk consumes); the full spectra stay on device inside the
 # returned _Pending until the caller knows which rows survive pass B.
-# Raw output layouts: long (gg, sf, has, ix, bits, selr, c1, conv),
-# short (gg, sf, sbg, has, ix, bits, selr, c1, conv),
+# Raw output layouts: long (gg, sf, has, ix, bits, selr, c1, conv, iters),
+# short (gg, sf, sbg, has, ix, bits, selr, c1, conv, iters),
 # rate (gg, has, ix, bits, selr, c1).
 
 def outer_rows_gathered_light(xr_dev, xmin_dev, idx, budgets, sample_rate,
@@ -1030,9 +1078,10 @@ def outer_rows_device(xr, xmin, budget_bits, sample_rate, max_iters=16):
     EMIT — bits [R] exact huffman+sign bits, tsel [R,3] table ids,
     c1table [R])."""
     fn = _jit_outer_long(sample_rate, max_iters)
-    gg, sf, has, ix, bits, selr, c1, _conv = _run_padded(
+    gg, sf, has, ix, bits, selr, c1, _conv, _it = _run_padded(
         fn, len(xr), xr.astype(np.float32), xmin.astype(np.float32),
         budget_bits.astype(np.int32))
+    _iter_stats_add("long", _it)
     return gg, sf, has, ix, bits.astype(np.int64), \
         _TID[selr.astype(np.int64)], c1.astype(np.int64)
 
@@ -1042,9 +1091,10 @@ def outer_rows_short_device(xr, xmin, budget_bits, sample_rate,
     """As outer_rows_device for short (window-switched) blocks; adds
     sbg [R,3]."""
     fn = _jit_outer_short(sample_rate, max_iters)
-    gg, sf, sbg, has, ix, bits, selr, c1, _conv = _run_padded(
+    gg, sf, sbg, has, ix, bits, selr, c1, _conv, _it = _run_padded(
         fn, len(xr), xr.astype(np.float32), xmin.astype(np.float32),
         budget_bits.astype(np.int32))
+    _iter_stats_add("short", _it)
     return gg, sf, sbg, has, ix, bits.astype(np.int64), \
         _TID[selr.astype(np.int64)], c1.astype(np.int64)
 

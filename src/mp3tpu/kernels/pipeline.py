@@ -652,6 +652,80 @@ def decode_windows_scan_i16(is12_w, esc_w, exp_w, bt_w, mx_w, sm_w, state,
                tuple(mx_w), tuple(sm_w), state)
 
 
+def window_arena_layout(S: int, win: int):
+    """(total_bytes, [(key, offset, shape, numpy dtype)]) of ONE
+    device-window's packed staging arena covering the whole chunk width
+    S (all-byte plane family: 4-bit spectrum + int8 two-level sideband +
+    byte exponents). Staging over this tunnel is per-transfer-overhead-
+    bound (CLAUDE.md), so the public fast path ships each window as ONE
+    contiguous uint8 put (~S*win*934 bytes, <=2 MB at S=64/win=32)
+    instead of six arrays; the split back into planes happens inside the
+    jitted scan program (VERDICT r4 task 2)."""
+    shapes = (("is12", (S, win, 2, 288), np.uint8),
+              ("esc", (S, win, 2, 80), np.int8),
+              ("exp", (S, win, 2, 65), np.uint8),
+              ("bt", (S, win, 2), np.int8),
+              ("mx", (S, win, 2), np.uint8),
+              ("smode", (S, win, 64), np.uint8))
+    out = []
+    off = 0
+    for k, shp, dt in shapes:
+        out.append((k, off, shp, dt))
+        off += int(np.prod(shp))
+    return off, out
+
+
+def _split_window_arena(a, S: int, win: int):
+    """In-program split of one window arena back into the six plane
+    tensors (order matches decode_windows_scan_i16's argument order)."""
+    _, layout = window_arena_layout(S, win)
+    parts = {}
+    for k, off, shp, dt in layout:
+        n = int(np.prod(shp))
+        sec = jax.lax.slice(a, (off,), (off + n,))
+        if dt != np.uint8:
+            sec = jax.lax.bitcast_convert_type(sec, jnp.int8)
+        parts[k] = sec.reshape(shp)
+    return parts
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_scan_arena_for(sample_rate: int, n_win: int, S: int, win: int):
+    """All-windows packed decode as ONE dispatch from per-window byte
+    ARENAS: each window arrives as one contiguous uint8 buffer (one
+    device_put each), is split into the six plane tensors and stacked
+    inside the program, and a lax.scan carries the decode state — the
+    same step as _jitted_scan_plain_for (4-bit plane family), so batch
+    output is bit-identical to the per-plane staging path."""
+    tables = build_tables(sample_rate)
+
+    @jax.jit
+    def run(arenas, state):
+        planes = [_split_window_arena(a, S, win) for a in arenas]
+        xs = tuple(jnp.stack([p[k] for p in planes])
+                   for k in ("is12", "esc", "exp", "bt", "mx", "smode"))
+
+        def step(st, x):
+            i12, es, ex, b, m, sm = x
+            iv = _plane_decode(4, i12, es)
+            pcm, st2 = granule_pipeline(iv, _exp_decode(ex), b,
+                                        m.astype(jnp.bool_), sm, st, tables)
+            return st2, quantize_i16(pcm)
+
+        st, pcm = jax.lax.scan(step, state, xs)
+        return pcm.transpose(1, 0, 2, 3).reshape(S, n_win * pcm.shape[2], 2), st
+
+    return run
+
+
+def decode_window_arenas_i16(arenas, state, sample_rate: int,
+                             S: int, win: int):
+    """One-dispatch packed decode of a window sequence staged as per-
+    window byte arenas (window_arena_layout; 4-bit plane family only)."""
+    run = _jitted_scan_arena_for(sample_rate, len(arenas), S, win)
+    return run(tuple(arenas), state)
+
+
 def init_resample_state(n_streams: int, sample_rate: int,
                         out_rate: int = 48000, n_channels: int = 2):
     from ..dsp.resample import Resampler
