@@ -17,6 +17,32 @@ MAGIC = 0.4054   # x^(3/4) rounding offset (Annex C reference value)
 IX_MAX = 8206    # largest representable |ix| (escape 15 + 2^13 - 1)
 
 
+def sf_jump_default() -> bool:
+    """Outer-loop scalefactor JUMP stepping (docs/rate_loop_notes.md):
+    instead of Annex C's +1 step per over-distorted band per iteration,
+    step by half the band's log2 noise/allowed gap. One sf step halves
+    quantization-noise power, so the needed amplification is
+    ~log2(dist/xmin) steps; jumping half the remaining gap converges in
+    O(log log) iterations and cannot overshoot in that noise model
+    (k <= need/2). Measured: long-block p50 11 -> 3 outer iterations on
+    the bench fixture, NMR within noise of +1 stepping. One flag for
+    ALL implementations (scalar / numpy vloop / device vloop) so the
+    lockstep contracts stay exact; MP3TPU_SF_JUMP=0 restores +1."""
+    import os
+    return os.environ.get("MP3TPU_SF_JUMP", "1") != "0"
+
+
+def sf_jump_steps(dist, xmin, headroom):
+    """Per-band jump size, shared by the host implementations: k in
+    [1, headroom], k = floor(0.5 * log2(dist / xmin)) on the over bands
+    (callers mask; ratios are clipped so zero/inf lanes stay finite)."""
+    ratio = np.clip(np.asarray(dist, np.float64)
+                    / np.maximum(np.asarray(xmin, np.float64), 1e-300),
+                    1.0, 2.0 ** 60)
+    k = np.floor(0.5 * np.log2(ratio)).astype(np.int64)
+    return np.clip(k, 1, np.maximum(np.asarray(headroom, np.int64), 1))
+
+
 def quantize(xr: np.ndarray, global_gain: int,
              p34: np.ndarray | None = None) -> np.ndarray:
     """xr [576] float -> ix [576] int32 with step 2^((gg-210)/4).
@@ -68,17 +94,22 @@ def inner_rate_loop(xr: np.ndarray, budget_bits: int, sample_rate: int,
 
 def outer_distortion_loop(xr: np.ndarray, xmin: np.ndarray, budget_bits: int,
                           sample_rate: int, max_iters: int = 16,
-                          block_type: int = 0):
+                          block_type: int = 0, jump: bool | None = None):
     """Outer (distortion) + inner (rate) loops [Annex C.1.5.4]: raise
-    per-band scalefactors (sqrt(2) amplification steps) on bands whose
-    quantization noise exceeds the psymodel's allowed distortion, then
-    re-run the rate loop, until bands fit or scalefactors saturate.
+    per-band scalefactors on bands whose quantization noise exceeds the
+    psymodel's allowed distortion, then re-run the rate loop, until
+    bands fit or scalefactors saturate. Step size: +1 (Annex C) or the
+    gap-halving jump (sf_jump_default; the amplification per line is
+    always recomputed as 2^(sf/2) from the TOTAL scalefactor, matching
+    the device loop's formulation exactly).
 
     Long-layout blocks (block_type 0, 1 = start, 3 = stop — start/stop
     granules keep the 576-line long spectrum and long scalefactor
     bands; only the Huffman region split differs, which the bit counter
     handles via block_type). Returns (ix, gg, long_sf[21]).
     """
+    if jump is None:
+        jump = sf_jump_default()
     bands = LONG[sample_rate]
     sf = np.zeros(21, np.int32)
     sf_cap = np.array([15] * 11 + [7] * 10, np.int32)  # slen1/slen2 maxima
@@ -100,9 +131,13 @@ def outer_distortion_loop(xr: np.ndarray, xmin: np.ndarray, budget_bits: int,
         over = (dist > xmin[:21]) & (sf < sf_cap)
         if not over.any():
             break
-        sf[over] += 1
+        if jump:
+            k = sf_jump_steps(dist, xmin[:21], sf_cap - sf)
+            sf[over] += k[over].astype(sf.dtype)
+        else:
+            sf[over] += 1
         for b in np.nonzero(over)[0]:
-            amp[bands[b]:bands[b + 1]] *= np.sqrt(2.0)
+            amp[bands[b]:bands[b + 1]] = 2.0 ** (sf[b] / 2.0)
     if best is None:
         ix, gg = inner_rate_loop(xr, budget_bits, sample_rate, block_type)
         return ix, gg, np.zeros(21, np.int32)
@@ -111,7 +146,8 @@ def outer_distortion_loop(xr: np.ndarray, xmin: np.ndarray, budget_bits: int,
 
 def outer_distortion_loop_short(xr: np.ndarray, xmin: np.ndarray,
                                 budget_bits: int, sample_rate: int,
-                                max_iters: int = 12):
+                                max_iters: int = 12,
+                                jump: bool | None = None):
     """Outer loop for short (window-switched) blocks [Annex C.1.5.4]:
     per-(window, band) scalefactors in sqrt(2) steps; when a window's
     scalefactors hit the slen cap, escalate subblock_gain (one step =
@@ -124,6 +160,8 @@ def outer_distortion_loop_short(xr: np.ndarray, xmin: np.ndarray,
     from ..tables import maps as tmaps
     from .huffcode import (SHORT_SF_CAP, pick_scalefac_compress_short,
                            scalefac_bits_short)
+    if jump is None:
+        jump = sf_jump_default()
     bm = tmaps.band_map(sample_rate, tmaps.FLAVOR_SHORT)
     wline = (bm - 22) // 13          # window of each transmitted line
     sline = (bm - 22) % 13           # short sfb of each line
@@ -154,7 +192,14 @@ def outer_distortion_loop_short(xr: np.ndarray, xmin: np.ndarray,
         over &= headroom
         if not over.any():
             break
-        sf[over] += 1
+        if jump:
+            # jump, but at most one step past the slen cap: the cap
+            # overshoot is what escalates subblock_gain (one sbg step =
+            # 4 sf steps), and that escalation stays one-per-iteration
+            k = sf_jump_steps(dist[:, :12], xmin, SHORT_SF_CAP + 1 - sf)
+            sf[over] += k[over].astype(sf.dtype)
+        else:
+            sf[over] += 1
         for w in range(3):
             if (sf[w] > SHORT_SF_CAP).any():
                 if sbg[w] < 7:

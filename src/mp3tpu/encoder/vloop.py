@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..tables.sfb import LONG, SLEN1, SLEN2
-from .quantize import IX_MAX, MAGIC
+from .quantize import IX_MAX, MAGIC, sf_jump_default, sf_jump_steps
 from .vcount import count_bits_rows
 
 _SLEN1 = np.asarray(SLEN1, np.int64)
@@ -101,13 +101,16 @@ def pick_sfc_short_rows(short_sf: np.ndarray) -> np.ndarray:
 
 
 def outer_rows(xr: np.ndarray, xmin: np.ndarray, budget_bits: np.ndarray,
-               sample_rate: int, max_iters: int = 16, block_type: int = 0):
+               sample_rate: int, max_iters: int = 16, block_type: int = 0,
+               jump: bool | None = None):
     """Lockstep outer_distortion_loop (long-layout blocks: 0/1/3 —
     start/stop granules keep the long spectrum + long scalefactor
     bands; block_type only changes the counter's region split).
 
     xr [R,576], xmin [R,21], budget_bits [R].
     Returns (ix [R,576], gg [R], long_sf [R,21])."""
+    if jump is None:
+        jump = sf_jump_default()
     R = xr.shape[0]
     bands = LONG[sample_rate]
     edges = bands[:22]
@@ -154,10 +157,16 @@ def outer_rows(xr: np.ndarray, xmin: np.ndarray, budget_bits: np.ndarray,
         over = (dist > xmin[act]) & (sf[act] < sf_cap)
         done[act[~over.any(1)]] = True
         sfa = sf[act]
-        sfa[over] += 1
+        if jump:
+            k = sf_jump_steps(dist, xmin[act], sf_cap[None] - sfa)
+            sfa[over] += k[over]
+        else:
+            sfa[over] += 1
         sf[act] = sfa
-        amp[act] *= np.where(over[:, np.minimum(band_of_line, 20)]
-                             & (band_of_line < 21)[None], np.sqrt(2.0), 1.0)
+        # amplification recomputed from the TOTAL scalefactor (2^(sf/2)
+        # per line; band 21 never amplified) — the device formulation
+        sf21 = np.concatenate([sfa, np.zeros((len(act), 1), sfa.dtype)], 1)
+        amp[act] = 2.0 ** (sf21[:, band_of_line] / 2.0)
     # rows that never produced a best (budget < 0 on iter 0): scalar
     # falls back to the plain rate loop at full budget
     fb = ~has_best
@@ -175,12 +184,14 @@ SHORT_SF_CAP_V = np.array([15] * 6 + [7] * 6, np.int64)
 
 def outer_rows_short(xr: np.ndarray, xmin: np.ndarray,
                      budget_bits: np.ndarray, sample_rate: int,
-                     max_iters: int = 12):
+                     max_iters: int = 12, jump: bool | None = None):
     """Lockstep outer_distortion_loop_short.
 
     xr [R,576] transmitted order, xmin [R,3,12].
     Returns (ix, gg, short_sf [R,3,12], sbg [R,3])."""
     from ..tables import maps as tmaps
+    if jump is None:
+        jump = sf_jump_default()
     R = xr.shape[0]
     bm = tmaps.band_map(sample_rate, tmaps.FLAVOR_SHORT)
     wline = (bm - 22) // 13
@@ -233,7 +244,14 @@ def outer_rows_short(xr: np.ndarray, xmin: np.ndarray,
         over &= (sf[act] < SHORT_SF_CAP_V) | (sbg[act, :, None] < 7)
         done[act[~over.reshape(len(act), -1).any(1)]] = True
         sfa = sf[act]
-        sfa[over] += 1
+        if jump:
+            # at most one step past the slen cap per iteration: the cap
+            # overshoot is what escalates subblock_gain (see quantize)
+            k = sf_jump_steps(dist[:, :, :12], xmin[act],
+                              SHORT_SF_CAP_V + 1 - sfa)
+            sfa[over] += k[over]
+        else:
+            sfa[over] += 1
         # windows whose scalefactors exceed the cap escalate subblock_gain
         exceed = (sfa > SHORT_SF_CAP_V).any(2)              # [A,3]
         sbga = sbg[act]

@@ -249,10 +249,12 @@ def _inner_bisect(jnp, C, p34, sign, budgets, lo0, short_split: bool):
 
 @functools.lru_cache(maxsize=None)
 def _jit_outer_long(sample_rate: int, max_iters: int,
-                    switched: bool = False):
+                    switched: bool = False, jump: bool = True):
     """switched=True counts with the window-switched 2-region split
     (start/stop granules, block types 1/3 — long spectrum + long sfb
-    shaping, switched Huffman regions)."""
+    shaping, switched Huffman regions). jump=True uses the gap-halving
+    scalefactor step (quantize.sf_jump_default; same f32-formula rule
+    as the host loops' sf_jump_steps)."""
     import jax
     import jax.numpy as jnp
     C = _device_consts(sample_rate)
@@ -308,7 +310,14 @@ def _jit_outer_long(sample_rate: int, max_iters: int,
             over = (dist > xmin) & (sf < sf_cap[None]) & ~done[:, None] & \
                 has[:, None]
             done = done | ~(over.any(1))
-            sf = sf + over.astype(sf.dtype)
+            if jump:
+                ratio = jnp.clip(dist / jnp.maximum(xmin, 1e-37),
+                                 1.0, 2.0 ** 60)
+                k = jnp.floor(0.5 * jnp.log2(ratio)).astype(sf.dtype)
+                k = jnp.clip(k, 1, jnp.maximum(sf_cap[None] - sf, 1))
+            else:
+                k = jnp.ones((), sf.dtype)
+            sf = sf + jnp.where(over, k, 0)
             return sf, gg_lo, done, best_gg, best_sf, has_best, it
 
         sf0 = jnp.zeros((R, 21), jnp.int32)
@@ -364,7 +373,7 @@ def _jit_outer_long(sample_rate: int, max_iters: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_outer_short(sample_rate: int, max_iters: int):
+def _jit_outer_short(sample_rate: int, max_iters: int, jump: bool = True):
     import jax
     import jax.numpy as jnp
     C = _device_consts(sample_rate)
@@ -419,7 +428,17 @@ def _jit_outer_short(sample_rate: int, max_iters: int):
                 ((sf < SF_CAP[None, None]) | (sbg[:, :, None] < 7)) & \
                 ~done[:, None, None] & has[:, None, None]
             done = done | ~(over.reshape(R, -1).any(1))
-            sf = sf + over.astype(sf.dtype)
+            if jump:
+                # at most one step past the slen cap per iteration: the
+                # overshoot escalates subblock_gain (see quantize)
+                ratio = jnp.clip(dist / jnp.maximum(xmin, 1e-37),
+                                 1.0, 2.0 ** 60)
+                k = jnp.floor(0.5 * jnp.log2(ratio)).astype(sf.dtype)
+                k = jnp.clip(k, 1,
+                             jnp.maximum(SF_CAP[None, None] + 1 - sf, 1))
+            else:
+                k = jnp.ones((), sf.dtype)
+            sf = sf + jnp.where(over, k, 0)
             exceed = (sf > SF_CAP[None, None]).any(2)           # [R,3]
             bump = exceed & (sbg < 7)
             sbg = sbg + bump.astype(sbg.dtype)
@@ -945,6 +964,11 @@ def _iter_stats_add(kind, iters):
     ITER_STATS[kind] = cur
 
 
+
+def _jump() -> bool:
+    from .quantize import sf_jump_default
+    return sf_jump_default()
+
 def take_iter_stats(pend, kind, label=None):
     """Fold a deferred block set's per-row outer-iteration counters into
     ITER_STATS (1 byte/row D2H; no-op unless MP3TPU_ITER_HIST=1). Used
@@ -993,7 +1017,8 @@ def outer_rows_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
     quantize wall dropped ~2x without it.) block_type 1/3 selects the
     window-switched region split for the bit counter (start/stop
     shaping)."""
-    fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
+    fn = _jit_outer_long(sample_rate, max_iters, bool(block_type),
+                         jump=_jump())
     return post_long(_run_gathered(fn, xr_dev, xmin_dev, idx, budgets,
                                    ix_idx=3),
                      label="switched" if block_type else "long")
@@ -1001,7 +1026,7 @@ def outer_rows_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
 
 def outer_rows_short_gathered(xr_dev, xmin_dev, idx, budgets, sample_rate,
                               max_iters=12):
-    fn = _jit_outer_short(sample_rate, max_iters)
+    fn = _jit_outer_short(sample_rate, max_iters, jump=_jump())
     return post_short(_run_gathered(fn, xr_dev, xmin_dev, idx, budgets,
                                     ix_idx=4))
 
@@ -1022,7 +1047,8 @@ def rate_rows_gathered(xr_dev, idx, budgets, sample_rate, block_type):
 
 def outer_rows_gathered_light(xr_dev, xmin_dev, idx, budgets, sample_rate,
                               max_iters=16, block_type=0):
-    fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
+    fn = _jit_outer_long(sample_rate, max_iters, bool(block_type),
+                         jump=_jump())
     pend = _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True,
                          ix_idx=3)
     sf, bits = pend.take(1, 4)
@@ -1031,7 +1057,7 @@ def outer_rows_gathered_light(xr_dev, xmin_dev, idx, budgets, sample_rate,
 
 def outer_rows_short_gathered_light(xr_dev, xmin_dev, idx, budgets,
                                     sample_rate, max_iters=12):
-    fn = _jit_outer_short(sample_rate, max_iters)
+    fn = _jit_outer_short(sample_rate, max_iters, jump=_jump())
     pend = _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True,
                          ix_idx=4)
     sf, bits = pend.take(1, 5)
@@ -1052,14 +1078,15 @@ def rate_rows_gathered_light(xr_dev, idx, budgets, sample_rate, block_type):
 
 def outer_rows_gathered_pending(xr_dev, xmin_dev, idx, budgets,
                                 sample_rate, max_iters=16, block_type=0):
-    fn = _jit_outer_long(sample_rate, max_iters, bool(block_type))
+    fn = _jit_outer_long(sample_rate, max_iters, bool(block_type),
+                         jump=_jump())
     return _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True,
                          ix_idx=3)
 
 
 def outer_rows_short_gathered_pending(xr_dev, xmin_dev, idx, budgets,
                                       sample_rate, max_iters=12):
-    fn = _jit_outer_short(sample_rate, max_iters)
+    fn = _jit_outer_short(sample_rate, max_iters, jump=_jump())
     return _run_gathered(fn, xr_dev, xmin_dev, idx, budgets, defer=True,
                          ix_idx=4)
 
@@ -1077,7 +1104,7 @@ def outer_rows_device(xr, xmin, budget_bits, sample_rate, max_iters=16):
     Returns (gg, sf [R,21], has_best, ix [R,576] i16 — the spectrum to
     EMIT — bits [R] exact huffman+sign bits, tsel [R,3] table ids,
     c1table [R])."""
-    fn = _jit_outer_long(sample_rate, max_iters)
+    fn = _jit_outer_long(sample_rate, max_iters, jump=_jump())
     gg, sf, has, ix, bits, selr, c1, _conv, _it = _run_padded(
         fn, len(xr), xr.astype(np.float32), xmin.astype(np.float32),
         budget_bits.astype(np.int32))
@@ -1090,7 +1117,7 @@ def outer_rows_short_device(xr, xmin, budget_bits, sample_rate,
                             max_iters=12):
     """As outer_rows_device for short (window-switched) blocks; adds
     sbg [R,3]."""
-    fn = _jit_outer_short(sample_rate, max_iters)
+    fn = _jit_outer_short(sample_rate, max_iters, jump=_jump())
     gg, sf, sbg, has, ix, bits, selr, c1, _conv, _it = _run_padded(
         fn, len(xr), xr.astype(np.float32), xmin.astype(np.float32),
         budget_bits.astype(np.int32))

@@ -81,6 +81,61 @@ def bursts(seconds: float, sr: int, ch: int = 2) -> np.ndarray:
     return np.repeat(sig[:, None], ch, axis=1)
 
 
+def lsf_fixture(sample_rate: int = 11025, frames: int = 40,
+                bitrate_idx: int = 8, seed: int = 3) -> bytes:
+    """Self-hosted LSF (MPEG-2 / MPEG-2.5) mono stream with real
+    spectral content on every host — no external sample file needed
+    (VERDICT r4 task 4; SURVEY.md §4.3 hand-assembled streams).
+
+    Each frame carries a deterministic decaying random spectrum,
+    entropy-coded by the encoder's own Huffman emitter (huffcode.
+    encode_granule — big-values tables, count1 quads and the region
+    split from the target rate's LONG band table are all version-
+    independent) and wrapped in hand-assembled LSF mono frames
+    (tools/craft.craft_frame_lsf_mono: 1 granule, 9-byte side info,
+    8-bit main_data_begin, no preflag). scalefac_compress stays 0, so
+    part2 is empty under BOTH the MPEG-1 and the LSF slen partitioning
+    — the payload is valid for either interpretation, and libmpg123
+    (where present) anchors the LSF one."""
+    key = ("lsf", sample_rate, frames, bitrate_idx, seed)
+    if key not in _CACHE:
+        from craft import (BITRATES_V2, GranuleSpec, craft_frame_lsf_mono)
+        from mp3tpu.encoder.huffcode import encode_granule
+        cap_bits = (72 * BITRATES_V2[bitrate_idx] * 1000 // sample_rate
+                    - 13) * 8
+        rng = np.random.default_rng(seed)
+        out = []
+        for f in range(frames):
+            n_big = int(rng.integers(40, 140)) & ~1     # even line count
+            n_c1 = int(rng.integers(0, 10)) * 4
+            scale = 9.0 * (0.4 + 0.6 * rng.random())
+            while True:
+                i = np.arange(n_big)
+                mag = np.rint(scale * np.exp(-i / 60.0)
+                              * np.abs(rng.standard_normal(n_big)))
+                ix = np.zeros(576, np.int64)
+                ix[:n_big] = np.clip(mag, 0, 13) * \
+                    rng.choice([-1, 1], n_big)
+                ix[n_big:n_big + n_c1] = rng.integers(-1, 2, n_c1)
+                g = encode_granule(ix, gg=170, sample_rate=sample_rate)
+                if g.part2_3_length <= cap_bits:
+                    break
+                scale *= 0.7                            # rare: too dense
+            by = g.bits.to_bytes()
+            bits = "".join(format(b, "08b") for b in by)[:g.part2_3_length]
+            spec = GranuleSpec(
+                part2_3_length=g.part2_3_length, big_values=g.big_values,
+                global_gain=g.global_gain, scalefac_compress=0,
+                table_select=g.table_select,
+                region0_count=g.region0_count,
+                region1_count=g.region1_count,
+                count1table_select=g.count1table_select, main_bits=bits)
+            out.append(craft_frame_lsf_mono(spec, sample_rate,
+                                            bitrate_idx))
+        _CACHE[key] = b"".join(out)
+    return _CACHE[key]
+
+
 _CACHE: dict = {}
 
 

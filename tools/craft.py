@@ -231,6 +231,63 @@ def craft_frame_lsf_stereo(gr_pair, mode=1, mode_ext=1, sr_idx=0,
     return w.to_bytes(pad_to=72 * 64000 // 22050)
 
 
+# (version code, sr_idx) per LSF sample rate — MPEG-2 (0b10) and
+# MPEG-2.5 (0b00) families; frames.py:12-24 is the decode-side mirror
+LSF_RATES = {22050: (0b10, 0), 24000: (0b10, 1), 16000: (0b10, 2),
+             11025: (0b00, 0), 12000: (0b00, 1), 8000: (0b00, 2)}
+BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+
+def craft_frame_lsf_mono(gr: GranuleSpec, sample_rate: int = 11025,
+                         bitrate_idx: int = 8, padding: int = 0) -> bytes:
+    """One MPEG-2/2.5 (LSF) Layer III MONO frame at any of the six LSF
+    rates: 1 granule, 8-bit main_data_begin, 9-bit scalefac_compress,
+    no preflag bit (dropped in LSF side info), 9-byte side info.
+    main_data_begin = 0 (each frame self-contained)."""
+    version, sr_idx = LSF_RATES[sample_rate]
+    w = BitWriter()
+    w.put(0x7FF, 11)
+    w.put(version, 2)
+    w.put(0b01, 2)          # Layer III
+    w.put(1, 1)             # no CRC
+    w.put(bitrate_idx, 4)
+    w.put(sr_idx, 2)
+    w.put(padding, 1)
+    w.put(0, 1)
+    w.put(0b11, 2)          # single channel
+    w.put(0, 2)
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(0, 2)
+    # LSF mono side info: 9 bytes (8 mdb + 1 private + 63 granule bits)
+    w.put(0, 8)             # main_data_begin
+    w.put(0, 1)             # private
+    w.put(gr.part2_3_length, 12)
+    w.put(gr.big_values, 9)
+    w.put(gr.global_gain, 8)
+    w.put(gr.scalefac_compress, 9)
+    w.put(gr.window_switching, 1)
+    if gr.window_switching:
+        w.put(gr.block_type, 2)
+        w.put(gr.mixed_block_flag, 1)
+        for t in gr.table_select[:2]:
+            w.put(t, 5)
+        for s in gr.subblock_gain:
+            w.put(s, 3)
+    else:
+        for t in gr.table_select:
+            w.put(t, 5)
+        w.put(gr.region0_count, 4)
+        w.put(gr.region1_count, 3)
+    w.put(gr.scalefac_scale, 1)
+    w.put(gr.count1table_select, 1)
+    w.put_bits(gr.main_bits)
+    assert len(gr.main_bits) == gr.part2_3_length
+    frame_bytes = 72 * BITRATES_V2[bitrate_idx] * 1000 // sample_rate \
+        + padding
+    return w.to_bytes(pad_to=frame_bytes)
+
+
 def craft_stream_lsf_stereo(gr_pair, mode=1, mode_ext=1, n_pre=2, n_post=3) -> bytes:
     silent = craft_frame_lsf_stereo((GranuleSpec(), GranuleSpec()),
                                     mode=mode, mode_ext=mode_ext)
