@@ -60,20 +60,34 @@ def quantize(xr: np.ndarray, global_gain: int,
     return (np.sign(xr) * ix).astype(np.int32)
 
 
+# gg search window for outer-loop iterations >= 2: the fitting gg moves
+# little between outer iterations (~2 gg steps per scalefactor step), so
+# after the first full-range bisection the search covers
+# [gg_lo, gg_lo+31] (5 count steps on device instead of 8); a
+# window-exhausted row advances its bound and retries next iteration
+# without amplifying. Canonical constant — vloop.py and vloop_device.py
+# import it so all three loop stacks stay in lockstep.
+GG_WINDOW = 32
+
+
 def inner_rate_loop(xr: np.ndarray, budget_bits: int, sample_rate: int,
-                    block_type: int = 0, lo: int = 0) -> tuple[np.ndarray, int]:
+                    block_type: int = 0, lo: int = 0, window: int | None = None):
     """Find the smallest global_gain whose coded size fits budget_bits.
 
-    Returns (ix, global_gain). Monotone in gg, so bisect. `lo` is an
-    optional known lower bound (the outer loop only ever amplifies, so
-    the previous iteration's gg bounds this one from below)."""
-    hi = 255
+    Returns (ix, global_gain) — bisection over [lo', 255] (monotone in
+    gg), where lo' is `lo` raised by the |ix| <= IX_MAX closed bound.
+    With `window`, the search covers only [lo', lo'+window-1] and the
+    return is (ix, gg, capped, next_lo): capped = window exhausted
+    below 255 with no fit (caller retries from next_lo = lo'+window)."""
     p34 = np.abs(xr) ** 0.75
     # quick lower bound: max |ix| must be <= IX_MAX
     amax = np.abs(xr).max()
     if amax > 0:
         while (amax * 2.0 ** (-(lo - 210) / 4.0)) ** 0.75 > IX_MAX and lo < 255:
             lo += 4
+    hi = 255 if window is None else min(lo + window - 1, 255)
+    hi0 = hi
+    next_lo = min(lo + (window or 0), 255)
     best = None
     while lo <= hi:
         mid = (lo + hi) // 2
@@ -88,7 +102,11 @@ def inner_rate_loop(xr: np.ndarray, budget_bits: int, sample_rate: int,
         else:
             lo = mid + 1
     if best is None:
-        return np.zeros(576, np.int32), 210
+        best = (np.zeros(576, np.int32), 210)
+        if window is not None:
+            return best[0], best[1], hi0 < 255, next_lo
+    if window is not None:
+        return best[0], best[1], False, next_lo
     return best
 
 
@@ -116,13 +134,23 @@ def outer_distortion_loop(xr: np.ndarray, xmin: np.ndarray, budget_bits: int,
     amp = np.ones(576)
     best = None
     gg_lo = 0
+    first = True
     for _ in range(max_iters):
         sfc = pick_scalefac_compress(sf)
         budget = budget_bits - scalefac_bits(sfc)
         if budget < 0:
             break
-        ix, gg = inner_rate_loop(xr * amp, budget, sample_rate, block_type,
-                                 lo=gg_lo)
+        if first:
+            ix, gg = inner_rate_loop(xr * amp, budget, sample_rate,
+                                     block_type, lo=gg_lo)
+            first = False
+        else:
+            ix, gg, capped, next_lo = inner_rate_loop(
+                xr * amp, budget, sample_rate, block_type, lo=gg_lo,
+                window=GG_WINDOW)
+            if capped:       # window exhausted: retry from next_lo,
+                gg_lo = next_lo          # unamplified (see GG_WINDOW)
+                continue
         gg_lo = gg
         deq = (np.abs(ix).astype(np.float64) ** (4.0 / 3.0)) *             2.0 ** ((gg - 210) / 4.0) / amp
         err = (np.abs(xr) - deq) ** 2
@@ -170,6 +198,7 @@ def outer_distortion_loop_short(xr: np.ndarray, xmin: np.ndarray,
     sbg = np.zeros(3, np.int32)
     best = None
     gg_lo = 0
+    first = True
     for _ in range(max_iters):
         sfc = pick_scalefac_compress_short(sf)
         budget = budget_bits - scalefac_bits_short(sfc)
@@ -180,7 +209,17 @@ def outer_distortion_loop_short(xr: np.ndarray, xmin: np.ndarray,
         q = 8 * sbg[:, None] + 2 * np.concatenate(
             [sf, np.zeros((3, 1), np.int32)], axis=1)      # [3, 13]
         amp = 2.0 ** (q[wline, sline] / 4.0)               # [576]
-        ix, gg = inner_rate_loop(xr * amp, budget, sample_rate, 2, lo=gg_lo)
+        if first:
+            ix, gg = inner_rate_loop(xr * amp, budget, sample_rate, 2,
+                                     lo=gg_lo)
+            first = False
+        else:
+            ix, gg, capped, next_lo = inner_rate_loop(
+                xr * amp, budget, sample_rate, 2, lo=gg_lo,
+                window=GG_WINDOW)
+            if capped:       # window exhausted: retry, unamplified
+                gg_lo = next_lo
+                continue
         gg_lo = gg
         deq = (np.abs(ix).astype(np.float64) ** (4.0 / 3.0)) * \
             2.0 ** ((gg - 210) / 4.0) / amp

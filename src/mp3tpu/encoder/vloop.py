@@ -14,7 +14,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..tables.sfb import LONG, SLEN1, SLEN2
-from .quantize import IX_MAX, MAGIC, sf_jump_default, sf_jump_steps
+from .quantize import (GG_WINDOW, IX_MAX, MAGIC, sf_jump_default,
+                       sf_jump_steps)
 from .vcount import count_bits_rows
 
 _SLEN1 = np.asarray(SLEN1, np.int64)
@@ -29,16 +30,20 @@ def quantize_rows(p34: np.ndarray, sign: np.ndarray, gg: np.ndarray) -> np.ndarr
 
 
 def inner_rate_rows(xr: np.ndarray, budgets: np.ndarray, sample_rate: int,
-                    block_type: int = 0, lo: np.ndarray | None = None):
+                    block_type: int = 0, lo: np.ndarray | None = None,
+                    window: int | None = None):
     """Lockstep inner_rate_loop over rows.
 
     xr [R,576], budgets [R]. Returns (ix [R,576] int32, gg [R] int64);
-    rows that never fit return (zeros, 210) like the scalar loop."""
+    rows that never fit return (zeros, 210) like the scalar loop. With
+    `window` (quantize.GG_WINDOW semantics), the bisection covers only
+    [lo', lo'+window-1] and the return gains (capped [R] bool,
+    next_lo [R]): capped rows exhausted a sub-255 window with no fit
+    and should retry from next_lo without amplifying."""
     R = xr.shape[0]
     p34 = np.abs(xr) ** 0.75
     sign = np.sign(xr)
     lo = np.zeros(R, np.int64) if lo is None else lo.astype(np.int64).copy()
-    hi = np.full(R, 255, np.int64)
     amax = np.abs(xr).max(1)
     # quick lower bound (same +4 stepping as the scalar loop)
     pos = amax > 0
@@ -47,6 +52,12 @@ def inner_rate_rows(xr: np.ndarray, budgets: np.ndarray, sample_rate: int,
         if not too_big.any():
             break
         lo[too_big] += 4
+    if window is None:
+        hi = np.full(R, 255, np.int64)
+    else:
+        hi = np.minimum(lo + (window - 1), 255)
+    hi0 = hi.copy()
+    next_lo = np.minimum(lo + (window or 0), 255)
     best_ix = np.zeros((R, 576), np.int32)
     best_gg = np.full(R, 210, np.int64)
     has_best = np.zeros(R, bool)
@@ -67,6 +78,9 @@ def inner_rate_rows(xr: np.ndarray, budgets: np.ndarray, sample_rate: int,
         lo[act[~fits]] = mid[~fits] + 1
     best_gg = np.where(has_best, best_gg, 210)
     best_ix[~has_best] = 0
+    if window is not None:
+        capped = ~has_best & (hi0 < 255)
+        return best_ix, best_gg, capped, next_lo
     return best_ix, best_gg
 
 
@@ -127,6 +141,7 @@ def outer_rows(xr: np.ndarray, xmin: np.ndarray, budget_bits: np.ndarray,
     has_best = np.zeros(R, bool)
     gg_lo = np.zeros(R, np.int64)
     done = np.zeros(R, bool)
+    first = True
     for _ in range(max_iters):
         act = np.nonzero(~done)[0]         # compact: done rows drop out
         if not len(act):
@@ -140,22 +155,35 @@ def outer_rows(xr: np.ndarray, xmin: np.ndarray, budget_bits: np.ndarray,
         if not len(act):
             break
         budget = budget[~neg]
-        ix, gg = inner_rate_rows(xr[act] * amp[act], budget,
-                                 sample_rate, block_type, lo=gg_lo[act])
+        if first:
+            ix, gg = inner_rate_rows(xr[act] * amp[act], budget,
+                                     sample_rate, block_type,
+                                     lo=gg_lo[act])
+            capped = np.zeros(len(act), bool)
+            next_lo = gg
+            first = False
+        else:
+            ix, gg, capped, next_lo = inner_rate_rows(
+                xr[act] * amp[act], budget, sample_rate, block_type,
+                lo=gg_lo[act], window=GG_WINDOW)
         # mirror the scalar loop exactly (gg_lo = gg, not max): after an
         # inner-loop no-fit (gg=210) the scalar bound RESETS, and a later
-        # iteration may legitimately fit below the stale bound
-        gg_lo[act] = gg
-        best_ix[act] = ix
-        best_gg[act] = gg
-        best_sf[act] = sf[act]
-        has_best[act] = True
+        # iteration may legitimately fit below the stale bound; a
+        # window-capped row instead advances to next_lo and retries
+        gg_lo[act] = np.where(capped, next_lo, gg)
+        ncap = np.nonzero(~capped)[0]
+        upd = act[ncap]
+        best_ix[upd] = ix[ncap]
+        best_gg[upd] = gg[ncap]
+        best_sf[upd] = sf[upd]
+        has_best[upd] = True
         deq = (np.abs(ix).astype(np.float64) ** (4.0 / 3.0)) * \
             2.0 ** ((gg[:, None] - 210) / 4.0) / amp[act]
         err = (np.abs(xr[act]) - deq) ** 2
         dist = np.add.reduceat(err, edges, axis=1)[:, :21]
         over = (dist > xmin[act]) & (sf[act] < sf_cap)
-        done[act[~over.any(1)]] = True
+        over &= ~capped[:, None]
+        done[act[~(over.any(1) | capped)]] = True
         sfa = sf[act]
         if jump:
             k = sf_jump_steps(dist, xmin[act], sf_cap[None] - sfa)
@@ -210,6 +238,7 @@ def outer_rows_short(xr: np.ndarray, xmin: np.ndarray,
     gg_lo = np.zeros(R, np.int64)
     done = np.zeros(R, bool)
     sf13 = np.zeros((R, 3, 13), np.int64)
+    first = True
     for _ in range(max_iters):
         act = np.nonzero(~done)[0]
         if not len(act):
@@ -226,23 +255,34 @@ def outer_rows_short(xr: np.ndarray, xmin: np.ndarray,
         sf13[act, :, :12] = sf[act]
         q = 8 * sbg[act, :, None] + 2 * sf13[act]           # [A,3,13]
         amp = 2.0 ** (q[:, wline, sline] / 4.0)             # [A,576]
-        ix, gg = inner_rate_rows(xr[act] * amp, budget,
-                                 sample_rate, 2, lo=gg_lo[act])
+        if first:
+            ix, gg = inner_rate_rows(xr[act] * amp, budget,
+                                     sample_rate, 2, lo=gg_lo[act])
+            capped = np.zeros(len(act), bool)
+            next_lo = gg
+            first = False
+        else:
+            ix, gg, capped, next_lo = inner_rate_rows(
+                xr[act] * amp, budget, sample_rate, 2, lo=gg_lo[act],
+                window=GG_WINDOW)
         # mirror the scalar loop exactly (gg_lo = gg, not max) — see
-        # outer_rows
-        gg_lo[act] = gg
-        best_ix[act] = ix
-        best_gg[act] = gg
-        best_sf[act] = sf[act]
-        best_sbg[act] = sbg[act]
-        has_best[act] = True
+        # outer_rows; window-capped rows advance and retry
+        gg_lo[act] = np.where(capped, next_lo, gg)
+        ncap = np.nonzero(~capped)[0]
+        upd = act[ncap]
+        best_ix[upd] = ix[ncap]
+        best_gg[upd] = gg[ncap]
+        best_sf[upd] = sf[upd]
+        best_sbg[upd] = sbg[upd]
+        has_best[upd] = True
         deq = (np.abs(ix).astype(np.float64) ** (4.0 / 3.0)) * \
             2.0 ** ((gg[:, None] - 210) / 4.0) / amp
         err = (np.abs(xr[act]) - deq) ** 2
         dist = (err @ ind).reshape(len(act), 3, 13)
         over = dist[:, :, :12] > xmin[act]
         over &= (sf[act] < SHORT_SF_CAP_V) | (sbg[act, :, None] < 7)
-        done[act[~over.reshape(len(act), -1).any(1)]] = True
+        over &= ~capped[:, None, None]
+        done[act[~(over.reshape(len(act), -1).any(1) | capped)]] = True
         sfa = sf[act]
         if jump:
             # at most one step past the slen cap per iteration: the cap

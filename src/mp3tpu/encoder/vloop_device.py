@@ -209,10 +209,28 @@ def _quantize(jnp, p34, sign, gg):
     return sign * ix
 
 
-def _inner_bisect(jnp, C, p34, sign, budgets, lo0, short_split: bool):
-    """Fixed 8-step bisection for the smallest fitting gg per row.
+# gg search window for outer-loop iterations >= 2 (docs/rate_loop_notes
+# .md): the fitting gg only moves a little per outer iteration (amp
+# rises in a few bands; ~2 gg steps per scalefactor step), so after the
+# first full-range bisection the search runs over [gg_lo, gg_lo+31] in
+# 5 count-kernel steps instead of [gg_lo, 255] in 8. A window-exhausted
+# row ("capped") advances its bound by the window and retries next
+# iteration without amplifying — same final semantics, implemented
+# identically in quantize.py / vloop.py / here (canonical constant in
+# quantize.GG_WINDOW).
+from .quantize import GG_WINDOW  # noqa: E402
+_WINDOW_STEPS = 5    # ceil(log2(GG_WINDOW))
 
-    Returns (gg [R] i32, has_best [R] bool)."""
+
+def _inner_bisect(jnp, C, p34, sign, budgets, lo0, short_split: bool,
+                  window: int | None = None):
+    """Fixed-step bisection for the smallest fitting gg per row, over
+    [lo, 255] (8 steps; window=None) or [lo, lo+window-1] (5 steps).
+
+    Returns (gg [R] i32, has_best [R] bool, capped [R] bool,
+    next_lo [R] i32): capped = window exhausted below 255 with no fit
+    (the caller advances gg_lo to next_lo and retries); next_lo =
+    min(adjusted_lo + window, 255)."""
     import jax
     R = p34.shape[0]
     amax34 = jnp.max(p34, axis=1)
@@ -225,7 +243,14 @@ def _inner_bisect(jnp, C, p34, sign, budgets, lo0, short_split: bool):
     lo = jnp.where(amax34 > 0,
                    jnp.minimum(lo0 + 4 * ksteps.astype(jnp.int32), 255),
                    lo0).astype(jnp.int32)
-    hi = jnp.full((R,), 255, jnp.int32)
+    if window is None:
+        hi = jnp.full((R,), 255, jnp.int32)
+        steps = 8
+    else:
+        hi = jnp.minimum(lo + (window - 1), 255)
+        steps = _WINDOW_STEPS
+    hi0 = hi
+    adj_lo = lo
     best = jnp.full((R,), 210, jnp.int32)
     has = jnp.zeros((R,), jnp.bool_)
 
@@ -243,8 +268,11 @@ def _inner_bisect(jnp, C, p34, sign, budgets, lo0, short_split: bool):
         lo = jnp.where(act & ~fits, mid + 1, lo)
         return lo, hi, best, has
 
-    lo, hi, best, has = jax.lax.fori_loop(0, 8, body, (lo, hi, best, has))
-    return jnp.where(has, best, 210), has
+    lo, hi, best, has = jax.lax.fori_loop(0, steps, body,
+                                          (lo, hi, best, has))
+    capped = ~has & (hi0 < 255)
+    next_lo = jnp.minimum(adj_lo + (window or 0), 255)
+    return jnp.where(has, best, 210), has, capped, next_lo
 
 
 @functools.lru_cache(maxsize=None)
@@ -268,62 +296,71 @@ def _jit_outer_long(sample_rate: int, max_iters: int,
         sf_cap = jnp.asarray([15] * 11 + [7] * 10, jnp.int32)
         bol = C["band_of_line"]            # [576] 0..21
 
-        def body(_i, carry):
-            sf, gg_lo, done, best_gg, best_sf, has_best, it = carry
-            it = it + (~done).astype(it.dtype)   # per-row active iters
-            # scalefactor side-info cost (vector argmin over the 16
-            # scalefac_compress codes)
-            m1 = jnp.max(sf[:, :11], axis=1)
-            m2 = jnp.max(sf[:, 11:21], axis=1)
-            need1 = jnp.zeros_like(m1)
-            need2 = jnp.zeros_like(m2)
-            for kk in range(1, 5):
-                need1 = jnp.where(m1 >= (1 << (kk - 1)), kk, need1)
-                need2 = jnp.where(m2 >= (1 << (kk - 1)), kk, need2)
-            ok = (C["slen1"][None] >= need1[:, None]) & \
-                 (C["slen2"][None] >= need2[:, None])
-            cost = 11 * C["slen1"] + 10 * C["slen2"]
-            sfc = jnp.argmin(jnp.where(ok, cost[None], 1 << 30), axis=1)
-            sfbits = 11 * C["slen1"][sfc] + 10 * C["slen2"][sfc]
-            budget = budget_bits - sfbits
-            done = done | (budget < 0)
+        def body_w(window):
+            def body(_i, carry):
+                sf, gg_lo, done, best_gg, best_sf, has_best, it = carry
+                it = it + (~done).astype(it.dtype)   # per-row active iters
+                # scalefactor side-info cost (vector argmin over the 16
+                # scalefac_compress codes)
+                m1 = jnp.max(sf[:, :11], axis=1)
+                m2 = jnp.max(sf[:, 11:21], axis=1)
+                need1 = jnp.zeros_like(m1)
+                need2 = jnp.zeros_like(m2)
+                for kk in range(1, 5):
+                    need1 = jnp.where(m1 >= (1 << (kk - 1)), kk, need1)
+                    need2 = jnp.where(m2 >= (1 << (kk - 1)), kk, need2)
+                ok = (C["slen1"][None] >= need1[:, None]) & \
+                     (C["slen2"][None] >= need2[:, None])
+                cost = 11 * C["slen1"] + 10 * C["slen2"]
+                sfc = jnp.argmin(jnp.where(ok, cost[None], 1 << 30), axis=1)
+                sfbits = 11 * C["slen1"][sfc] + 10 * C["slen2"][sfc]
+                budget = budget_bits - sfbits
+                done = done | (budget < 0)
 
-            sf21 = jnp.concatenate(
-                [sf, jnp.zeros((R, 1), sf.dtype)], axis=1)   # band 21 = 0
-            amp_line = jnp.exp2(sf21[:, bol].astype(jnp.float32) / 2.0)
-            p34 = p34_base * amp_line ** 0.75
-            gg, has = _inner_bisect(jnp, C, p34, sign, budget, gg_lo,
-                                    switched)
-            upd = ~done & has
-            best_gg = jnp.where(upd, gg, best_gg)
-            best_sf = jnp.where(upd[:, None], sf, best_sf)
-            has_best = has_best | upd
-            gg_lo = jnp.where(~done, gg, gg_lo)
+                sf21 = jnp.concatenate(
+                    [sf, jnp.zeros((R, 1), sf.dtype)], axis=1)  # band 21 = 0
+                amp_line = jnp.exp2(sf21[:, bol].astype(jnp.float32) / 2.0)
+                p34 = p34_base * amp_line ** 0.75
+                gg, has, capped, next_lo = _inner_bisect(
+                    jnp, C, p34, sign, budget, gg_lo, switched, window)
+                upd = ~done & has
+                best_gg = jnp.where(upd, gg, best_gg)
+                best_sf = jnp.where(upd[:, None], sf, best_sf)
+                has_best = has_best | upd
+                gg_lo = jnp.where(~done,
+                                  jnp.where(capped, next_lo, gg), gg_lo)
 
-            # distortion per band at the found quantization
-            ix = _quantize(jnp, p34, sign, gg)
-            deq = (jnp.abs(ix).astype(jnp.float32) ** (4.0 / 3.0)) * \
-                jnp.exp2((gg[:, None].astype(jnp.float32) - 210.0) / 4.0) / \
-                amp_line
-            err = (jnp.abs(xr) - deq) ** 2
-            dist = (err @ C["ind21"])[:, :21]
-            over = (dist > xmin) & (sf < sf_cap[None]) & ~done[:, None] & \
-                has[:, None]
-            done = done | ~(over.any(1))
-            if jump:
-                ratio = jnp.clip(dist / jnp.maximum(xmin, 1e-37),
-                                 1.0, 2.0 ** 60)
-                k = jnp.floor(0.5 * jnp.log2(ratio)).astype(sf.dtype)
-                k = jnp.clip(k, 1, jnp.maximum(sf_cap[None] - sf, 1))
-            else:
-                k = jnp.ones((), sf.dtype)
-            sf = sf + jnp.where(over, k, 0)
-            return sf, gg_lo, done, best_gg, best_sf, has_best, it
+                # distortion per band at the found quantization
+                ix = _quantize(jnp, p34, sign, gg)
+                deq = (jnp.abs(ix).astype(jnp.float32) ** (4.0 / 3.0)) * \
+                    jnp.exp2((gg[:, None].astype(jnp.float32) - 210.0)
+                             / 4.0) / amp_line
+                err = (jnp.abs(xr) - deq) ** 2
+                dist = (err @ C["ind21"])[:, :21]
+                over = (dist > xmin) & (sf < sf_cap[None]) & \
+                    ~done[:, None] & has[:, None]
+                # a window-capped row is not converged — it retries the
+                # gg search next iteration from next_lo, unamplified
+                done = done | ~(over.any(1) | capped)
+                if jump:
+                    ratio = jnp.clip(dist / jnp.maximum(xmin, 1e-37),
+                                     1.0, 2.0 ** 60)
+                    k = jnp.floor(0.5 * jnp.log2(ratio)).astype(sf.dtype)
+                    k = jnp.clip(k, 1, jnp.maximum(sf_cap[None] - sf, 1))
+                else:
+                    k = jnp.ones((), sf.dtype)
+                sf = sf + jnp.where(over, k, 0)
+                return sf, gg_lo, done, best_gg, best_sf, has_best, it
+            return body
 
         sf0 = jnp.zeros((R, 21), jnp.int32)
         init = (sf0, jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.bool_),
                 jnp.full((R,), 210, jnp.int32), sf0,
                 jnp.zeros((R,), jnp.bool_), jnp.zeros((R,), jnp.int32))
+        # iteration 1: full-range gg bisection (8 steps); iterations
+        # >= 2 ride the GG_WINDOW bisection (5 steps) — the fitting gg
+        # moves little between outer iterations (docs/rate_loop_notes)
+        carry1 = body_w(None)(0, init)
         # early-exit while_loop: iterations after every row converges are
         # exact no-ops (all updates are masked by `done`, including the
         # per-row iteration counter), so stopping at all(done) is
@@ -332,10 +369,10 @@ def _jit_outer_long(sample_rate: int, max_iters: int,
         _i, (_sf, _gl, done_end, best_gg, best_sf, has_best, iters) = \
             jax.lax.while_loop(
                 lambda c: (c[0] < max_iters) & ~jnp.all(c[1][2]),
-                lambda c: (c[0] + 1, body(c[0], c[1])),
-                (jnp.int32(0), init))
+                lambda c: (c[0] + 1, body_w(GG_WINDOW)(c[0], c[1])),
+                (jnp.int32(1), carry1))
         # rows that never fit under shaping: plain rate loop, sf = 0
-        gg_fb, has_fb = _inner_bisect(
+        gg_fb, has_fb, _c, _n = _inner_bisect(
             jnp, C, p34_base, sign, budget_bits,
             jnp.zeros((R,), jnp.int32), switched)
         best_gg = jnp.where(has_best, best_gg, gg_fb)
@@ -387,66 +424,73 @@ def _jit_outer_short(sample_rate: int, max_iters: int, jump: bool = True):
         R = xr.shape[0]
         wl, sl = C["wline"], C["sline"]
 
-        def body(_i, carry):
-            (sf, sbg, gg_lo, done, best_gg, best_sf, best_sbg,
-             has_best, it) = carry
-            it = it + (~done).astype(it.dtype)   # per-row active iters
-            m1 = jnp.max(sf[:, :, :6], axis=(1, 2))
-            m2 = jnp.max(sf[:, :, 6:12], axis=(1, 2))
-            need1 = jnp.zeros_like(m1)
-            need2 = jnp.zeros_like(m2)
-            for kk in range(1, 5):
-                need1 = jnp.where(m1 >= (1 << (kk - 1)), kk, need1)
-                need2 = jnp.where(m2 >= (1 << (kk - 1)), kk, need2)
-            ok = (C["slen1"][None] >= need1[:, None]) & \
-                 (C["slen2"][None] >= need2[:, None])
-            cost = 18 * (C["slen1"] + C["slen2"])
-            sfc = jnp.argmin(jnp.where(ok, cost[None], 1 << 30), axis=1)
-            sfbits = 18 * (C["slen1"][sfc] + C["slen2"][sfc])
-            budget = budget_bits - sfbits
-            done = done | (budget < 0)
+        def body_w(window):
+            def body(_i, carry):
+                (sf, sbg, gg_lo, done, best_gg, best_sf, best_sbg,
+                 has_best, it) = carry
+                it = it + (~done).astype(it.dtype)  # per-row active iters
+                m1 = jnp.max(sf[:, :, :6], axis=(1, 2))
+                m2 = jnp.max(sf[:, :, 6:12], axis=(1, 2))
+                need1 = jnp.zeros_like(m1)
+                need2 = jnp.zeros_like(m2)
+                for kk in range(1, 5):
+                    need1 = jnp.where(m1 >= (1 << (kk - 1)), kk, need1)
+                    need2 = jnp.where(m2 >= (1 << (kk - 1)), kk, need2)
+                ok = (C["slen1"][None] >= need1[:, None]) & \
+                     (C["slen2"][None] >= need2[:, None])
+                cost = 18 * (C["slen1"] + C["slen2"])
+                sfc = jnp.argmin(jnp.where(ok, cost[None], 1 << 30), axis=1)
+                sfbits = 18 * (C["slen1"][sfc] + C["slen2"][sfc])
+                budget = budget_bits - sfbits
+                done = done | (budget < 0)
 
-            sf13 = jnp.concatenate(
-                [sf, jnp.zeros((R, 3, 1), sf.dtype)], axis=2)
-            q = 8 * sbg[:, :, None] + 2 * sf13                  # [R,3,13]
-            amp = jnp.exp2(q[:, wl, sl].astype(jnp.float32) / 4.0)
-            p34 = p34_base * amp ** 0.75
-            gg, has = _inner_bisect(jnp, C, p34, sign, budget, gg_lo, True)
-            upd = ~done & has
-            best_gg = jnp.where(upd, gg, best_gg)
-            best_sf = jnp.where(upd[:, None, None], sf, best_sf)
-            best_sbg = jnp.where(upd[:, None], sbg, best_sbg)
-            has_best = has_best | upd
-            gg_lo = jnp.where(~done, gg, gg_lo)
+                sf13 = jnp.concatenate(
+                    [sf, jnp.zeros((R, 3, 1), sf.dtype)], axis=2)
+                q = 8 * sbg[:, :, None] + 2 * sf13              # [R,3,13]
+                amp = jnp.exp2(q[:, wl, sl].astype(jnp.float32) / 4.0)
+                p34 = p34_base * amp ** 0.75
+                gg, has, capped, next_lo = _inner_bisect(
+                    jnp, C, p34, sign, budget, gg_lo, True, window)
+                upd = ~done & has
+                best_gg = jnp.where(upd, gg, best_gg)
+                best_sf = jnp.where(upd[:, None, None], sf, best_sf)
+                best_sbg = jnp.where(upd[:, None], sbg, best_sbg)
+                has_best = has_best | upd
+                gg_lo = jnp.where(~done,
+                                  jnp.where(capped, next_lo, gg), gg_lo)
 
-            ix = _quantize(jnp, p34, sign, gg)
-            deq = (jnp.abs(ix).astype(jnp.float32) ** (4.0 / 3.0)) * \
-                jnp.exp2((gg[:, None].astype(jnp.float32) - 210.0) / 4.0) / amp
-            err = (jnp.abs(xr) - deq) ** 2
-            dist = (err @ C["ind39"]).reshape(R, 3, 13)[:, :, :12]
-            over = (dist > xmin) & \
-                ((sf < SF_CAP[None, None]) | (sbg[:, :, None] < 7)) & \
-                ~done[:, None, None] & has[:, None, None]
-            done = done | ~(over.reshape(R, -1).any(1))
-            if jump:
-                # at most one step past the slen cap per iteration: the
-                # overshoot escalates subblock_gain (see quantize)
-                ratio = jnp.clip(dist / jnp.maximum(xmin, 1e-37),
-                                 1.0, 2.0 ** 60)
-                k = jnp.floor(0.5 * jnp.log2(ratio)).astype(sf.dtype)
-                k = jnp.clip(k, 1,
-                             jnp.maximum(SF_CAP[None, None] + 1 - sf, 1))
-            else:
-                k = jnp.ones((), sf.dtype)
-            sf = sf + jnp.where(over, k, 0)
-            exceed = (sf > SF_CAP[None, None]).any(2)           # [R,3]
-            bump = exceed & (sbg < 7)
-            sbg = sbg + bump.astype(sbg.dtype)
-            sf = jnp.where(bump[:, :, None], jnp.maximum(sf - 4, 0), sf)
-            sf = jnp.where(exceed[:, :, None],
-                           jnp.minimum(sf, SF_CAP[None, None]), sf)
-            return (sf, sbg, gg_lo, done, best_gg, best_sf, best_sbg,
-                    has_best, it)
+                ix = _quantize(jnp, p34, sign, gg)
+                deq = (jnp.abs(ix).astype(jnp.float32) ** (4.0 / 3.0)) * \
+                    jnp.exp2((gg[:, None].astype(jnp.float32) - 210.0)
+                             / 4.0) / amp
+                err = (jnp.abs(xr) - deq) ** 2
+                dist = (err @ C["ind39"]).reshape(R, 3, 13)[:, :, :12]
+                over = (dist > xmin) & \
+                    ((sf < SF_CAP[None, None]) | (sbg[:, :, None] < 7)) & \
+                    ~done[:, None, None] & has[:, None, None]
+                # window-capped rows are not converged (see long body)
+                done = done | ~(over.reshape(R, -1).any(1) | capped)
+                if jump:
+                    # at most one step past the slen cap per iteration:
+                    # the overshoot escalates subblock_gain (see quantize)
+                    ratio = jnp.clip(dist / jnp.maximum(xmin, 1e-37),
+                                     1.0, 2.0 ** 60)
+                    k = jnp.floor(0.5 * jnp.log2(ratio)).astype(sf.dtype)
+                    k = jnp.clip(k, 1,
+                                 jnp.maximum(SF_CAP[None, None] + 1 - sf,
+                                             1))
+                else:
+                    k = jnp.ones((), sf.dtype)
+                sf = sf + jnp.where(over, k, 0)
+                exceed = (sf > SF_CAP[None, None]).any(2)       # [R,3]
+                bump = exceed & (sbg < 7)
+                sbg = sbg + bump.astype(sbg.dtype)
+                sf = jnp.where(bump[:, :, None], jnp.maximum(sf - 4, 0), sf)
+                sf = jnp.where(exceed[:, :, None],
+                               jnp.minimum(sf, SF_CAP[None, None]), sf)
+                return (sf, sbg, gg_lo, done, best_gg, best_sf, best_sbg,
+                        has_best, it)
+            return body
 
         sf0 = jnp.zeros((R, 3, 12), jnp.int32)
         sbg0 = jnp.zeros((R, 3), jnp.int32)
@@ -454,14 +498,16 @@ def _jit_outer_short(sample_rate: int, max_iters: int, jump: bool = True):
                 jnp.zeros((R,), jnp.bool_), jnp.full((R,), 210, jnp.int32),
                 sf0, sbg0, jnp.zeros((R,), jnp.bool_),
                 jnp.zeros((R,), jnp.int32))
-        # early-exit while_loop — see _jit_outer_long (bit-identical)
+        # iteration 1 full-range, then GG_WINDOW bisection + early-exit
+        # while_loop — see _jit_outer_long (bit-identical)
+        carry1 = body_w(None)(0, init)
         _i, out = jax.lax.while_loop(
             lambda c: (c[0] < max_iters) & ~jnp.all(c[1][3]),
-            lambda c: (c[0] + 1, body(c[0], c[1])),
-            (jnp.int32(0), init))
+            lambda c: (c[0] + 1, body_w(GG_WINDOW)(c[0], c[1])),
+            (jnp.int32(1), carry1))
         (_sf, _sbg, _gl, done_end, best_gg, best_sf, best_sbg, has_best,
          iters) = out
-        gg_fb, has_fb = _inner_bisect(
+        gg_fb, has_fb, _c, _n = _inner_bisect(
             jnp, C, p34_base, sign, budget_bits,
             jnp.zeros((R,), jnp.int32), True)
         best_gg = jnp.where(has_best, best_gg, gg_fb)
@@ -508,9 +554,10 @@ def _jit_rate_only(sample_rate: int, short_split: bool):
         xr, budgets = args
         p34 = jnp.abs(xr) ** 0.75
         sign = jnp.sign(xr).astype(jnp.int32)
-        gg, has = _inner_bisect(jnp, C, p34, sign, budgets,
-                                jnp.zeros((xr.shape[0],), jnp.int32),
-                                short_split)
+        gg, has, _c, _n = _inner_bisect(jnp, C, p34, sign, budgets,
+                                        jnp.zeros((xr.shape[0],),
+                                                  jnp.int32),
+                                        short_split)
         ix = _quantize(jnp, p34, sign, gg)
         ix = jnp.where(has[:, None], ix, 0)
         bits, selr, _bv, _k, c1sel = _count_rows(jnp, C, ix, short_split)

@@ -345,6 +345,11 @@ def decode_batch_streams(paths_or_bytes, n_slots: int = 64, win: int = 32,
     # stream (batch throughput path wants whole-file symbols)
     loaded = [load_source(d) for d in datas]
     infos = [info for _src, info, _index in loaded]
+    # container resyncs are booked HERE: submit() only records them for
+    # byte inputs (it never sees the index when handed SymbolTensors) —
+    # found by test_batch_fast_path_chaos_all_kinds' books-parity check
+    for _src, _info, index in loaded:
+        record_resyncs(index.resyncs)
     symbols = [src.whole() for src, _info, _index in loaded]
     rates = {st.sample_rate for st in symbols}
     out: list = [None] * len(datas)

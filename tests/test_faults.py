@@ -252,3 +252,67 @@ def test_chunk_parallel_matches_sequential(mp3):
                                        output="int16")
     dd = np.abs(par16_dev.astype(np.int32) - par16.astype(np.int32))
     assert dd.max() <= 1 and (dd == 0).mean() > 0.999
+
+
+def test_batch_fast_path_chaos_all_kinds(mp3):
+    """VERDICT r4 task 8 / SURVEY.md §5.3: the packed-plane batch fast
+    path under ALL THREE soak corruption kinds (byte flips, reservoir
+    cut, header kill). For every stream, decode_files' output must
+    match the single-file decode <=1 LSB (the shared-program muting
+    contract — or, if the chunk fell back, the scheduler path's books),
+    and the GLOBAL fault counters must grow by exactly the single-path
+    totals (pending_faults commits once, no double booking)."""
+    from soak import _CORRUPTIONS
+    from mp3tpu.pipeline import decode_files
+    rng = np.random.default_rng(11)
+    streams = [mp3]
+    for _name, fn in _CORRUPTIONS:
+        streams.append(fn(mp3, rng))
+    streams.append(mp3)                      # clean tail stream
+    singles = []
+    d_single: dict = {}
+    with _global_delta()(d_single):
+        for s in streams:
+            singles.append(decode_file(s, gapless=False))
+    assert d_single["frames_error"] > 0      # flips really corrupted
+    assert d_single["granules_muted"] > 0    # cut really underflowed
+    assert d_single["resyncs"] > 0           # header kill really lost sync
+    d_batch: dict = {}
+    with _global_delta()(d_batch):
+        outs = decode_files(streams, gapless=False)
+    for k in ("frames_ok", "frames_error", "granules_muted", "resyncs"):
+        assert d_batch[k] == d_single[k], (k, d_batch, d_single)
+    for (ref, rsr), (got, gsr) in zip(singles, outs):
+        assert gsr == rsr
+        got = np.asarray(got)
+        assert got.shape == np.asarray(ref).shape
+        d = np.abs(np.asarray(ref).astype(np.int32) - got.astype(np.int32))
+        assert d.max() <= 1 and (d == 0).mean() > 0.97
+
+
+def test_batch_fast_path_decodes_corruption_in_path(mp3):
+    """Flip + header-kill corruption stays ON the packed-plane fast
+    path (only the reservoir-cut kind trips the metadata-strip guard
+    into the scheduler fallback): assert the fast path really ran,
+    muted identically to single decode, and booked the exact counts."""
+    from soak import _corrupt_flip, _corrupt_header
+    from mp3tpu import pipeline
+    rng = np.random.default_rng(23)
+    streams = [mp3, _corrupt_flip(mp3, rng), _corrupt_header(mp3, rng)]
+    singles = []
+    d_single: dict = {}
+    with _global_delta()(d_single):
+        for s in streams:
+            singles.append(decode_file(s, gapless=False))
+    d_batch: dict = {}
+    with _global_delta()(d_batch):
+        outs = pipeline._decode_files_fast(streams, False)
+    assert outs is not None, "corruption knocked the batch off the fast path"
+    for k in ("frames_ok", "frames_error", "granules_muted", "resyncs"):
+        assert d_batch[k] == d_single[k], (k, d_batch, d_single)
+    assert d_batch["frames_error"] > 0 and d_batch["resyncs"] > 0
+    for (ref, rsr), (got, gsr) in zip(singles, outs):
+        assert gsr == rsr
+        got = np.asarray(got)
+        d = np.abs(np.asarray(ref).astype(np.int32) - got.astype(np.int32))
+        assert d.max() <= 1 and (d == 0).mean() > 0.97
