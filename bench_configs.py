@@ -37,11 +37,11 @@ def _signal(seconds, sr=44100):
 # on this tunnel, so flow-control weather passes and real regressions
 # fail. Enforced by `python bench_configs.py --assert` on hardware.
 FLOORS = {
-    "1_single_file_cbr_decode": 25.0,
-    "2_vbr_joint_stereo_decode": 30.0,
-    "4_player_seek_gapless_dsp": 15.0,
-    "5_encode_path_single": 4.0,
-    "5_encode_batch_aggregate": 7.0,
+    "1_single_file_cbr_decode": 45.0,
+    "2_vbr_joint_stereo_decode": 40.0,
+    "4_player_seek_gapless_dsp": 18.0,
+    "5_encode_path_single": 8.0,
+    "5_encode_batch_aggregate": 30.0,
 }
 
 RESULTS: list = []
