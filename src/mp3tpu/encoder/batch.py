@@ -45,6 +45,9 @@ from . import ENCODER_DELAY, SPF, SR_IDX, _short_flat_map
 
 S2 = 1.0 / np.sqrt(2.0)
 
+# last MP3TPU_ENCODE_PROFILE=1 phase walls (tools/encode_single_profile.py)
+LAST_PROFILE: dict = {}
+
 
 @functools.lru_cache(maxsize=None)
 def _prep_jits(sample_rate: int, nch: int):
@@ -864,5 +867,7 @@ def encode_batch(pcms, sample_rate: int | None = None,
         out.append(body)
     _mark('mux')
     if _prof:
+        global LAST_PROFILE
+        LAST_PROFILE = dict(_ph)
         print('MP3TPU_ENCODE_PROFILE', {k: round(v, 3) for k, v in _ph.items()}, flush=True)
     return out
